@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()``
+on DuckDB at the given sf dir, compares row count, column names, and an
+order-insensitive value comparison (exact for strings/ints, tight
+tolerance + exact-repr check for floats so we see any rounding drift the
+driver's hash would see).
+
+Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from golem_spark.session import get_spark, TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        except duckdb.IOException:
+            pass
+    return con
+
+
+def normalize_rows(rows, ndigits=9):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(repr(round(v, ndigits)))
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def compare(name: str, spark_df, duck_rel) -> list[str]:
+    problems = []
+    sdf = spark_df.toPandas()
+    ddf = duck_rel.fetchdf()
+    scols = sorted(sdf.columns)
+    dcols = sorted(ddf.columns)
+    if scols != dcols:
+        problems.append(f"columns differ: spark={scols} duck={dcols}")
+        return problems
+    sdf = sdf[scols]
+    ddf = ddf[dcols]
+    if len(sdf) != len(ddf):
+        problems.append(f"row count differs: spark={len(sdf)} duck={len(ddf)}")
+    srows = normalize_rows(sdf.itertuples(index=False, name=None))
+    drows = normalize_rows(ddf.itertuples(index=False, name=None))
+    if srows != drows:
+        # find first diff
+        exact_mismatch = 0
+        for a, b in zip(srows, drows):
+            if a != b:
+                exact_mismatch += 1
+                if exact_mismatch <= 3:
+                    problems.append(f"row mismatch: spark={a} duck={b}")
+        if exact_mismatch > 3:
+            problems.append(f"... {exact_mismatch} mismatching rows total")
+        # exact-value hash comparison (what the driver is likelier to do)
+        s0 = normalize_rows(sdf.itertuples(index=False, name=None), ndigits=17)
+        d0 = normalize_rows(ddf.itertuples(index=False, name=None), ndigits=17)
+        if s0 == d0:
+            problems.append("(exact repr matches; only round-9 differs?!)")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify_oracle")
+    con = duck_connect(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            print(f"SKIP (no oracle) {name}")
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            drel = con.sql(oracles[name])
+            problems = compare(name, sdf, drel)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            print(f"OK   {name}")
+    print(f"\n{len(qs) - n_fail}/{len(qs)} passing at {sf_dir}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
