@@ -1,0 +1,541 @@
+"""Data backends: where the data-sized work happens.
+
+The solvers (FISTA/ADMM, path loop) are backend-agnostic: per iteration
+they need a handful of scalar losses and a p×m gradient for a given
+driver-side beta. Two implementations of that contract:
+
+- ``LocalBackend``: X, Y as numpy arrays on the driver. Used when n·p fits
+  in driver memory (all reference-scale fixtures) — identical operator
+  contract, no cluster round-trips.
+
+- ``SparkBackend``: X, Y as columns of a cached standardized DataFrame.
+  Every quantity is ONE distributed aggregation pass built from column
+  expressions (JVM-side, whole-stage codegen, map-side partial
+  aggregation). beta enters as literals in the expressions; only p-sized
+  results come back to the driver. This is the 100 TB path: nothing
+  data-sized is ever collected.
+
+Feature standardization (reference src/standardize.h:8-71) lives here too:
+center by mean, scale by l1/l2/sd/max with a zero-variance guard.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from golem_spark.families import Family, get_family, _lgamma
+
+
+# ---------------------------------------------------------------------------
+# Standardization statistics
+# ---------------------------------------------------------------------------
+
+def _apply_scale_guard(scale_vals: np.ndarray) -> np.ndarray:
+    out = np.asarray(scale_vals, dtype=np.float64).copy()
+    out[out == 0.0] = 1.0
+    return out
+
+
+def standardize_local(x: np.ndarray, center: bool, scale: str):
+    """Returns (x_std, x_center, x_scale). x excludes the intercept col."""
+    x = np.asarray(x, dtype=np.float64)
+    p = x.shape[1]
+    x_center = np.zeros(p)
+    x_scale = np.ones(p)
+    x_std = x.copy()
+    if center:
+        x_center = np.mean(x_std, axis=0)
+        x_std = x_std - x_center
+    if scale == "l1":
+        x_scale = np.sum(np.abs(x_std), axis=0)
+    elif scale == "l2":
+        x_scale = np.sqrt(np.sum(x_std * x_std, axis=0))
+    elif scale == "sd":
+        x_scale = np.std(x_std, axis=0, ddof=1)
+    elif scale == "max":
+        x_scale = np.max(x_std, axis=0)
+    elif scale != "none":
+        raise ValueError(f"unknown scale {scale!r}")
+    if scale != "none":
+        x_scale = _apply_scale_guard(x_scale)
+        x_std = x_std / x_scale
+    return x_std, x_center, x_scale
+
+
+class LocalBackend:
+    """Driver-local numpy execution of the data-plane contract.
+
+    ``x`` is the standardized feature matrix INCLUDING the intercept
+    column of ones at position 0 when intercept=True.
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, family: Family, intercept: bool):
+        self.x = np.ascontiguousarray(x, dtype=np.float64)
+        self.y = np.ascontiguousarray(y, dtype=np.float64)
+        self.family = family
+        self.intercept = intercept
+        self.n = x.shape[0]
+        self.p_total = x.shape[1]
+        self.m = y.shape[1]
+
+    def eval(self, beta: np.ndarray):
+        """(primal, dual, gradient p_total×m) at beta — one 'pass'."""
+        lp = self.x @ beta
+        fam = self.family
+        return (
+            fam.primal(self.y, lp),
+            fam.dual(self.y, lp),
+            self.x.T @ fam.pseudo_gradient(self.y, lp),
+        )
+
+    def primal(self, beta: np.ndarray) -> float:
+        return self.family.primal(self.y, self.x @ beta)
+
+    def gram(self) -> np.ndarray:
+        return self.x.T @ self.x
+
+    def xty(self) -> np.ndarray:
+        return self.x.T @ self.y
+
+    def subset(self, cols: np.ndarray) -> "LocalBackend":
+        return LocalBackend(self.x[:, cols], self.y, self.family, self.intercept)
+
+    def weighted_gram(self, beta: np.ndarray) -> np.ndarray:
+        """X^T diag(w) X with the family's local curvature weights at
+        beta (used by the prox-Newton solver for poisson)."""
+        lp = self.x @ beta
+        w = _curvature_weights(self.family.name, self.y, lp)
+        return (self.x * w[:, None]).T @ self.x
+
+    def multinomial_hessian(self, beta: np.ndarray) -> np.ndarray:
+        """Exact softmax block Hessian H[(j,k),(i,l)] =
+        sum_r x_rj x_ri p_rk (delta_kl - p_rl), returned (p*m, p*m) in
+        column-major block order."""
+        lp = self.x @ beta
+        m = beta.shape[1]
+        p = self.p_total
+        lp_max = np.max(lp, axis=1, keepdims=True)
+        lse = np.log(np.exp(-lp_max) + np.sum(np.exp(lp - lp_max), axis=1, keepdims=True)) + lp_max
+        P = np.exp(lp - lse)  # (n, m), implicit class excluded
+        H = np.zeros((p * m, p * m))
+        for k in range(m):
+            for l in range(k, m):
+                w = P[:, k] * ((1.0 if k == l else 0.0) - P[:, l])
+                blk = (self.x * w[:, None]).T @ self.x
+                H[k * p:(k + 1) * p, l * p:(l + 1) * p] = blk
+                if l != k:
+                    H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
+        return H
+
+    def lambda_max_gradient(self) -> np.ndarray:
+        from golem_spark.families import lambda_max_gradient
+
+        xs = self.x[:, 1:] if self.intercept else self.x
+        return lambda_max_gradient(self.family, xs, self.y)
+
+    def null_intercepts(self) -> np.ndarray:
+        return self.family.fit_null_model(self.y)
+
+
+# ---------------------------------------------------------------------------
+# Spark backend
+# ---------------------------------------------------------------------------
+
+def _softplus(z):
+    """log(1 + exp(z)), overflow-stable column expression."""
+    return F.greatest(z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z)))
+
+
+def _curvature_weights(fam: str, y: np.ndarray, lp: np.ndarray) -> np.ndarray:
+    """Per-row second-derivative weights for the prox-Newton solver."""
+    if fam == "binomial":
+        s = 1.0 / (1.0 + np.exp(-np.clip(lp[:, 0], -700, 700)))
+        return s * (1 - s)
+    if fam == "poisson":
+        return np.exp(np.clip(lp[:, 0], -700, 700))
+    raise ValueError(f"no scalar curvature weights for family {fam!r}")
+
+
+class SparkBackend:
+    """Distributed execution of the data-plane contract.
+
+    ``df`` must already contain standardized feature columns ``feat_cols``
+    (NOT including an intercept column — the intercept is the constant
+    term of the linear-predictor expression) and encoded response columns
+    ``y_cols`` (length m). The DataFrame is cached; every eval() is one
+    aggregation job over it.
+    """
+
+    def __init__(self, df: DataFrame, feat_cols: list[str], y_cols: list[str],
+                 family: Family, intercept: bool, n: int,
+                 lgamma_sum: float = 0.0, persist: bool = True):
+        self.df = df
+        self.feat_cols = list(feat_cols)
+        self.y_cols = list(y_cols)
+        self.family = family
+        self.intercept = intercept
+        self.n = n
+        self.p_total = len(feat_cols) + (1 if intercept else 0)
+        self.m = len(y_cols)
+        self._lgamma_sum = lgamma_sum  # constant sum(lgamma(y+1)) for poisson
+        if persist:
+            self.df = self.df.persist()
+
+    # -- expression builders -------------------------------------------------
+
+    def _lp_exprs(self, beta: np.ndarray):
+        """Linear predictor columns, one per target, beta as literals."""
+        off = 1 if self.intercept else 0
+        lps = []
+        for k in range(self.m):
+            expr = F.lit(float(beta[0, k])) if self.intercept else F.lit(0.0)
+            for j, c in enumerate(self.feat_cols):
+                b = float(beta[j + off, k])
+                if b != 0.0:
+                    expr = expr + F.lit(b) * F.col(c)
+            lps.append(expr)
+        return lps
+
+    def _family_exprs(self, lps):
+        """(primal_expr, dual_expr, pseudograd_cols) — aggregate exprs for
+        primal/dual and per-row Column exprs for the pseudo-gradient."""
+        fam = self.family.name
+        ys = [F.col(c) for c in self.y_cols]
+        if fam == "gaussian":
+            r = ys[0] - lps[0]
+            primal = F.lit(0.5) * F.sum(r * r)
+            dual = F.lit(0.5) * F.sum(ys[0] * ys[0]) - F.lit(0.5) * F.sum(lps[0] * lps[0])
+            grads = [lps[0] - ys[0]]
+        elif fam == "binomial":
+            z = -ys[0] * lps[0]
+            primal = F.sum(_softplus(z))
+            r = F.lit(1.0) / (F.lit(1.0) + F.exp(F.least(ys[0] * lps[0], F.lit(700.0))))
+            eps = F.lit(1e-300)
+            dual = F.sum((r - 1.0) * F.log(F.greatest(F.lit(1.0) - r, eps))
+                         - r * F.log(F.greatest(r, eps)))
+            grads = [-ys[0] / (F.lit(1.0) + F.exp(F.least(ys[0] * lps[0], F.lit(700.0))))]
+        elif fam == "poisson":
+            e = F.exp(F.least(lps[0], F.lit(700.0)))
+            primal = -F.sum(ys[0] * lps[0] - e) + F.lit(self._lgamma_sum)
+            dual = -F.sum(e * (lps[0] - 1.0)) + F.lit(self._lgamma_sum)
+            grads = [e - ys[0]]
+        elif fam == "multinomial":
+            lp_max = lps[0]
+            for k in range(1, self.m):
+                lp_max = F.greatest(lp_max, lps[k])
+            sum_exp = F.exp(-lp_max)
+            for k in range(self.m):
+                sum_exp = sum_exp + F.exp(lps[k] - lp_max)
+            lse = F.log(sum_exp) + lp_max
+            ydotlp = ys[0] * lps[0]
+            for k in range(1, self.m):
+                ydotlp = ydotlp + ys[k] * lps[k]
+            primal = F.sum(lse) - F.sum(ydotlp)
+            lpdotsm = (lps[0]) * F.exp(lps[0] - lse)
+            for k in range(1, self.m):
+                lpdotsm = lpdotsm + lps[k] * F.exp(lps[k] - lse)
+            dual = F.sum(lse) - F.sum(lpdotsm)
+            grads = [F.exp(lps[k] - lse) - ys[k] for k in range(self.m)]
+        else:
+            raise ValueError(fam)
+        return primal, dual, grads
+
+    # -- contract ------------------------------------------------------------
+
+    def eval(self, beta: np.ndarray):
+        lps = self._lp_exprs(beta)
+        primal, dual, grads = self._family_exprs(lps)
+        aggs = [primal.alias("__primal"), dual.alias("__dual")]
+        for k, g in enumerate(grads):
+            if self.intercept:
+                aggs.append(F.sum(g).alias(f"__g_0_{k}"))
+            for j, c in enumerate(self.feat_cols):
+                aggs.append(F.sum(F.col(c) * g).alias(f"__g_{j + (1 if self.intercept else 0)}_{k}"))
+        row = self.df.agg(*aggs).collect()[0]
+        grad = np.zeros((self.p_total, self.m))
+        for k in range(self.m):
+            for j in range(self.p_total):
+                grad[j, k] = row[f"__g_{j}_{k}"]
+        return float(row["__primal"]), float(row["__dual"]), grad
+
+    def primal(self, beta: np.ndarray) -> float:
+        lps = self._lp_exprs(beta)
+        primal, _, _ = self._family_exprs(lps)
+        return float(self.df.agg(primal.alias("__primal")).collect()[0]["__primal"])
+
+    def gram(self) -> np.ndarray:
+        """X^T X including the intercept column — one distributed pass,
+        p(p+1)/2 partial-aggregated sums, p×p to the driver. For the
+        gaussian/ADMM path this is the ONLY data pass of the whole fit."""
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        p = self.p_total
+        aggs = []
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(F.sum(cols[i] * cols[j]).alias(f"__xx_{i}_{j}"))
+        row = self.df.agg(*aggs).collect()[0]
+        g = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                g[i, j] = g[j, i] = row[f"__xx_{i}_{j}"]
+        return g
+
+    def xty(self) -> np.ndarray:
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        aggs = []
+        for k, yc in enumerate(self.y_cols):
+            for i, c in enumerate(cols):
+                aggs.append(F.sum(c * F.col(yc)).alias(f"__xty_{i}_{k}"))
+        row = self.df.agg(*aggs).collect()[0]
+        out = np.zeros((self.p_total, self.m))
+        for k in range(self.m):
+            for i in range(self.p_total):
+                out[i, k] = row[f"__xty_{i}_{k}"]
+        return out
+
+    def weighted_gram(self, beta: np.ndarray) -> np.ndarray:
+        """X^T diag(w) X at beta — one distributed pass (prox-Newton for
+        poisson; binomial/multinomial use fixed Bohning bounds instead)."""
+        lps = self._lp_exprs(beta)
+        fam = self.family.name
+        if fam == "binomial":
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.greatest(F.least(lps[0], F.lit(700.0)), F.lit(-700.0))))
+            w = s * (F.lit(1.0) - s)
+        elif fam == "poisson":
+            w = F.exp(F.least(lps[0], F.lit(700.0)))
+        else:
+            raise ValueError(f"no scalar curvature weights for family {fam!r}")
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        p = self.p_total
+        aggs = []
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(F.sum(cols[i] * cols[j] * w).alias(f"__wx_{i}_{j}"))
+        row = self.df.agg(*aggs).collect()[0]
+        g = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                g[i, j] = g[j, i] = row[f"__wx_{i}_{j}"]
+        return g
+
+    def multinomial_hessian(self, beta: np.ndarray) -> np.ndarray:
+        """Exact softmax block Hessian in one distributed pass:
+        m(m+1)/2 blocks x p(p+1)/2 sums with probability-weight
+        expressions. Use only when m*p is modest (the prox-Newton solver
+        gates on that); otherwise the Bohning bound avoids this pass."""
+        lps = self._lp_exprs(beta)
+        m = self.m
+        p = self.p_total
+        mx = lps[0]
+        for k in range(1, m):
+            mx = F.greatest(mx, lps[k])
+        mx = F.greatest(mx, F.lit(0.0))
+        denom = F.exp(-mx)
+        for k in range(m):
+            denom = denom + F.exp(lps[k] - mx)
+        probs = [F.exp(lps[k] - mx) / denom for k in range(m)]
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        aggs = []
+        for k in range(m):
+            for l in range(k, m):
+                w = probs[k] * ((F.lit(1.0) - probs[l]) if k == l else (-probs[l]))
+                for i in range(p):
+                    for j in range(i, p):
+                        aggs.append(F.sum(cols[i] * cols[j] * w).alias(f"__h_{k}_{l}_{i}_{j}"))
+        row = self.df.agg(*aggs).collect()[0]
+        H = np.zeros((p * m, p * m))
+        for k in range(m):
+            for l in range(k, m):
+                blk = np.zeros((p, p))
+                for i in range(p):
+                    for j in range(i, p):
+                        blk[i, j] = blk[j, i] = row[f"__h_{k}_{l}_{i}_{j}"]
+                H[k * p:(k + 1) * p, l * p:(l + 1) * p] = blk
+                if l != k:
+                    H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
+        return H
+
+    def subset(self, cols: np.ndarray) -> "SparkBackend":
+        """Backend over a column subset (active set). Intercept position 0
+        must be included when intercept=True (mirrors src/owl.cpp:221)."""
+        cols = np.asarray(cols)
+        if self.intercept:
+            assert cols[0] == 0, "active set must contain the intercept"
+            feat = [self.feat_cols[j - 1] for j in cols[1:]]
+        else:
+            feat = [self.feat_cols[j] for j in cols]
+        return SparkBackend(self.df, feat, self.y_cols, self.family,
+                            self.intercept, self.n, self._lgamma_sum, persist=False)
+
+    def lambda_max_gradient(self) -> np.ndarray:
+        fam = self.family.name
+        cols = [F.col(c) for c in self.feat_cols]
+        y0 = F.col(self.y_cols[0])
+        if fam == "binomial":
+            ymean = self.df.agg(F.avg((y0 + 1) / 2).alias("m")).collect()[0]["m"]
+            yt = [(y0 + 1) / 2 - F.lit(float(ymean))]
+            scales = [1.0]
+        elif fam == "poisson":
+            yt = [F.lit(1.0) - y0]
+            scales = [1.0]
+        elif fam == "multinomial":
+            stats = self.df.agg(*(
+                [F.avg(F.col(c)).alias(f"m{k}") for k, c in enumerate(self.y_cols)]
+                + [F.stddev_pop(F.col(c)).alias(f"s{k}") for k, c in enumerate(self.y_cols)]
+            )).collect()[0]
+            yt = [(F.col(c) - F.lit(float(stats[f"m{k}"]))) / F.lit(float(stats[f"s{k}"]))
+                  for k, c in enumerate(self.y_cols)]
+            scales = [float(stats[f"s{k}"]) for k in range(self.m)]
+        else:
+            yt = [y0]
+            scales = [1.0]
+        aggs = []
+        for k, yk in enumerate(yt):
+            for j, c in enumerate(cols):
+                aggs.append(F.sum(c * yk).alias(f"__lm_{j}_{k}"))
+        row = self.df.agg(*aggs).collect()[0]
+        g = np.zeros((len(cols), len(yt)))
+        for k in range(len(yt)):
+            for j in range(len(cols)):
+                g[j, k] = row[f"__lm_{j}_{k}"] * scales[k]
+        return np.abs(g.ravel(order="F"))
+
+    def null_intercepts(self) -> np.ndarray:
+        means = self.df.agg(*[F.avg(F.col(c)).alias(f"m{k}")
+                              for k, c in enumerate(self.y_cols)]).collect()[0]
+        mu = np.array([means[f"m{k}"] for k in range(self.m)])
+        fam = self.family.name
+        if fam == "binomial":
+            mu01 = np.clip(0.5 * mu + 0.5, 1e-9, 1 - 1e-9)
+            return np.log(mu01 / (1 - mu01))
+        if fam == "poisson":
+            return np.log(np.maximum(mu, 1e-300))
+        if fam == "multinomial":
+            log_mu = np.log(np.maximum(mu, 1e-300))
+            return log_mu - np.sum(log_mu + math.log(max(1 - np.sum(mu), 1e-300))) / (self.m + 1)
+        return mu
+
+    def unpersist(self):
+        self.df.unpersist()
+
+
+def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
+                        family_name: str, intercept: bool = True,
+                        center: bool = True, scale: str = "l2"):
+    """Assemble a SparkBackend from a raw DataFrame.
+
+    One aggregation pass computes n + per-column center/scale + response
+    stats; a second select produces the standardized, encoded, cached
+    DataFrame. Returns (backend, meta) where meta carries the
+    center/scale/encoding needed by rescale() and predict().
+    """
+    fam = get_family(family_name)
+
+    # nulls are rejected like the reference (R/owl.R:350-351), one pass
+    null_checks = [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+                   for c in [*feature_cols, label_col]]
+    nulls = df.agg(*null_checks).collect()[0]
+    bad = [c for c in [*feature_cols, label_col] if nulls[c] > 0]
+    if bad:
+        raise ValueError(f"missing values in columns: {bad}")
+
+    # response encoding
+    y_cols: list[str] = []
+    class_names = None
+    n_targets = 1
+    y_center = np.array([0.0])
+    y_scale = np.array([1.0])
+    enc = df
+    if family_name == "gaussian":
+        y_mean = df.agg(F.avg(F.col(label_col)).alias("m")).collect()[0]["m"]
+        y_center = np.array([float(y_mean)])
+        enc = df.withColumn("__y0", F.col(label_col).cast("double") - F.lit(float(y_mean)))
+        y_cols = ["__y0"]
+    elif family_name == "binomial":
+        classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        if len(classes) != 2:
+            raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
+        class_names = [str(c) for c in classes]
+        enc = df.withColumn("__y0", F.when(F.col(label_col) == classes[0], -1.0).otherwise(1.0))
+        y_cols = ["__y0"]
+    elif family_name == "poisson":
+        ymin = df.agg(F.min(F.col(label_col)).alias("m")).collect()[0]["m"]
+        if ymin < 0:
+            raise ValueError("cannot have negative responses in poisson model")
+        enc = df.withColumn("__y0", F.col(label_col).cast("double"))
+        y_cols = ["__y0"]
+    elif family_name == "multinomial":
+        classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        if len(classes) == 2:
+            raise ValueError("only two classes in response; use family='binomial'")
+        class_names = [str(c) for c in classes]
+        n_targets = len(classes) - 1
+        enc = df
+        for k in range(n_targets):
+            enc = enc.withColumn(f"__y{k}",
+                                 F.when(F.col(label_col) == classes[k], 1.0).otherwise(0.0))
+        y_cols = [f"__y{k}" for k in range(n_targets)]
+        y_center = np.zeros(n_targets)
+        y_scale = np.ones(n_targets)
+    else:
+        raise ValueError(family_name)
+
+    # feature standardization stats in one pass
+    p = len(feature_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
+    if scale == "sd":
+        for c in feature_cols:
+            aggs.append(F.stddev_samp(F.col(c)).alias(f"__scale_{c}"))
+    stats = enc.agg(*aggs).collect()[0]
+    n = int(stats["__n"])
+    x_center = np.array([float(stats[f"__mean_{c}"]) for c in feature_cols]) if center else np.zeros(p)
+
+    centered = [(F.col(c).cast("double") - F.lit(float(x_center[j]))) for j, c in enumerate(feature_cols)]
+    if scale in ("l1", "l2", "max"):
+        saggs = []
+        for j, e in enumerate(centered):
+            if scale == "l1":
+                saggs.append(F.sum(F.abs(e)).alias(f"s{j}"))
+            elif scale == "l2":
+                saggs.append(F.sqrt(F.sum(e * e)).alias(f"s{j}"))
+            else:
+                saggs.append(F.max(e).alias(f"s{j}"))
+        srow = enc.agg(*saggs).collect()[0]
+        x_scale = _apply_scale_guard(np.array([float(srow[f"s{j}"]) for j in range(p)]))
+    elif scale == "sd":
+        x_scale = _apply_scale_guard(
+            np.array([float(stats[f"__scale_{c}"]) for c in feature_cols]))
+    elif scale == "none":
+        x_scale = np.ones(p)
+    else:
+        raise ValueError(f"unknown scale {scale!r}")
+
+    feat_std = [f"__f{j}" for j in range(p)]
+    sel = [((F.col(c).cast("double") - F.lit(float(x_center[j]))) / F.lit(float(x_scale[j])))
+           .alias(feat_std[j]) for j, c in enumerate(feature_cols)]
+    std_df = enc.select(*sel, *[F.col(c) for c in y_cols])
+
+    lgamma_sum = 0.0
+    if family_name == "poisson":
+        # Spark SQL has no lgamma; sum(lgamma(y+1)) is a constant offset,
+        # computed exactly from the distinct-value histogram (count
+        # responses have few distinct values) — one aggregation pass.
+        hist = std_df.groupBy("__y0").count().collect()
+        lgamma_sum = float(sum(r["count"] * math.lgamma(r["__y0"] + 1.0) for r in hist))
+
+    backend = SparkBackend(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)
+    meta = {
+        "x_center": x_center,
+        "x_scale": x_scale,
+        "y_center": y_center,
+        "y_scale": y_scale,
+        "class_names": class_names,
+        "n_targets": n_targets,
+        "feature_names": list(feature_cols),
+    }
+    return backend, meta

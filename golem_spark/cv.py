@@ -1,5 +1,145 @@
-class TrainedOwl:
-    pass
+"""train_owl() — repeated k-fold cross-validation over (q, sigma) grids.
 
-def train_owl(*a, **k):
-    raise NotImplementedError
+Reference parity: R/trainOwl.R:44-201, with two Spark-first changes:
+- fold assignment is a DETERMINISTIC key hash (Knuth multiplicative,
+  kernel K15) instead of the reference's in-memory shuffle — reproducible
+  and shuffle-free at any scale;
+- grid cells run concurrently from a driver thread pool; on a cluster the
+  FAIR scheduler shares executors across the concurrent fits (the
+  reference forks a PSOCK cluster instead, trainOwl.R:134-144).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from golem_spark.path import OwlFit, owl
+from golem_spark.score import score, _measures_for
+
+# two-sided t-distribution 97.5% quantiles for small df (df>=30 -> normal);
+# avoids a scipy dependency for the CI half-width (trainOwl.R:158-160)
+_T975 = [12.706, 4.303, 3.182, 2.776, 2.571, 2.447, 2.365, 2.306, 2.262,
+         2.228, 2.201, 2.179, 2.160, 2.145, 2.131, 2.120, 2.110, 2.101,
+         2.093, 2.086, 2.080, 2.074, 2.069, 2.064, 2.060, 2.056, 2.052,
+         2.048, 2.045, 2.042]
+
+
+def _t975(df: int) -> float:
+    if df < 1:
+        return float("nan")
+    return _T975[df - 1] if df <= 30 else 1.96
+
+
+@dataclass
+class TrainedOwl:
+    summary: list[dict]                  # rows: measure, q, sigma, mean, se, lo, hi
+    optima: dict[str, dict]              # per-measure best cell
+    measure: list[str]
+    fit: OwlFit                          # refit on the full data at best q
+    data: list[dict] = field(default_factory=list)
+
+    def __repr__(self) -> str:
+        lines = ["TrainedOwl:"]
+        for m, o in self.optima.items():
+            lines.append(f"  {m}: q={o['q']:.3g} sigma={o['sigma']:.4e} "
+                         f"mean={o['mean']:.6g} (se {o['se']:.3g})")
+        return "\n".join(lines)
+
+
+def fold_ids(keys: np.ndarray, n_folds: int, repeat: int = 0) -> np.ndarray:
+    """Deterministic fold assignment via Knuth multiplicative hashing of a
+    row key (kernel K15); `repeat` offsets the hash for repeated CV."""
+    h = (keys.astype(np.uint64) + np.uint64(repeat * 1_000_003)) * np.uint64(2654435761)
+    return ((h % np.uint64(4294967296)) % np.uint64(n_folds)).astype(np.int64)
+
+
+def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
+              measure: str | list[str] | None = None,
+              family: str = "gaussian", n_sigma: int = 100,
+              max_workers: int = 4, **owl_kwargs) -> TrainedOwl:
+    """Repeated k-fold CV over the q grid with a shared sigma path.
+
+    Local (numpy) mode. Each (q, fold, repeat) cell fits on the training
+    folds with the full-data sigma grid and scores the held-out fold on
+    every applicable measure (trainOwl.R:102-123).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y_arr = np.asarray(y)
+    n = x.shape[0]
+    qs = [float(v) for v in np.atleast_1d(q)]
+
+    measures = _measures_for(family)
+    if measure is not None:
+        want = [measure] if isinstance(measure, str) else list(measure)
+        bad = [m for m in want if m not in measures]
+        if bad:
+            raise ValueError(f"measures {bad} not applicable to family {family!r}")
+        measures = want
+
+    # shared sigma grid from a full-data fit at each q (trainOwl.R:69-84)
+    full_fits = {qv: owl(x, y_arr, family=family, q=qv, n_sigma=n_sigma, **owl_kwargs)
+                 for qv in qs}
+
+    keys = np.arange(n, dtype=np.int64)
+    cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
+             for fold in range(number)]
+
+    def run_cell(cell):
+        qv, fold, rep = cell
+        folds = fold_ids(keys, number, rep)
+        train = folds != fold
+        test = ~train
+        sig = full_fits[qv].sigma
+        cell_fit = owl(x[train], y_arr[train], family=family, q=qv,
+                       sigma=sig, **owl_kwargs)
+        out = {}
+        for m in measures:
+            out[m] = score(cell_fit, x[test], y_arr[test], measure=m)
+        return cell, out
+
+    if max_workers > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(run_cell, cells))
+    else:
+        results = [run_cell(c) for c in cells]
+
+    # aggregate mean/se/95% CI per (measure, q, sigma) (trainOwl.R:146-161)
+    summary: list[dict] = []
+    data: list[dict] = []
+    optima: dict[str, dict] = {}
+    n_cells = number * repeats
+    tq = _t975(n_cells - 1)
+    for m in measures:
+        for qv in qs:
+            sig = full_fits[qv].sigma
+            scores = np.stack([out[m] for (cell, out) in results if cell[0] == qv])
+            means = scores.mean(axis=0)
+            ses = scores.std(axis=0, ddof=1) / math.sqrt(n_cells) if n_cells > 1 \
+                else np.zeros(scores.shape[1])
+            for j in range(sig.size):
+                row = {"measure": m, "q": qv, "sigma": float(sig[j]),
+                       "mean": float(means[j]), "se": float(ses[j]),
+                       "lo": float(means[j] - tq * ses[j]),
+                       "hi": float(means[j] + tq * ses[j])}
+                summary.append(row)
+            best_j = int(np.argmax(means)) if m == "auc" else int(np.argmin(means))
+            cand = {"q": qv, "sigma": float(sig[best_j]), "mean": float(means[best_j]),
+                    "se": float(ses[best_j]), "path_idx": best_j}
+            cur = optima.get(m)
+            better = (cur is None or
+                      (cand["mean"] > cur["mean"] if m == "auc" else cand["mean"] < cur["mean"]))
+            if better:
+                optima[m] = cand
+    for (qv, fold, rep), out in results:
+        for m in measures:
+            data.append({"q": qv, "fold": fold, "repeat": rep, "measure": m,
+                         "scores": out[m].tolist()})
+
+    primary = measures[0]
+    best_q = optima[primary]["q"]
+    return TrainedOwl(summary=summary, optima=optima, measure=measures,
+                      fit=full_fits[best_q], data=data)

@@ -1,5 +1,390 @@
-class OwlFit:  # placeholder, real implementation lands next commit
-    pass
+"""owl() — the SLOPE GLM path fit, and the OwlFit result object.
 
-def owl(*a, **k):
-    raise NotImplementedError
+Control flow mirrors the reference executor (/root/reference/src/owl.cpp:
+14-396) re-expressed as a driver loop over Spark/numpy backends:
+
+- the sigma path loop with warm starts, strong-rule screening + KKT
+  re-admission, deviance-based early stopping;
+- gaussian fits use ADMM over sufficient statistics (Gram + X^T y,
+  computed in ONE distributed pass and sliced for every active set —
+  beating the reference's per-active-set recompute);
+- other families use FISTA, one distributed aggregation per iteration.
+
+Scale notes (100 TB): for gaussian the whole path costs O(1) passes over
+the data regardless of path length; for FISTA families the per-iteration
+pass is a single Tungsten hash-aggregation of p·m + 2 partial sums with
+beta folded in as literals — no shuffle, no collect of data rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from golem_spark.backends import LocalBackend, SparkBackend, build_spark_backend, standardize_local
+from golem_spark.families import get_family
+from golem_spark.lambdas import lambda_sequence, sigma_grid
+from golem_spark.prox import sorted_l1_norm  # noqa: F401  (re-export convenience)
+from golem_spark.screening import kkt_check, set_diff, set_intersect, set_union, strong_set
+from golem_spark.solvers import SolverResult, admm_gaussian, fista, prox_newton
+
+
+@dataclass
+class OwlFit:
+    """Fitted SLOPE path (reference 'Owl' S3 object, R/owl.R:471-487)."""
+
+    coefficients: np.ndarray          # (p_total, m, K) in ORIGINAL units
+    sigma: np.ndarray                 # (K,)
+    lambda_: np.ndarray               # (p_pen*m,) divided by n
+    family: str
+    intercept: bool
+    class_names: list[str] | None
+    feature_names: list[str]
+    passes: np.ndarray
+    active_sets: list[np.ndarray]
+    n_unique: np.ndarray
+    deviance_ratio: np.ndarray
+    null_deviance: float
+    violations: list[list[int]] = field(default_factory=list)
+    diagnostics: Any = None
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def n_sigma(self) -> int:
+        return int(self.coefficients.shape[2])
+
+    def nonzeros(self) -> np.ndarray:
+        start = 1 if self.intercept else 0
+        return np.abs(self.coefficients[start:, :, :]) > 0
+
+    def coef_table(self):
+        """Long-form (path_idx, target, feature, coef) rows — for SQL
+        checks and display."""
+        rows = []
+        names = (["(Intercept)"] if self.intercept else []) + list(self.feature_names)
+        for k in range(self.n_sigma):
+            for t in range(self.coefficients.shape[1]):
+                for j, nm in enumerate(names):
+                    rows.append((k, t, nm, float(self.coefficients[j, t, k])))
+        return rows
+
+    def __repr__(self) -> str:
+        lines = [f"OwlFit(family={self.family!r}, path={self.n_sigma} sigmas, "
+                 f"p={len(self.feature_names)}, intercept={self.intercept})"]
+        nz = self.nonzeros().any(axis=1).sum(axis=0)
+        for k in range(min(self.n_sigma, 10)):
+            lines.append(f"  sigma={self.sigma[k]:.4e} dev_ratio={self.deviance_ratio[k]:.4f} "
+                         f"nonzero={int(nz[k])}")
+        if self.n_sigma > 10:
+            lines.append(f"  ... ({self.n_sigma - 10} more)")
+        return "\n".join(lines)
+
+
+def _validate_local(x: np.ndarray, y: np.ndarray) -> None:
+    if x.ndim != 2:
+        raise ValueError("x must be 2-dimensional")
+    if x.shape[0] != np.asarray(y).shape[0]:
+        raise ValueError("the number of samples in x and y must match")
+    if x.shape[0] == 0:
+        raise ValueError("x is empty")
+    if np.any(~np.isfinite(x)):
+        raise ValueError("missing or non-finite values in x")
+    ya = np.asarray(y)
+    if ya.dtype.kind in "fiu" and np.any(~np.isfinite(ya.astype(np.float64))):
+        raise ValueError("missing or non-finite values in y")
+
+
+def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
+        family: str = "gaussian", intercept: bool = True,
+        center: bool | None = None, scale: str = "l2",
+        sigma=None, lam="gaussian", lambda_min_ratio: float | None = None,
+        n_sigma: int = 100, q: float | None = None, screening: bool = True,
+        tol_dev_change: float = 1e-5, tol_dev_ratio: float = 0.995,
+        tol_abs: float = 1e-5, tol_rel: float = 1e-4,
+        max_variables: int | None = None, max_passes: int = 10**6,
+        tol_rel_gap: float = 1e-5, tol_infeas: float = 1e-3,
+        diagnostics: bool = False) -> OwlFit:
+    """Fit a full regularization path of sorted-L1 penalized GLMs.
+
+    Two input modes:
+    - local: ``owl(x, y, ...)`` with numpy arrays (n×p features, n response)
+    - distributed: ``owl(df=frame, feature_cols=[...], label_col=...)``
+      with a Spark DataFrame; all data-sized work stays on the cluster.
+
+    Mirrors the reference entry point R/owl.R:271-487.
+    """
+    if center is None:
+        center = True
+
+    fam = get_family(family)
+
+    if df is not None:
+        backend, meta = build_spark_backend(df, feature_cols, label_col, family,
+                                            intercept=intercept, center=center, scale=scale)
+        n = backend.n
+        p_feat = len(feature_cols)
+        m = backend.m
+    else:
+        x = np.asarray(x, dtype=np.float64)
+        _validate_local(x, y)
+        resp = fam.preprocess_response(y)
+        y_enc = resp["y"]
+        n, p_feat = x.shape
+        m = resp["n_targets"]
+        x_std, x_center, x_scale = standardize_local(x, center, scale)
+        if intercept:
+            x_full = np.hstack([np.ones((n, 1)), x_std])
+        else:
+            x_full = x_std
+        backend = LocalBackend(x_full, y_enc, fam, intercept)
+        meta = {
+            "x_center": x_center, "x_scale": x_scale,
+            "y_center": resp["y_center"], "y_scale": resp["y_scale"],
+            "class_names": resp["class_names"], "n_targets": m,
+            "feature_names": [f"V{j+1}" for j in range(p_feat)],
+        }
+
+    p_total = backend.p_total
+    n_lambda = p_feat * m
+
+    # -- defaults (R/owl.R:280-291) -----------------------------------------
+    if q is None:
+        q = 0.1 * min(1.0, n / p_feat)
+    if lambda_min_ratio is None:
+        lambda_min_ratio = 1e-2 if n < p_feat else 1e-4
+    if max_variables is None:
+        max_variables = n * m
+
+    # -- lambda sequence ----------------------------------------------------
+    if isinstance(lam, str):
+        lambda_kind = lam
+        lambda_vec = lambda_sequence(lambda_kind, n, n_lambda, q=q)
+    else:
+        lambda_kind = "user"
+        lambda_vec = lambda_sequence("user", n, n_lambda, user_lambda=np.asarray(lam))
+        lambda_vec = lambda_vec * n  # reference convention (regularizationPath.h:54)
+
+    # -- sigma grid ---------------------------------------------------------
+    lam_max_grad = backend.lambda_max_gradient()
+    sigma_max, auto_grid = sigma_grid(lam_max_grad, lambda_vec, n_sigma, lambda_min_ratio)
+    if sigma is None:
+        sigma_vec = auto_grid
+    else:
+        sigma_vec = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+        # user-specified sigma: never stop the path early (R/owl.R:301-307)
+        tol_dev_change = 0.0
+        tol_dev_ratio = 1.0
+        max_variables = (p_feat + int(intercept)) * m
+    n_sig = sigma_vec.size
+
+    # -- sufficient statistics for the gaussian/ADMM path -------------------
+    is_gaussian = family == "gaussian"
+    # Distributed non-gaussian fits use the prox-Newton solver: one
+    # aggregation pass per outer iteration against a driver-side Gram —
+    # the FISTA-per-iteration round-trip latency is a non-starter on a
+    # cluster. LocalBackend keeps reference-parity FISTA.
+    use_prox_newton = isinstance(backend, SparkBackend) and not is_gaussian
+    gram_full = None
+    xty_full = None
+    yty = None
+    if is_gaussian:
+        gram_full = backend.gram()
+        xty_full = backend.xty()
+    elif use_prox_newton and p_total <= 500:
+        # cheap enough to take the single full-Gram pass up front; every
+        # active-set Gram is then a driver-side slice
+        gram_full = backend.gram()
+
+    # -- null deviance ------------------------------------------------------
+    beta = np.zeros((p_total, m))
+    if is_gaussian:
+        # primal at beta=0 is 0.5*||y||^2; get ||y||^2 via one tiny agg
+        yty = _yty(backend)
+        null_deviance = yty
+    else:
+        null_deviance = 2.0 * backend.primal(beta)
+
+    # -- path loop (src/owl.cpp:146-364) ------------------------------------
+    betas = np.zeros((p_total, m, n_sig))
+    beta_prev = np.zeros((p_total, m))
+    passes = np.zeros(n_sig, dtype=np.int64)
+    n_unique = np.zeros(n_sig, dtype=np.int64)
+    deviances: list[float] = []
+    deviance_ratios: list[float] = []
+    active_sets: list[np.ndarray] = []
+    violations_all: list[list[int]] = []
+    diag_rows: list[tuple] = []
+
+    active_set = np.arange(p_total, dtype=np.int64)
+    ever_active = np.array([0], dtype=np.int64) if intercept else np.array([], dtype=np.int64)
+    z = np.zeros(p_total)
+    u = np.zeros(p_total)
+    screening_on = bool(screening)
+    full_admm_state: dict[str, Any] = {}
+
+    def full_gradient(b: np.ndarray) -> np.ndarray:
+        if is_gaussian:
+            return gram_full @ b - xty_full  # driver-side, zero data passes
+        return backend.eval(b)[2]
+
+    def fit_subset(sub_idx: np.ndarray, lam_k: np.ndarray, start_beta: np.ndarray) -> SolverResult:
+        """Fit on the rows in sub_idx (full space indices)."""
+        nonlocal z, u
+        if is_gaussian:
+            gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
+            xty_s = xty_full[sub_idx].ravel()
+            res, z_s, u_s, _ = admm_gaussian(
+                gram_s, xty_s, start_beta[sub_idx].ravel(), z[sub_idx], u[sub_idx],
+                lam_k, n=n, intercept=intercept, max_passes=max_passes,
+                tol_abs=tol_abs, tol_rel=tol_rel, diagnostics=diagnostics)
+            z[sub_idx] = z_s
+            u[sub_idx] = u_s
+            # deviance from sufficient stats: ||y-Xb||^2 = yty - 2 b.xty + b'Gb
+            bv = res.beta.ravel()
+            res.deviance = yty - 2.0 * float(bv @ xty_s) + float(bv @ (gram_s @ bv))
+            return res
+        sub_backend = backend.subset(sub_idx)
+        sub_beta = start_beta[sub_idx]
+        if use_prox_newton:
+            gram_s = (gram_full[np.ix_(sub_idx, sub_idx)] if gram_full is not None
+                      else sub_backend.gram())
+            return prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
+                               max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                               tol_infeas=tol_infeas, diagnostics=diagnostics)
+        return fista(sub_backend, sub_beta, lam_k, max_passes=max_passes,
+                     tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
+                     diagnostics=diagnostics)
+
+    k = 0
+    while k < n_sig:
+        violations_k: list[int] = []
+        sig_k = float(sigma_vec[k])
+
+        strong = None
+        if screening_on:
+            grad_prev = full_gradient(beta_prev)
+            sigma_prev = sigma_max if k == 0 else float(sigma_vec[k - 1])
+            strong = strong_set(grad_prev, lambda_vec * sig_k,
+                                lambda_vec * sigma_prev, intercept)
+            prev_nz = np.flatnonzero(np.any(beta_prev != 0, axis=1))
+            ever_active = set_union(ever_active, prev_nz)
+            active_set = ever_active.copy()
+
+        if active_set.size == p_total or not screening_on:
+            screening_on = False
+            active_set = np.arange(p_total, dtype=np.int64)
+            res = fit_subset(active_set, lambda_vec * sig_k, beta_prev)
+            beta = np.zeros((p_total, m))
+            beta[active_set] = res.beta.reshape(active_set.size, m)
+            passes[k] = res.passes
+        else:
+            while True:
+                if active_set.size == 0:
+                    beta = np.zeros((p_total, m))
+                    res = SolverResult(beta.copy(), 0, deviance=(
+                        yty if is_gaussian else 2.0 * backend.primal(beta)))
+                else:
+                    n_active_pen = (active_set.size - int(intercept)) * m
+                    lam_k = (lambda_vec[:n_active_pen] * sig_k)
+                    res = fit_subset(active_set, lam_k, beta_prev)
+                    beta = np.zeros((p_total, m))
+                    beta[active_set] = res.beta.reshape(active_set.size, m)
+                    passes[k] = res.passes
+
+                grad = full_gradient(beta)
+                possible = kkt_check(grad, beta, lambda_vec * sig_k, tol_infeas, intercept)
+                strong_failures = set_intersect(possible, strong)
+                check_failures = set_diff(strong_failures, active_set)
+                kkt_violation = check_failures.size > 0
+                violations_k.append(int(check_failures.size))
+                if not kkt_violation:
+                    check_failures = set_diff(possible, active_set)
+                    kkt_violation = check_failures.size > 0
+                    violations_k.append(int(check_failures.size))
+                active_set = set_union(check_failures, active_set)
+                if not kkt_violation:
+                    break
+
+        # bookkeeping (src/owl.cpp:314-359)
+        deviance = res.deviance
+        deviance_ratio = 1.0 - deviance / null_deviance
+        deviances.append(deviance)
+        deviance_ratios.append(deviance_ratio)
+        betas[:, :, k] = beta
+        beta_prev = beta.copy()
+        active_sets.append(active_set.copy())
+        violations_all.append(violations_k)
+        n_coefs = int(np.sum(np.any(beta != 0, axis=1)))
+        nz = np.abs(beta[beta != 0])
+        n_unique[k] = np.unique(nz).size
+        if diagnostics and res.primals:
+            for it, (pr, du, tm) in enumerate(zip(res.primals, res.duals, res.time)):
+                diag_rows.append((k, it, tm, pr, du))
+
+        if n_coefs > 0 and k > 0:
+            dev_change = abs((deviances[k - 1] - deviance) / deviances[k - 1]) \
+                if deviances[k - 1] != 0 else 0.0
+            if dev_change < tol_dev_change or deviance_ratio > tol_dev_ratio:
+                k += 1
+                break
+        if n_unique[k] > max_variables:
+            break
+        k += 1
+
+    K = max(k, 1)
+    betas = betas[:, :, :K]
+    sigma_out = sigma_vec[:K]
+    passes = passes[:K]
+    n_unique = n_unique[:K]
+
+    # -- rescale to original units (src/rescale.h:8-31) ---------------------
+    betas = _rescale(betas, meta["x_center"], meta["x_scale"],
+                     meta["y_center"], meta["y_scale"], intercept)
+
+    if isinstance(backend, SparkBackend):
+        backend.unpersist()
+
+    return OwlFit(
+        coefficients=betas,
+        sigma=sigma_out,
+        lambda_=lambda_vec / n,
+        family=family,
+        intercept=intercept,
+        class_names=meta.get("class_names"),
+        feature_names=meta.get("feature_names", [f"V{j+1}" for j in range(p_feat)]),
+        passes=passes,
+        active_sets=active_sets,
+        n_unique=n_unique,
+        deviance_ratio=np.asarray(deviance_ratios[:K]),
+        null_deviance=null_deviance,
+        violations=violations_all,
+        diagnostics=diag_rows if diagnostics else None,
+        meta={**meta, "sigma_max": sigma_max, "n": n},
+    )
+
+
+def _yty(backend) -> float:
+    if isinstance(backend, LocalBackend):
+        return float(np.sum(backend.y * backend.y))
+    from pyspark.sql import functions as F
+
+    aggs = [F.sum(F.col(c) * F.col(c)).alias(f"s{k}") for k, c in enumerate(backend.y_cols)]
+    row = backend.df.agg(*aggs).collect()[0]
+    return float(sum(row[f"s{k}"] for k in range(backend.m)))
+
+
+def _rescale(betas: np.ndarray, x_center, x_scale, y_center, y_scale,
+             intercept: bool) -> np.ndarray:
+    out = betas.copy()
+    p_total, m, K = out.shape
+    start = 1 if intercept else 0
+    for t in range(m):
+        x_bar_beta_sum = np.zeros(K)
+        for j in range(start, p_total):
+            out[j, t, :] *= y_scale[t] / x_scale[j - start]
+            x_bar_beta_sum += x_center[j - start] * out[j, t, :]
+        if intercept:
+            out[0, t, :] = out[0, t, :] * y_scale[t] + y_center[t] - x_bar_beta_sum
+    return out

@@ -1,0 +1,305 @@
+"""Driver-coordinated solvers: FISTA (all families) and ADMM (gaussian).
+
+FISTA (accelerated proximal gradient with backtracking line search,
+duality-gap + infeasibility stopping) mirrors the reference's generic
+solver (/root/reference/src/families/family.h:87-223). Each iteration
+costs one backend ``eval`` (primal+dual+gradient in a single distributed
+pass on SparkBackend) plus one backend ``primal`` per line-search
+backtrack; the learning rate persists across iterations so backtracks are
+rare after warm-up.
+
+ADMM for the gaussian family (src/families/gaussian.h:48-139) needs the
+data only through Gram = X^T X and X^T y — both computed ONCE per active
+set — so the whole iteration loop is driver-local numpy: the 100 TB sweet
+spot (n >> p, one data pass per path point at most).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from golem_spark.prox import prox_sorted_l1, sorted_l1_norm
+from golem_spark.screening import infeasibility
+
+_SMALL = math.sqrt(np.finfo(np.float64).eps)
+
+
+@dataclass
+class SolverResult:
+    beta: np.ndarray
+    passes: int
+    primals: list[float] = field(default_factory=list)
+    duals: list[float] = field(default_factory=list)
+    time: list[float] = field(default_factory=list)
+    deviance: float = 0.0
+
+
+def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
+          max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
+          tol_infeas: float = 1e-3, diagnostics: bool = False,
+          learning_rate: float = 1.0) -> SolverResult:
+    """beta: (p_total, m) start value. lam: penalties for the penalized
+    rows only (length p_pen*m, non-increasing); when backend.intercept the
+    first row of beta is unpenalized."""
+    m = beta.shape[1]
+    pen0 = 1 if backend.intercept else 0  # first penalized row
+
+    beta = beta.copy()
+    beta_tilde = beta.copy()
+    eta = 0.5
+    t = 1.0
+    primals: list[float] = []
+    duals: list[float] = []
+    times: list[float] = []
+    t0 = time.monotonic()
+
+    passes = 0
+    while passes < max_passes:
+        primal_val, dual_val, grad = backend.eval(beta)
+        g = primal_val
+        h = sorted_l1_norm(beta[pen0:, :], lam)
+        f = g + h
+        infeas = infeasibility(grad[pen0:, :], lam) if lam.size else 0.0
+
+        optimal = abs(f - dual_val) / max(_SMALL, abs(f)) < tol_rel_gap
+        feasible = infeas <= max(_SMALL, tol_infeas * lam[0]) if lam.size else True
+
+        if diagnostics:
+            times.append(time.monotonic() - t0)
+            primals.append(f)
+            duals.append(dual_val)
+
+        if optimal and feasible:
+            break
+
+        beta_tilde_old = beta_tilde
+        g_old = g
+        t_old = t
+
+        # backtracking line search on the smooth part
+        while True:
+            cand = beta - learning_rate * grad
+            cand[pen0:, :] = prox_sorted_l1(
+                cand[pen0:, :].ravel(order="F"), lam * learning_rate
+            ).reshape(cand[pen0:, :].shape, order="F")
+            d = (cand - beta).ravel(order="F")
+            g_new = backend.primal(cand)
+            q = (g_old + float(d @ grad.ravel(order="F"))
+                 + float(d @ d) / (2 * learning_rate))
+            if q >= g_new * (1 - 1e-12):
+                beta_tilde = cand
+                break
+            learning_rate *= eta
+
+        # FISTA momentum
+        t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * t_old * t_old))
+        beta = beta_tilde + (t_old - 1.0) / t * (beta_tilde - beta_tilde_old)
+        passes += 1
+
+    deviance = 2.0 * backend.primal(beta)
+    return SolverResult(beta, passes, primals, duals, times, deviance)
+
+
+def _prox_quadratic(H_apply, lin: np.ndarray, beta0: np.ndarray, lam: np.ndarray,
+                    L: float, pen0: int, max_iter: int = 20000,
+                    tol: float = 1e-10) -> np.ndarray:
+    """Driver-local FISTA on the quadratic model
+        min_d  0.5 <d, H d> + <lin, d> + J(beta0 + d; lam)
+    where H_apply(d) computes H d on (p, m) matrices. Model-sized only —
+    microseconds per iteration, no data passes."""
+    d = np.zeros_like(beta0)
+    d_tilde = d.copy()
+    t = 1.0
+    step = 1.0 / max(L, 1e-12)
+    for _ in range(max_iter):
+        grad = H_apply(d) + lin
+        cand = d - step * grad
+        full = beta0 + cand
+        full[pen0:, :] = prox_sorted_l1(
+            full[pen0:, :].ravel(order="F"), lam * step
+        ).reshape(full[pen0:, :].shape, order="F")
+        cand = full - beta0
+        t_old = t
+        t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * t_old * t_old))
+        d_new = cand + (t_old - 1.0) / t * (cand - d_tilde)
+        if np.max(np.abs(cand - d_tilde)) < tol * max(1.0, np.max(np.abs(beta0 + cand))):
+            d_tilde = cand
+            d = d_new
+            break
+        d_tilde = cand
+        d = d_new
+    return d_tilde
+
+
+def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
+                max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
+                tol_infeas: float = 1e-3, max_outer: int = 1000,
+                diagnostics: bool = False) -> SolverResult:
+    """Distributed-friendly solver: ONE aggregation pass per outer
+    iteration (plus line-search passes for poisson).
+
+    Majorizes the smooth loss with a fixed quadratic upper bound built
+    from the Gram matrix (Bohning 1992): binomial H <= 0.25 X'X,
+    multinomial H <= 0.5 (I - 11'/(m+1)) (x) X'X; poisson has no global
+    bound so the local weighted Gram X' diag(exp(lp)) X is refreshed per
+    iteration with a step-halving safeguard. The sorted-L1 subproblem is
+    solved exactly on the driver against the small p x p matrix.
+
+    Same stopping criteria (duality gap + infeasibility) and therefore
+    the same solutions as the reference FISTA — only the iteration
+    strategy is re-designed for cluster latency.
+    """
+    fam = backend.family.name
+    m = beta.shape[1]
+    pen0 = 1 if backend.intercept else 0
+    beta = beta.copy()
+
+    if fam in ("binomial", "poisson"):
+        # true local Hessian X' diag(w) X, refreshed per outer iteration
+        # (one extra pass) — near-quadratic convergence; step-halving
+        # safeguards the non-majorizing quadratic model
+        local_hessian = True
+        B = None
+    elif fam == "multinomial":
+        # exact block Hessian when the pass is affordable (m*p modest),
+        # else the Bohning (1992) global bound
+        # H <= 0.5 (I - 11'/(m+1)) (x) X'X (guaranteed descent, 1 pass
+        # per iteration, linear rate)
+        local_hessian = gram.shape[0] * m <= 60
+        B = np.eye(m) - np.ones((m, m)) / (m + 1)
+    else:
+        raise ValueError(f"prox_newton does not handle family {fam!r}")
+
+    primals: list[float] = []
+    duals: list[float] = []
+    times: list[float] = []
+    t0 = time.monotonic()
+
+    passes = 0
+    primal_val = None
+    for _ in range(max_outer):
+        primal_val, dual_val, grad = backend.eval(beta)
+        passes += 1
+        f = primal_val + sorted_l1_norm(beta[pen0:, :], lam)
+        infeas = infeasibility(grad[pen0:, :], lam) if lam.size else 0.0
+        optimal = abs(f - dual_val) / max(_SMALL, abs(f)) < tol_rel_gap
+        feasible = infeas <= max(_SMALL, tol_infeas * lam[0]) if lam.size else True
+        if diagnostics:
+            times.append(time.monotonic() - t0)
+            primals.append(f)
+            duals.append(dual_val)
+        if optimal and feasible:
+            break
+        if passes >= max_passes:
+            break
+
+        if local_hessian and fam == "multinomial":
+            p = gram.shape[0]
+            H = backend.multinomial_hessian(beta) + 1e-9 * np.eye(p * m)
+            passes += 1
+            L_sub = float(np.linalg.eigvalsh(H).max())
+            H_apply = lambda d, H=H, p=p: (
+                (H @ d.ravel(order="F")).reshape((p, m), order="F"))
+        elif local_hessian:
+            H = backend.weighted_gram(beta) + 1e-9 * np.eye(gram.shape[0])
+            passes += 1
+            L_sub = float(np.linalg.eigvalsh(H).max())
+            H_apply = lambda d, H=H: H @ d
+        else:
+            L_sub = 0.5 * float(np.linalg.eigvalsh(gram).max())  # eig(B) <= 1
+            H_apply = lambda d: 0.5 * (gram @ d @ B)
+
+        d = _prox_quadratic(H_apply, grad, beta, lam, L_sub, pen0)
+
+        if local_hessian:
+            # local model is not a global bound: step-halving safeguard
+            alpha = 1.0
+            for _ in range(30):
+                cand = beta + alpha * d
+                p_new = backend.primal(cand)
+                passes += 1
+                f_new = p_new + sorted_l1_norm(cand[pen0:, :], lam)
+                if f_new <= f + 1e-12 * abs(f) or alpha < 1e-8:
+                    beta = cand
+                    break
+                alpha *= 0.5
+        else:
+            # majorization guarantees descent at full step
+            beta = beta + d
+
+    deviance = 2.0 * (primal_val if primal_val is not None else backend.primal(beta))
+    if not optimal:
+        deviance = 2.0 * backend.primal(beta)
+    return SolverResult(beta, passes, primals, duals, times, deviance)
+
+
+def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
+                  z: np.ndarray, u: np.ndarray, lam: np.ndarray, *,
+                  n: int, intercept: bool, rho: float | None = None,
+                  max_passes: int = 10**6, tol_abs: float = 1e-5,
+                  tol_rel: float = 1e-4, alpha: float = 1.5,
+                  diagnostics: bool = False) -> tuple[SolverResult, np.ndarray, np.ndarray, float]:
+    """Gaussian SLOPE via ADMM on precomputed sufficient statistics.
+
+    gram: X^T X (p×p), xty: X^T y (p,) — the only data-dependent inputs,
+    each one distributed pass. z, u: warm-started ADMM state (updated in
+    place semantics via return). Returns (result, z, u, rho).
+
+    rho heuristic: eig_max(gram)^(1/3) * lam_max^(2/3)
+    (reference src/owl.cpp:190-192).
+    """
+    p = gram.shape[0]
+    xty = xty.ravel()
+    lam = np.asarray(lam, dtype=np.float64)
+
+    if rho is None:
+        eig_max = float(np.linalg.eigvalsh(gram).max())
+        rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) if lam.size else max(eig_max, 1.0)
+        rho = max(rho, 1e-12)
+    L = np.linalg.cholesky(gram + rho * np.eye(p))
+
+    beta = beta.ravel().copy()
+    z = z.ravel().copy()
+    u = u.ravel().copy()
+    n_pen = lam.size
+
+    primals: list[float] = []
+    duals: list[float] = []
+    times: list[float] = []
+    t0 = time.monotonic()
+
+    passes = 0
+    while passes < max_passes:
+        passes += 1
+        q = xty + rho * (z - u)
+        beta = np.linalg.solve(L.T, np.linalg.solve(L, q))
+
+        z_old = z
+        beta_hat = alpha * beta + (1 - alpha) * z_old
+
+        z = beta_hat + u
+        if n_pen:
+            z[-n_pen:] = prox_sorted_l1(z[-n_pen:], lam / rho)
+
+        u = u + (beta_hat - z)
+
+        r_norm = float(np.linalg.norm(beta - z))
+        s_norm = float(np.linalg.norm(rho * (z - z_old)))
+        eps_primal = math.sqrt(n) * tol_abs + tol_rel * max(
+            float(np.linalg.norm(beta)), float(np.linalg.norm(z)))
+        eps_dual = math.sqrt(n) * tol_abs + tol_rel * float(np.linalg.norm(rho * u))
+
+        if diagnostics:
+            primals.append(r_norm)
+            duals.append(s_norm)
+            times.append(time.monotonic() - t0)
+
+        if r_norm < eps_primal and s_norm < eps_dual:
+            break
+
+    res = SolverResult(z.reshape(-1, 1), passes, primals, duals, times, 0.0)
+    return res, z, u, rho

@@ -1,0 +1,78 @@
+"""Sorted-L1 prox unit tests — the hardest 60 lines in the project
+(SURVEY §7 step 4). Oracle: a slow independent pooling implementation +
+subgradient optimality conditions + brute-force grid on tiny vectors."""
+
+import numpy as np
+import pytest
+
+from golem_spark.prox import prox_sorted_l1, prox_sorted_l1_reference, sorted_l1_norm
+
+
+def objective(x, v, lam):
+    return 0.5 * np.sum((x - v) ** 2) + sorted_l1_norm(x, lam)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_matches_slow_reference(seed):
+    rng = np.random.default_rng(seed)
+    p = rng.integers(1, 40)
+    v = rng.standard_normal(p) * rng.choice([0.1, 1.0, 10.0])
+    lam = np.sort(np.abs(rng.standard_normal(p)))[::-1]
+    fast = prox_sorted_l1(v, lam)
+    slow = prox_sorted_l1_reference(v, lam)
+    np.testing.assert_allclose(fast, slow, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_is_a_minimum(seed):
+    """Random perturbations never beat the prox output."""
+    rng = np.random.default_rng(100 + seed)
+    p = int(rng.integers(2, 15))
+    v = rng.standard_normal(p) * 3
+    lam = np.sort(rng.random(p))[::-1] * 2
+    x = prox_sorted_l1(v, lam)
+    f0 = objective(x, v, lam)
+    for _ in range(200):
+        pert = x + rng.standard_normal(p) * rng.choice([1e-4, 1e-2, 0.5])
+        assert objective(pert, v, lam) >= f0 - 1e-10
+
+
+def test_soft_threshold_special_case():
+    """Constant lambda -> ordinary soft thresholding (SLOPE == lasso)."""
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(50) * 2
+    lam = np.full(50, 0.7)
+    expected = np.sign(v) * np.maximum(np.abs(v) - 0.7, 0.0)
+    np.testing.assert_allclose(prox_sorted_l1(v, lam), expected, atol=1e-12)
+
+
+def test_zero_lambda_is_identity():
+    v = np.array([3.0, -1.0, 0.5])
+    np.testing.assert_allclose(prox_sorted_l1(v, np.zeros(3)), v)
+
+
+def test_huge_lambda_zeroes():
+    v = np.array([3.0, -1.0, 0.5])
+    lam = np.array([100.0, 50.0, 10.0])
+    np.testing.assert_allclose(prox_sorted_l1(v, lam), np.zeros(3))
+
+
+def test_clustering_behavior():
+    """Close coefficients are pooled to equal magnitude — SLOPE's
+    signature behavior under a steep lambda sequence."""
+    v = np.array([5.0, 4.9, -4.95, 0.1])
+    lam = np.array([3.0, 2.0, 1.0, 0.5])
+    x = prox_sorted_l1(v, lam)
+    mags = np.abs(x[:3])
+    assert np.ptp(mags) < 1e-9
+    assert np.sign(x[2]) == -1.0
+
+
+def test_preserves_shape_and_sign():
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((4, 3))
+    lam = np.sort(rng.random(12))[::-1]
+    x = prox_sorted_l1(v, lam)
+    assert x.shape == (4, 3)
+    nz = x != 0
+    assert np.all(np.sign(x[nz]) == np.sign(v[nz]))
