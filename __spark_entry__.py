@@ -17,6 +17,7 @@ if "/root/repo" not in sys.path:
 
 from golem_spark.session import load_tables
 from golem_spark.kernels import KERNELS
+from golem_spark.pipeline.kernels import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 
 def _kernel_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -34,12 +35,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(KERNELS["k18_grouped_agg"].spark_sql)
 
 
+def _glm_gaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: distributed gaussian SLOPE path on lineitem
+    (iterative solver — not SQL-expressible; the statistical oracles live
+    in tests/)."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.path import owl
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
+              label_col="l_quantity", family="gaussian", n_sigma=20)
+    rows = [(int(k), float(round(fit.sigma[k], 8)),
+             float(round(fit.deviance_ratio[k], 6)),
+             int((abs(fit.coefficients[1:, 0, k]) > 1e-12).sum()))
+            for k in range(fit.n_sigma)]
+    return spark.createDataFrame(rows, "path_idx int, sigma double, dev_ratio double, n_nonzero int") \
+        .orderBy(F.col("path_idx"))
+
+
+def _glm_binomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: distributed binomial (prox-Newton) path —
+    classify l_returnflag='R' from lineitem numerics."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.path import owl
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    li = li.withColumn("is_r", F.when(F.col("l_returnflag") == "R", "R").otherwise("other"))
+    fit = owl(df=li, feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
+              label_col="is_r", family="binomial", n_sigma=8)
+    rows = [(int(k), float(round(fit.sigma[k], 8)),
+             float(round(fit.deviance_ratio[k], 6)))
+            for k in range(fit.n_sigma)]
+    return spark.createDataFrame(rows, "path_idx int, sigma double, dev_ratio double") \
+        .orderBy(F.col("path_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in KERNELS:
         out[name] = _kernel_query(name)
+    out.update(PIPELINE_QUERIES)
+    out["glm_gaussian_path"] = _glm_gaussian_path
+    out["glm_binomial_path"] = _glm_binomial_path
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: k.duck_sql for name, k in KERNELS.items()}
+    out = {name: k.duck_sql for name, k in KERNELS.items()}
+    out.update(PIPELINE_ORACLES)
+    return out

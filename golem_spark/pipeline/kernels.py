@@ -1,0 +1,310 @@
+"""Oracle-checked pipeline kernels: each entry pairs a Spark DataFrame
+operator (golem_spark.pipeline.*) with the equivalent DuckDB SQL.
+
+Hash-match determinism relies on the shared md5->60-bit-int primitive
+(Spark CONV(SUBSTRING(MD5(x),1,15),16,10) == DuckDB
+('0x'||substr(md5(x),1,15))::BIGINT, verified bit-identical) and on
+double-cast accumulation for embedding math.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from golem_spark.session import load_tables
+from golem_spark.pipeline import dedup, similarity, text
+
+_DUCK_TOKS = r"list_distinct(string_split_regex(trim(text), '\s+'))"
+_DUCK_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _q(fn):
+    """Adapt an operator over loaded tables into a (spark, sf_dir) query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(tables)
+
+    return run
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PIPELINE_ORACLES: dict[str, str] = {}
+
+
+def _add(name: str, fn, duck_sql: str | None):
+    PIPELINE_QUERIES[name] = _q(fn)
+    if duck_sql is not None:
+        PIPELINE_ORACLES[name] = duck_sql
+
+
+# -- text analysis ----------------------------------------------------------
+
+_add(
+    "p01_token_count",
+    lambda t: (text.token_count(t["documents"])
+               .select("doc_id", "n_tokens", "n_chars_calc", "n_subword_est")
+               .orderBy("doc_id")),
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_calc,
+           ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)::BIGINT AS n_subword_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p02_quality_score",
+    lambda t: (text.quality_score(t["documents"])
+               .select("doc_id", "q_punct_ratio", "q_stop_ratio",
+                       "q_mean_wordlen", "quality")
+               .orderBy("doc_id")),
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))::DOUBLE AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           ROUND(punct / greatest(n_char, 1.0), 6) AS q_punct_ratio,
+           ROUND(n_stop / greatest(n_tok, 1.0), 6) AS q_stop_ratio,
+           ROUND((n_char - (n_tok - 1)) / n_tok, 6) AS q_mean_wordlen,
+           ROUND(least(n_tok / 100.0, 1.0) * 0.4
+                 + (1.0 - least(punct / greatest(n_char, 1.0) * 10.0, 1.0)) * 0.3
+                 + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+    FROM q ORDER BY doc_id
+    """,
+)
+
+_LANG_CASES = []
+for _lang, _markers in sorted(text.LANG_MARKERS.items()):
+    _lst = ",".join(f"'{w}'" for w in _markers)
+    _LANG_CASES.append(
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains([{_lst}], x)))::BIGINT AS h_{_lang}")
+
+_add(
+    "p03_lang_id",
+    lambda t: (text.lang_id(t["documents"])
+               .select("doc_id", "lang_pred", "lang_hits")
+               .orderBy("doc_id")),
+    f"""
+    WITH h AS (SELECT doc_id, {', '.join(_LANG_CASES)} FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_zh = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh' END AS lang_pred,
+           greatest(h_de, h_en, h_es, h_fr, h_zh) AS lang_hits
+    FROM h ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p04_fingerprint",
+    lambda t: (text.doc_fingerprint(t["documents"])
+               .select("doc_id", "fingerprint")
+               .orderBy("doc_id")),
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           (list_sum(list_transform(range(1, len(toks) + 1),
+             i -> ({_DUCK_MD5INT.format(x='toks[i]')} % 1000000000) * i))
+            % 2147483648)::BIGINT AS fingerprint
+    FROM w ORDER BY doc_id
+    """,
+)
+
+# -- dedup ------------------------------------------------------------------
+
+_add(
+    "p05_exact_dedup",
+    lambda t: exact_sorted(dedup.exact_dup_groups(t["documents"])),
+    """
+    SELECT md5(text) AS text_hash,
+           COUNT(*)::BIGINT AS n_dups,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY text_hash
+    """,
+)
+
+
+def exact_sorted(df: DataFrame) -> DataFrame:
+    return df.orderBy("text_hash")
+
+
+_add(
+    "p06_jaccard_pairs",
+    lambda t: dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
+    .orderBy("doc_a", "doc_b"),
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, (n_chars // 100) AS len_bucket,
+             {_DUCK_TOKS} AS toks
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 6) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_MINHASH_AGGS_DUCK = ",\n           ".join(
+    f"MIN((({_DUCK_MD5INT.format(x='tok')} % {dedup.MINHASH_P}) * {a % dedup.MINHASH_P} + {i * 40503}) % {dedup.MINHASH_P}) AS mh{i}"
+    for i, a in enumerate(dedup.MINHASH_A))
+
+_add(
+    "p07_minhash_signatures",
+    lambda t: dedup.minhash_signatures(t["documents"]).orderBy("doc_id"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    SELECT doc_id,
+           {_MINHASH_AGGS_DUCK}
+    FROM toks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+_BAND_SELECTS_DUCK = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, lang, len_bucket, {b} AS band, "
+    f"concat_ws('_', mh{b * dedup.ROWS_PER_BAND}::VARCHAR, mh{b * dedup.ROWS_PER_BAND + 1}::VARCHAR) AS bkey FROM sig"
+    for b in range(dedup.N_BANDS))
+
+_add(
+    "p08_minhash_lsh_pairs",
+    lambda t: dedup.minhash_lsh_pairs(t["documents"]).orderBy("doc_a", "doc_b"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    sig0 AS (
+      SELECT doc_id,
+           {_MINHASH_AGGS_DUCK}
+      FROM toks GROUP BY doc_id),
+    sig AS (
+      SELECT sig0.*, d.lang, (d.n_chars // 100) AS len_bucket
+      FROM sig0 JOIN documents d USING (doc_id)),
+    bands AS (
+{_BAND_SELECTS_DUCK}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_SIMHASH_BITS_DUCK = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16))
+_SIMHASH_FP_DUCK = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16))
+
+_add(
+    "p09_simhash",
+    lambda t: dedup.simhash(t["documents"]).orderBy("doc_id"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_MD5INT.format(x='tok')} AS h
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)),
+    bits AS (
+      SELECT doc_id,
+           {_SIMHASH_BITS_DUCK}
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_FP_DUCK})::BIGINT AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+)
+
+# -- similarity search ------------------------------------------------------
+
+_add(
+    "p10_cosine_topk",
+    lambda t: similarity.cosine_topk(t["embeddings"], query_vec_id=0, k=10),
+    """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(ev, qv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+    FROM e, q
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+_PLANE_DUCK = ("list_transform(range(0, 64), d -> CASE WHEN (d * 2654435761 + {j} * 40503) % 97 < 48 "
+               "THEN 1.0 ELSE -1.0 END)")
+_SIG_DUCK = " + ".join(
+    f"CASE WHEN list_dot_product(ev, {_PLANE_DUCK.format(j=j)}) > 0 THEN {2 ** j} ELSE 0 END"
+    for j in range(6))
+_SIG10_DUCK = " + ".join(
+    f"CASE WHEN list_dot_product(ev, {_PLANE_DUCK.format(j=j)}) > 0 THEN {2 ** j} ELSE 0 END"
+    for j in range(10))
+
+_add(
+    "p11_ann_lsh_topk",
+    lambda t: similarity.ann_lsh_topk(t["embeddings"], query_ids=(0, 1, 2), k=5)
+    .orderBy("query_id", F.col("cos").desc(), "vec_id"),
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, ev, ({_SIG_DUCK})::BIGINT AS bucket FROM e),
+    q AS (
+      SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket
+      FROM sig WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, s.vec_id,
+             ROUND(list_dot_product(s.ev, q.qv)
+                   / (sqrt(list_dot_product(s.ev, s.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      FROM sig s JOIN q ON s.bucket = q.qbucket AND s.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
+    ORDER BY query_id, cos DESC, vec_id
+    """,
+)
+
+_add(
+    "p12_embedding_near_dup",
+    lambda t: similarity.embedding_near_dup_pairs(t["embeddings"], threshold=0.95)
+    .orderBy("id_a", "id_b"),
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, ev, ({_SIG10_DUCK})::BIGINT AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ev, b.ev)
+                 / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ev, b.ev)
+          / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)

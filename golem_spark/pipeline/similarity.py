@@ -1,0 +1,117 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+- brute-force cosine top-k: one scan, dot products as JVM array
+  expressions (aggregate/zip_with), orderBy + limit. The baseline and
+  the correctness oracle.
+- LSH-bucketed ANN: deterministic pseudo-random hyperplane signs from an
+  integer formula (no stored planes), bucket join, cosine within bucket.
+  The sub-quadratic scale path: candidates shrink by ~2^n_planes.
+
+All element arithmetic is cast to double before accumulating so Spark
+and DuckDB produce bit-identical dot products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec_id: int = 0, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (excluding
+    itself). Output (vec_id, cos) ordered by cos desc, id asc."""
+    q = df.filter(F.col(id_col) == query_vec_id) \
+          .select(_as_double(F.col(vec_col)).alias("qv"))
+    joined = df.filter(F.col(id_col) != query_vec_id) \
+               .crossJoin(F.broadcast(q))
+    e = _as_double(F.col(vec_col))
+    return (joined
+            .select(F.col(id_col),
+                    F.round(cosine_expr(e, F.col("qv")), 6).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _plane_sign(d, j):
+    """Deterministic pseudo-random sign for plane j, dimension d —
+    a pure integer formula both engines evaluate identically."""
+    return F.when(((d * 2654435761 + F.lit(j) * 40503) % 97) < 48, F.lit(1.0)) \
+            .otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec_col, n_planes: int = 6):
+    """Bucket id in [0, 2^n_planes): bit j = sign of the projection onto
+    deterministic hyperplane j."""
+    e = _as_double(vec_col)
+    sig = F.lit(0).cast("long")
+
+    def _weighted(j):
+        return lambda v, d: v * _plane_sign(d, j)
+
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(e, F.sequence(F.lit(0), F.size(e) - 1), _weighted(j)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(proj > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
+                 n_planes: int = 6, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k neighbors for several query vectors: candidates
+    limited to the query's LSH bucket, then exact cosine + window top-k.
+    Output (query_id, vec_id, cos)."""
+    from pyspark.sql import Window
+
+    with_sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    qs = with_sig.filter(F.col(id_col).isin(list(query_ids))) \
+                 .select(F.col(id_col).alias("query_id"),
+                         _as_double(F.col(vec_col)).alias("qv"),
+                         F.col("bucket").alias("qbucket"))
+    cands = with_sig.join(F.broadcast(qs),
+                          on=[F.col("bucket") == F.col("qbucket"),
+                              F.col(id_col) != F.col("query_id")])
+    e = _as_double(F.col(vec_col))
+    scored = cands.select("query_id", F.col(id_col),
+                          F.round(cosine_expr(e, F.col("qv")), 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", id_col, "cos"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 10, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets (the
+    scalable near-dup path for embedding spaces; more planes = smaller
+    buckets = fewer candidate pairs). Output (id_a, id_b, cos)."""
+    with_sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes)) \
+                 .select(id_col, "bucket", _as_double(F.col(vec_col)).alias("ev"))
+    a = with_sig.alias("a")
+    b = with_sig.alias("b")
+    return (a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(cosine_expr(F.col("a.ev"), F.col("b.ev")), 6).alias("cos"))
+            .filter(F.col("cos") >= threshold))

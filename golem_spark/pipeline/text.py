@@ -1,0 +1,109 @@
+"""Text-analysis operators over the documents table.
+
+All pure column expressions (whole-stage codegen; no UDFs): token
+counting, quality scoring, n-gram-heuristic language ID, and polynomial
+document fingerprinting. Deterministic by construction so each has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic 60-bit integer from a string, identical in Spark
+# (CONV(SUBSTRING(MD5(s),1,15),16,10)) and DuckDB
+# (('0x'||substr(md5(s),1,15))::BIGINT)
+def _md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_PUNCT_RE = r"[.,!?;:]"
+
+# tiny per-language marker lists for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens (whitespace tokens) and a BPE-ish subword estimate
+    (tokens x ceil(mean_wordlen/4) heuristic via char count)."""
+    toks = tokens_col(text_col)
+    return (df
+            .withColumn("n_tokens", F.size(toks).cast("long"))
+            .withColumn("n_chars_calc", F.length(F.col(text_col)).cast("long"))
+            .withColumn("n_subword_est",
+                        F.ceil(F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                               / F.lit(4.0)).cast("long")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality heuristics + composite
+    score in [0,1]."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(F.col(text_col)).cast("double")
+    punct = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), _PUNCT_RE, ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    mean_wordlen = (n_char - (n_tok - 1)) / n_tok
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct.cast("double") / F.greatest(n_char, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(n_stop / F.greatest(n_tok, F.lit(1.0)) * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return (df
+            .withColumn("q_n_tokens", n_tok)
+            .withColumn("q_punct_ratio", F.round(punct.cast("double") / F.greatest(n_char, F.lit(1.0)), 6))
+            .withColumn("q_stop_ratio", F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6))
+            .withColumn("q_mean_wordlen", F.round(mean_wordlen, 6))
+            .withColumn("quality", F.round(score, 6)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax language by marker hits, 'und'
+    (undetermined) when no marker fires. Deterministic tie-break by
+    language code order."""
+    toks = tokens_col(text_col)
+    def _contains(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, _contains(arr)))
+        hit_cols.append((lang, hits))
+    # argmax with first-code-wins tie-break (strict > keeps earlier code)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, hits in hit_cols:
+        take = hits > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, hits).otherwise(best_n)
+    return df.withColumn("lang_pred", best).withColumn("lang_hits", best_n.cast("long"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Position-weighted polynomial fingerprint:
+    sum_i (md5int(word_i) % 1e9) * (i+1) mod 2^31 — a rolling-hash-style
+    content fingerprint, exact-duplicate sensitive and order sensitive."""
+    toks = tokens_col(text_col)
+    term = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda w, i: (F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+                      % F.lit(1000000000)) * i.cast("long"),
+    )
+    fp = F.aggregate(term, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(2147483648)
+    return df.withColumn("fingerprint", fp)
