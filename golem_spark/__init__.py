@@ -24,7 +24,7 @@ Architecture (Spark-first, not a port):
 from golem_spark.version import __version__
 from golem_spark.path import owl, OwlFit
 from golem_spark.predict import coef_at, predict
-from golem_spark.score import score
+from golem_spark.score import score, deviance
 from golem_spark.cv import train_owl, TrainedOwl
 
 __all__ = [
@@ -34,6 +34,7 @@ __all__ = [
     "coef_at",
     "predict",
     "score",
+    "deviance",
     "train_owl",
     "TrainedOwl",
 ]

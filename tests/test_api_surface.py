@@ -1,0 +1,164 @@
+"""API-surface tests mirroring the reference's test files:
+coef interpolation (test-coef.R), path behavior (test-path-behavior.R),
+assertions (test-assertions.R), diagnostics (test-diagnostics.R),
+fixtures (R/data.R roles), ml-Pipeline adapter (caret adapter O43)."""
+
+import numpy as np
+import pytest
+
+from golem_spark import data as fixtures
+from golem_spark.diagnostics import diagnostics_frame, path_plot_data, print_path
+from golem_spark.path import owl
+from golem_spark.predict import coef_at, predict
+from golem_spark.score import deviance, score
+from tests.conftest import random_problem
+
+
+# -- coef interpolation (test-coef.R:1-47) ----------------------------------
+
+def test_coef_on_path_is_exact():
+    x, y, _ = random_problem(n=100, p=5, seed=50)
+    fit = owl(x, y, family="gaussian", n_sigma=10)
+    k = fit.n_sigma // 2
+    np.testing.assert_allclose(coef_at(fit, fit.sigma[k]),
+                               fit.coefficients[:, :, k], atol=1e-10)
+
+
+def test_coef_interpolates_between_points():
+    x, y, _ = random_problem(n=100, p=5, seed=51)
+    fit = owl(x, y, family="gaussian", n_sigma=10)
+    s_mid = np.sqrt(fit.sigma[2] * fit.sigma[3])  # geometric midpoint
+    c = coef_at(fit, s_mid)
+    lo = np.minimum(fit.coefficients[:, :, 2], fit.coefficients[:, :, 3])
+    hi = np.maximum(fit.coefficients[:, :, 2], fit.coefficients[:, :, 3])
+    assert np.all(c >= lo - 1e-10) and np.all(c <= hi + 1e-10)
+
+
+def test_coef_clamps_outside_path():
+    x, y, _ = random_problem(n=100, p=5, seed=52)
+    fit = owl(x, y, family="gaussian", n_sigma=5)
+    np.testing.assert_allclose(coef_at(fit, fit.sigma[0] * 100),
+                               fit.coefficients[:, :, 0], atol=1e-10)
+    np.testing.assert_allclose(coef_at(fit, fit.sigma[-1] / 100),
+                               fit.coefficients[:, :, -1], atol=1e-10)
+
+
+# -- path behavior (test-path-behavior.R:1-17) ------------------------------
+
+def test_path_stops_at_max_variables():
+    x, y, _ = random_problem(n=100, p=20, q=0.5, seed=53)
+    fit = owl(x, y, family="gaussian", n_sigma=50, max_variables=3)
+    assert fit.n_unique[-1] <= 20
+    assert fit.n_sigma < 50  # stopped early
+
+
+def test_user_sigma_disables_early_stop():
+    x, y, _ = random_problem(n=80, p=5, seed=54)
+    sig = np.geomspace(1.0, 1e-4, 12)
+    fit = owl(x, y, family="gaussian", sigma=sig)
+    assert fit.n_sigma == 12
+
+
+# -- assertions (test-assertions.R:1-17) ------------------------------------
+
+def test_input_assertions():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((20, 3))
+    y = rng.standard_normal(20)
+    with pytest.raises(ValueError):
+        owl(x[:10], y, family="gaussian")          # shape mismatch
+    with pytest.raises(ValueError):
+        owl(np.empty((0, 3)), np.empty(0))          # empty
+    xb = x.copy()
+    xb[0, 0] = np.nan
+    with pytest.raises(ValueError, match="missing"):
+        owl(xb, y)                                  # NA rejection
+    with pytest.raises(ValueError):
+        owl(x, y, lam=np.array([1.0, 2.0, 3.0]))    # increasing lambda
+    with pytest.raises(ValueError):
+        owl(x, y, lam=np.array([-1.0, -2.0, -3.0]))  # negative lambda
+    with pytest.raises(ValueError):
+        owl(x, y, lam=np.array([1.0]))              # wrong length
+    with pytest.raises(ValueError):
+        owl(x, y, family="nope")
+
+
+# -- diagnostics (test-diagnostics.R:1-9) -----------------------------------
+
+def test_diagnostics_schema():
+    x, y, _ = random_problem(n=80, p=4, seed=55)
+    fit = owl(x, y, family="binomial" if False else "gaussian",
+              n_sigma=5, diagnostics=True)
+    rows = diagnostics_frame(fit)
+    assert rows, "diagnostics should be collected"
+    k, it, tm, pr, du = rows[0]
+    assert tm >= 0 and isinstance(it, int)
+    fit2 = owl(x, y, family="gaussian", n_sigma=5)
+    with pytest.raises(ValueError):
+        diagnostics_frame(fit2)
+
+
+def test_print_and_plotdata():
+    x, y, _ = random_problem(n=80, p=4, seed=56)
+    fit = owl(x, y, family="gaussian", n_sigma=5)
+    s = print_path(fit)
+    assert "dev_ratio" in s and str(fit.n_sigma - 1) in s
+    d = path_plot_data(fit)
+    assert len(d["sigma"]) == fit.n_sigma
+
+
+def test_deviance_accessor():
+    x, y, _ = random_problem(n=80, p=4, seed=57)
+    fit = owl(x, y, family="gaussian", n_sigma=5)
+    dev = deviance(fit)
+    assert dev.shape == (fit.n_sigma,)
+    assert np.all(np.diff(dev) <= 1e-8)  # non-increasing along the path
+
+
+# -- reference dataset fixtures (R/data.R roles) ----------------------------
+
+@pytest.mark.parametrize("name", list(fixtures.FIXTURES))
+def test_fixture_fits(name):
+    gen, family = fixtures.FIXTURES[name]
+    x, y, names = gen()
+    if name == "student":
+        y = y[:, 0]  # single target for the quick check
+    fit = owl(x, y, family=family, n_sigma=10)
+    assert fit.n_sigma >= 1
+    assert fit.coefficients.shape[0] == x.shape[1] + 1
+    assert np.all(np.isfinite(fit.coefficients))
+    m = "misclass" if family in ("binomial", "multinomial") else "mse"
+    s = score(fit, x, y, measure=m)
+    assert np.all(np.isfinite(s))
+
+
+def test_wine_standardization_matters():
+    """proline is ~100x the scale of other features; standardization keeps
+    it from dominating (A4's declared role)."""
+    x, y, names = fixtures.wine()
+    fit = owl(x, y, family="multinomial", n_sigma=15)
+    cls = predict(fit, x, path_idx=fit.n_sigma - 1, type="class")
+    assert (cls == y).mean() > 0.5
+
+
+# -- ml Pipeline adapter (O43) ----------------------------------------------
+
+def test_slope_estimator_in_pipeline(spark):
+    import pandas as pd
+    from pyspark.ml import Pipeline
+
+    from golem_spark.estimator import SlopeEstimator
+
+    x, y, _ = random_problem(n=150, p=4, seed=58)
+    pdf = pd.DataFrame({f"x{j}": x[:, j] for j in range(4)})
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    est = SlopeEstimator(featureCols=[f"x{j}" for j in range(4)],
+                         labelCol="label", family="gaussian", nSigma=8)
+    model = Pipeline(stages=[est]).fit(df)
+    out = model.transform(df)
+    assert "prediction" in out.columns
+    preds = out.select("prediction").toPandas()["prediction"]
+    assert np.isfinite(preds).all()
+    slope_model = model.stages[0]
+    assert slope_model.coefficients().shape[0] == 5

@@ -1,0 +1,72 @@
+"""Cross-validation (train_owl) and Structured Streaming scoring."""
+
+import numpy as np
+import pytest
+
+from golem_spark.cv import fold_ids, train_owl
+from golem_spark.path import owl
+from tests.conftest import random_problem
+
+
+def test_fold_ids_deterministic_and_balanced():
+    keys = np.arange(1000)
+    f1 = fold_ids(keys, 10)
+    f2 = fold_ids(keys, 10)
+    np.testing.assert_array_equal(f1, f2)
+    counts = np.bincount(f1, minlength=10)
+    assert counts.min() > 50  # roughly balanced
+    f3 = fold_ids(keys, 10, repeat=1)
+    assert not np.array_equal(f1, f3)  # repeats reshuffle
+
+
+def test_train_owl_gaussian():
+    x, y, _ = random_problem(n=200, p=8, seed=40)
+    cv = train_owl(x, y, q=(0.1, 0.3), number=4, family="gaussian",
+                   n_sigma=15, max_workers=2)
+    assert set(cv.optima) == {"mse", "mae"}
+    opt = cv.optima["mse"]
+    assert opt["q"] in (0.1, 0.3)
+    assert opt["mean"] > 0
+    # summary covers both measures x both q x the path
+    assert len(cv.summary) >= 2 * 2 * 10
+    assert cv.fit.n_sigma >= 1
+    # CV-chosen sigma is not the most regularized end of the path
+    assert opt["sigma"] < cv.fit.sigma[0]
+
+
+def test_train_owl_binomial_measures():
+    x, y, _ = random_problem(n=200, p=5, response="binomial", seed=41)
+    cv = train_owl(x, y, q=(0.2,), number=3, family="binomial",
+                   measure=["auc", "misclass"], n_sigma=10, max_workers=2)
+    assert set(cv.optima) == {"auc", "misclass"}
+    assert 0.4 <= cv.optima["auc"]["mean"] <= 1.0
+
+
+def test_train_owl_rejects_bad_measure():
+    x, y, _ = random_problem(n=50, p=3, seed=42)
+    with pytest.raises(ValueError, match="not applicable"):
+        train_owl(x, y, family="gaussian", measure="auc", number=2)
+
+
+def test_streaming_equals_batch(spark):
+    """The streamed per-event-type scores equal the one-shot batch
+    aggregation (K20) once all data is processed."""
+    from golem_spark.session import load_tables
+    from golem_spark.streaming.scoring import run_stream_to_memory, score_expr
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {r["event_type"]: r for r in
+                run_stream_to_memory(spark, f"{sf_dir}/events.parquet").collect()}
+    events = load_tables(spark, sf_dir)["events"]
+    batch = {r["event_type"]: r for r in
+             (events.withColumn("score", score_expr())
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("score").alias("avg_score"),
+                   F.sum("value").alias("sum_value"))).collect()}
+    assert set(streamed) == set(batch)
+    for et in batch:
+        assert streamed[et]["n"] == batch[et]["n"]
+        assert abs(streamed[et]["avg_score"] - batch[et]["avg_score"]) < 1e-9
+        assert abs(streamed[et]["sum_value"] - batch[et]["sum_value"]) < 1e-6

@@ -1,0 +1,117 @@
+"""Pipeline operators: dedup finds planted duplicates, similarity finds
+planted neighbors, text metrics behave, multimodal plumbing round-trips."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from golem_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 44),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en", "s2", 44),  # near dup of 0
+        (3, "der schnelle braune fuchs springt", "de", "s0", 33),
+        (4, "completely different content about spark sql engines", "en", "s3", 52),
+        (5, "la zorra marron rapida salta sobre el perro", "es", "s1", 43),
+        (6, "the quick brown fox jumps over the lazy dog", "en", "s4", 44),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_finds_planted(docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+    assert groups[0]["min_doc_id"] == 0
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in pairs               # near dup (one word changed)
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs           # different content
+
+
+def test_minhash_lsh_recovers_exact_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    # identical docs share all 4 bands
+    assert pairs[(0, 1)] == 4
+    assert pairs[(1, 6)] == 4
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[6]       # identical text -> identical fingerprint
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham04 = bin(sh[0] ^ sh[4]).count("1")
+    assert ham02 <= ham04                # near dup closer than unrelated
+
+
+def test_text_metrics(docs):
+    out = {r["doc_id"]: r for r in text.token_count(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["q_stop_ratio"] > 0      # 'the' appears twice
+    lang = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]                # content-identical
+    assert fp[0] != fp[2]                # order/content sensitive
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup of 0
+    rows = [(int(i), [float(v) for v in base[i]], int(i % 3)) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_finds_planted_neighbor(vecs):
+    top = similarity.cosine_topk(vecs, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["cos"] > 0.99
+
+
+def test_ann_lsh_contains_near_neighbor(vecs):
+    out = similarity.ann_lsh_topk(vecs, query_ids=(0,), k=5, n_planes=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 1 in ids  # near-identical vector lands in the same bucket
+
+
+def test_embedding_near_dup(vecs):
+    pairs = similarity.embedding_near_dup_pairs(vecs, threshold=0.95, n_planes=3).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 7
+    assert rows[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert rows[0]["byte_entropy"] > 0
+    assert len(rows[0]["feat"]) == 8
+    # identical payloads -> identical features (deterministic)
+    assert rows[0]["feat"] == rows[1]["feat"]
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image/png")
+    plan = multimodal.frame_sample_plan(media.limit(2))
+    assert plan.count() > 0
+
+
+def test_feature_extract_prunes_blob_column(spark, docs):
+    out = multimodal.extract_features(multimodal.attach_fake_media(docs))
+    assert "payload" not in out.columns
