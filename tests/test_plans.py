@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: these assert the properties that make
+the operators scale — pruned scans, pushed filters, broadcast joins,
+map-side partial aggregation. A plan regression here is a 100 TB
+performance bug even when results stay correct."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from golem_spark.session import load_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns_and_pushes_filters(tables):
+    q = (tables["lineitem"].filter(F.col("l_orderkey") < 40)
+         .select("l_orderkey", "l_quantity"))
+    plan = _plan(q)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the two needed columns are read
+    assert "l_quantity" in scan and "l_extendedprice" not in scan
+    # the key-range filter reached the scan
+    assert "l_orderkey" in scan and "40" in scan
+
+
+def test_small_dim_join_broadcasts(spark, tables):
+    q = spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1""")
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_backend_agg_has_partial_aggregation(spark, tables):
+    from golem_spark.backends import build_spark_backend
+
+    be, _ = build_spark_backend(
+        tables["lineitem"], ["l_extendedprice", "l_discount", "l_tax"],
+        "l_quantity", "gaussian")
+    try:
+        primal, dual, _ = be._family_exprs(be._lp_exprs(np.ones((4, 1))))
+        plan = _plan(be.df.agg(primal.alias("p"), dual.alias("d")))
+        # partial (map-side) + final HashAggregate, single-row exchange only
+        assert plan.count("HashAggregate") == 2
+        assert "SinglePartition" in plan
+    finally:
+        be.unpersist()
+
+
+def test_predict_is_scan_plus_project(tables):
+    """Spark-side prediction must not shuffle: it's select-only."""
+    from golem_spark.path import owl
+    from golem_spark.predict import predict
+
+    li = tables["lineitem"]
+    fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount"],
+              label_col="l_quantity", family="gaussian", n_sigma=3)
+    pred = predict(fit, df=li, feature_cols=["l_extendedprice", "l_discount"],
+                   path_idx=0, type="response").select("pred_0")
+    plan = _plan(pred)
+    assert "Exchange" not in plan  # no shuffle anywhere in a pure map plan
+
+
+def test_cosine_topk_broadcasts_query_vector(tables):
+    from golem_spark.pipeline.similarity import cosine_topk
+
+    q = cosine_topk(tables["embeddings"], query_vec_id=0, k=5)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
