@@ -110,6 +110,21 @@ class LocalBackend:
         w = _curvature_weights(self.family.name, self.y, lp)
         return (self.x * w[:, None]).T @ self.x
 
+    def eval_hess(self, beta: np.ndarray):
+        """(primal, dual, gradient, hessian) — local mirror of
+        SparkBackend.eval_hess."""
+        fam = self.family
+        lp = self.x @ beta
+        primal = fam.primal(self.y, lp)
+        dual = fam.dual(self.y, lp)
+        grad = self.x.T @ fam.pseudo_gradient(self.y, lp)
+        if fam.name == "multinomial":
+            H = self.multinomial_hessian(beta)
+        else:
+            w = _curvature_weights(fam.name, self.y, lp)
+            H = (self.x * w[:, None]).T @ self.x
+        return primal, dual, grad, H
+
     def multinomial_hessian(self, beta: np.ndarray) -> np.ndarray:
         """Exact softmax block Hessian H[(j,k),(i,l)] =
         sum_r x_rj x_ri p_rk (delta_kl - p_rl), returned (p*m, p*m) in
@@ -265,6 +280,61 @@ class SparkBackend:
         lps = self._lp_exprs(beta)
         primal, _, _ = self._family_exprs(lps)
         return float(self.df.agg(primal.alias("__primal")).collect()[0]["__primal"])
+
+    def eval_hess(self, beta: np.ndarray):
+        """(primal, dual, gradient, hessian) in ONE aggregation pass —
+        the prox-Newton hot loop. hessian is X' diag(w) X for binomial/
+        poisson, the exact block Hessian for multinomial (caller gates
+        on m*p), flattened column-major blocks."""
+        fam = self.family.name
+        lps = self._lp_exprs(beta)
+        primal, dual, grads = self._family_exprs(lps)
+        p = self.p_total
+        m = self.m
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        aggs = [primal.alias("__primal"), dual.alias("__dual")]
+        for k, g in enumerate(grads):
+            for j, c in enumerate(cols):
+                aggs.append(F.sum(c * g).alias(f"__g_{j}_{k}"))
+        if fam == "binomial":
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.greatest(F.least(lps[0], F.lit(700.0)), F.lit(-700.0))))
+            weights = {(0, 0): s * (F.lit(1.0) - s)}
+        elif fam == "poisson":
+            weights = {(0, 0): F.exp(F.least(lps[0], F.lit(700.0)))}
+        elif fam == "multinomial":
+            mx = lps[0]
+            for k in range(1, m):
+                mx = F.greatest(mx, lps[k])
+            mx = F.greatest(mx, F.lit(0.0))
+            denom = F.exp(-mx)
+            for k in range(m):
+                denom = denom + F.exp(lps[k] - mx)
+            probs = [F.exp(lps[k] - mx) / denom for k in range(m)]
+            weights = {}
+            for k in range(m):
+                for l in range(k, m):
+                    weights[(k, l)] = probs[k] * ((F.lit(1.0) - probs[l]) if k == l else (-probs[l]))
+        else:
+            raise ValueError(fam)
+        for (k, l), w in weights.items():
+            for i in range(p):
+                for j in range(i, p):
+                    aggs.append(F.sum(cols[i] * cols[j] * w).alias(f"__h_{k}_{l}_{i}_{j}"))
+        row = self.df.agg(*aggs).collect()[0]
+        grad = np.zeros((p, m))
+        for k in range(m):
+            for j in range(p):
+                grad[j, k] = row[f"__g_{j}_{k}"]
+        H = np.zeros((p * m, p * m))
+        for (k, l) in weights:
+            blk = np.zeros((p, p))
+            for i in range(p):
+                for j in range(i, p):
+                    blk[i, j] = blk[j, i] = row[f"__h_{k}_{l}_{i}_{j}"]
+            H[k * p:(k + 1) * p, l * p:(l + 1) * p] = blk
+            if l != k:
+                H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
+        return float(row["__primal"]), float(row["__dual"]), grad, H
 
     def gram(self) -> np.ndarray:
         """X^T X including the intercept column — one distributed pass,
@@ -434,11 +504,26 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     """
     fam = get_family(family_name)
 
-    # nulls are rejected like the reference (R/owl.R:350-351), one pass
-    null_checks = [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
-                   for c in [*feature_cols, label_col]]
-    nulls = df.agg(*null_checks).collect()[0]
-    bad = [c for c in [*feature_cols, label_col] if nulls[c] > 0]
+    # ONE fused pass: null counts (rejected like the reference,
+    # R/owl.R:350-351), row count, per-feature mean + raw second moment
+    # (closed-form l2/sd scales), label mean/min.
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in [*feature_cols, label_col]:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+    for c in feature_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"__ss_{c}"))
+    # label moments only make sense (and only parse cheaply) for numeric
+    # labels; class labels may be strings
+    from pyspark.sql import types as T
+
+    label_numeric = isinstance(df.schema[label_col].dataType, T.NumericType)
+    if label_numeric:
+        aggs.append(F.avg(F.col(label_col).cast("double")).alias("__ymean"))
+        aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
+    stats = df.agg(*aggs).collect()[0]
+    n = int(stats["__n"])
+    bad = [c for c in [*feature_cols, label_col] if stats[f"__null_{c}"] > 0]
     if bad:
         raise ValueError(f"missing values in columns: {bad}")
 
@@ -448,9 +533,12 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     n_targets = 1
     y_center = np.array([0.0])
     y_scale = np.array([1.0])
+    if family_name in ("gaussian", "poisson") and not label_numeric:
+        raise ValueError(f"family {family_name!r} requires a numeric label column")
+
     enc = df
     if family_name == "gaussian":
-        y_mean = df.agg(F.avg(F.col(label_col)).alias("m")).collect()[0]["m"]
+        y_mean = stats["__ymean"]
         y_center = np.array([float(y_mean)])
         enc = df.withColumn("__y0", F.col(label_col).cast("double") - F.lit(float(y_mean)))
         y_cols = ["__y0"]
@@ -462,7 +550,7 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         enc = df.withColumn("__y0", F.when(F.col(label_col) == classes[0], -1.0).otherwise(1.0))
         y_cols = ["__y0"]
     elif family_name == "poisson":
-        ymin = df.agg(F.min(F.col(label_col)).alias("m")).collect()[0]["m"]
+        ymin = stats["__ymin"]
         if ymin < 0:
             raise ValueError("cannot have negative responses in poisson model")
         enc = df.withColumn("__y0", F.col(label_col).cast("double"))
@@ -483,33 +571,27 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     else:
         raise ValueError(family_name)
 
-    # feature standardization stats in one pass
+    # standardization statistics: l2/sd come closed-form from the fused
+    # pass (sum((x-c)^2) = sum(x^2) - n*c^2); l1/max need one centered pass
     p = len(feature_cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in feature_cols:
-        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
-    if scale == "sd":
-        for c in feature_cols:
-            aggs.append(F.stddev_samp(F.col(c)).alias(f"__scale_{c}"))
-    stats = enc.agg(*aggs).collect()[0]
-    n = int(stats["__n"])
     x_center = np.array([float(stats[f"__mean_{c}"]) for c in feature_cols]) if center else np.zeros(p)
-
-    centered = [(F.col(c).cast("double") - F.lit(float(x_center[j]))) for j, c in enumerate(feature_cols)]
-    if scale in ("l1", "l2", "max"):
-        saggs = []
-        for j, e in enumerate(centered):
-            if scale == "l1":
-                saggs.append(F.sum(F.abs(e)).alias(f"s{j}"))
-            elif scale == "l2":
-                saggs.append(F.sqrt(F.sum(e * e)).alias(f"s{j}"))
-            else:
-                saggs.append(F.max(e).alias(f"s{j}"))
+    mu = np.array([float(stats[f"__mean_{c}"]) for c in feature_cols])
+    ss = np.array([float(stats[f"__ss_{c}"]) for c in feature_cols])
+    if scale in ("l2", "sd"):
+        if scale == "sd":
+            # stddev subtracts the mean regardless of the center flag
+            css = np.maximum(ss - n * mu ** 2, 0.0)
+            x_scale = _apply_scale_guard(np.sqrt(css / max(n - 1, 1)))
+        else:
+            css = np.maximum(ss - n * x_center ** 2, 0.0)
+            x_scale = _apply_scale_guard(np.sqrt(css))
+    elif scale in ("l1", "max"):
+        centered = [(F.col(c).cast("double") - F.lit(float(x_center[j])))
+                    for j, c in enumerate(feature_cols)]
+        saggs = [(F.sum(F.abs(e)) if scale == "l1" else F.max(e)).alias(f"s{j}")
+                 for j, e in enumerate(centered)]
         srow = enc.agg(*saggs).collect()[0]
         x_scale = _apply_scale_guard(np.array([float(srow[f"s{j}"]) for j in range(p)]))
-    elif scale == "sd":
-        x_scale = _apply_scale_guard(
-            np.array([float(stats[f"__scale_{c}"]) for c in feature_cols]))
     elif scale == "none":
         x_scale = np.ones(p)
     else:
@@ -519,6 +601,13 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     sel = [((F.col(c).cast("double") - F.lit(float(x_center[j]))) / F.lit(float(x_scale[j])))
            .alias(feat_std[j]) for j, c in enumerate(feature_cols)]
     std_df = enc.select(*sel, *[F.col(c) for c in y_cols])
+    # the solver hits this cache with many small aggregation passes; a
+    # narrow parquet (few splits) would serialize them on 1-2 cores.
+    # One up-front round-robin shuffle spreads the cached partitions
+    # across the executor cores.
+    target_parts = df.sparkSession.sparkContext.defaultParallelism
+    if std_df.rdd.getNumPartitions() < target_parts:
+        std_df = std_df.repartition(target_parts)
 
     lgamma_sum = 0.0
     if family_name == "poisson":

@@ -63,6 +63,12 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     cache_key = (id(spark), sf_dir)
     if register_views and cache_key in _REGISTERED:
         return _REGISTERED[cache_key]
+    # the caller may hand us a session built without our factory (the
+    # driver's verify does); the nanos conf is runtime-settable
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -179,11 +179,22 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
     times: list[float] = []
     t0 = time.monotonic()
 
+    p_tot = gram.shape[0]
     passes = 0
-    primal_val = None
-    for _ in range(max_outer):
-        primal_val, dual_val, grad = backend.eval(beta)
+    optimal = False
+
+    def evaluate(b):
+        """One combined pass; hessian only when the local-Hessian
+        strategy needs it (Bohning reuses the fixed Gram)."""
+        nonlocal passes
         passes += 1
+        if local_hessian:
+            return backend.eval_hess(b)
+        pr, du, g = backend.eval(b)
+        return pr, du, g, None
+
+    primal_val, dual_val, grad, H = evaluate(beta)
+    for _ in range(max_outer):
         f = primal_val + sorted_l1_norm(beta[pen0:, :], lam)
         infeas = infeasibility(grad[pen0:, :], lam) if lam.size else 0.0
         optimal = abs(f - dual_val) / max(_SMALL, abs(f)) < tol_rel_gap
@@ -192,23 +203,17 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
             times.append(time.monotonic() - t0)
             primals.append(f)
             duals.append(dual_val)
-        if optimal and feasible:
-            break
-        if passes >= max_passes:
+        if (optimal and feasible) or passes >= max_passes:
             break
 
-        if local_hessian and fam == "multinomial":
-            p = gram.shape[0]
-            H = backend.multinomial_hessian(beta) + 1e-9 * np.eye(p * m)
-            passes += 1
-            L_sub = float(np.linalg.eigvalsh(H).max())
-            H_apply = lambda d, H=H, p=p: (
-                (H @ d.ravel(order="F")).reshape((p, m), order="F"))
-        elif local_hessian:
-            H = backend.weighted_gram(beta) + 1e-9 * np.eye(gram.shape[0])
-            passes += 1
-            L_sub = float(np.linalg.eigvalsh(H).max())
-            H_apply = lambda d, H=H: H @ d
+        if local_hessian:
+            Hr = H + 1e-9 * np.eye(p_tot * m)
+            L_sub = float(np.linalg.eigvalsh(Hr).max())
+            if m == 1:
+                H_apply = lambda d, Hr=Hr: Hr @ d
+            else:
+                H_apply = lambda d, Hr=Hr: (
+                    (Hr @ d.ravel(order="F")).reshape((p_tot, m), order="F"))
         else:
             L_sub = 0.5 * float(np.linalg.eigvalsh(gram).max())  # eig(B) <= 1
             H_apply = lambda d: 0.5 * (gram @ d @ B)
@@ -216,24 +221,25 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
         d = _prox_quadratic(H_apply, grad, beta, lam, L_sub, pen0)
 
         if local_hessian:
-            # local model is not a global bound: step-halving safeguard
+            # the local quadratic is not a global bound: step-halving
+            # safeguard, with the accepted step's evaluation CARRIED into
+            # the next outer iteration (one pass per accepted step)
             alpha = 1.0
             for _ in range(30):
                 cand = beta + alpha * d
-                p_new = backend.primal(cand)
-                passes += 1
+                p_new, du_new, g_new, H_new = evaluate(cand)
                 f_new = p_new + sorted_l1_norm(cand[pen0:, :], lam)
                 if f_new <= f + 1e-12 * abs(f) or alpha < 1e-8:
                     beta = cand
+                    primal_val, dual_val, grad, H = p_new, du_new, g_new, H_new
                     break
                 alpha *= 0.5
         else:
             # majorization guarantees descent at full step
             beta = beta + d
+            primal_val, dual_val, grad, H = evaluate(beta)
 
-    deviance = 2.0 * (primal_val if primal_val is not None else backend.primal(beta))
-    if not optimal:
-        deviance = 2.0 * backend.primal(beta)
+    deviance = 2.0 * primal_val
     return SolverResult(beta, passes, primals, duals, times, deviance)
 
 

@@ -1,0 +1,7 @@
+-- DuckDB oracle for k19_join_agg (frozen; see __spark_entry__.py)
+SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice) / 1000000, 4) AS rev_mm
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
