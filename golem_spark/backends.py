@@ -281,11 +281,24 @@ class SparkBackend:
         primal, _, _ = self._family_exprs(lps)
         return float(self.df.agg(primal.alias("__primal")).collect()[0]["__primal"])
 
+    # Quadratic-output ops (Gram / Hessians) need p(p+1)/2 aggregation
+    # expressions — fine to ~50 features, catastrophic for Catalyst
+    # beyond that. Above the threshold they delegate to the Arrow
+    # partial-reduction implementations.
+    _QUAD_EXPR_MAX_P = 48
+
+    def _arrow_view(self) -> "ArrowSparkBackend":
+        return ArrowSparkBackend(self.df, self.feat_cols, self.y_cols,
+                                 self.family, self.intercept, self.n,
+                                 self._lgamma_sum, persist=False)
+
     def eval_hess(self, beta: np.ndarray):
         """(primal, dual, gradient, hessian) in ONE aggregation pass —
         the prox-Newton hot loop. hessian is X' diag(w) X for binomial/
         poisson, the exact block Hessian for multinomial (caller gates
         on m*p), flattened column-major blocks."""
+        if self.p_total > self._QUAD_EXPR_MAX_P and self.family.name != "multinomial":
+            return self._arrow_view().eval_hess(beta)
         fam = self.family.name
         lps = self._lp_exprs(beta)
         primal, dual, grads = self._family_exprs(lps)
@@ -340,6 +353,8 @@ class SparkBackend:
         """X^T X including the intercept column — one distributed pass,
         p(p+1)/2 partial-aggregated sums, p×p to the driver. For the
         gaussian/ADMM path this is the ONLY data pass of the whole fit."""
+        if self.p_total > self._QUAD_EXPR_MAX_P:
+            return self._arrow_view().gram()
         cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
         p = self.p_total
         aggs = []
@@ -369,6 +384,9 @@ class SparkBackend:
     def weighted_gram(self, beta: np.ndarray) -> np.ndarray:
         """X^T diag(w) X at beta — one distributed pass (prox-Newton for
         poisson; binomial/multinomial use fixed Bohning bounds instead)."""
+        if self.p_total > self._QUAD_EXPR_MAX_P:
+            _, _, _, H = self._arrow_view().eval_hess(beta)
+            return H
         lps = self._lp_exprs(beta)
         fam = self.family.name
         if fam == "binomial":
@@ -492,6 +510,187 @@ class SparkBackend:
         self.df.unpersist()
 
 
+class ArrowSparkBackend(SparkBackend):
+    """Wide-p variant: data passes are mapInPandas partial reductions
+    (Arrow batches -> numpy -> one partial-sum row per batch) instead of
+    p-wide aggregation expression lists, which stop scaling past a few
+    hundred columns of Catalyst expressions.
+
+    Collected partials are O(#partitions x p*m) doubles — fine up to
+    p ~ 100k. Closures are self-contained (pure numpy, no package
+    imports) so executors need no PYTHONPATH setup.
+    """
+
+    def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
+        import pandas as pd  # local import keeps the closure lean
+
+        feat_cols = list(self.feat_cols)
+        y_cols = list(self.y_cols)
+
+        def op(batches):
+            for pdf in batches:
+                X = pdf[feat_cols].to_numpy(dtype=np.float64)
+                Y = pdf[y_cols].to_numpy(dtype=np.float64)
+                yield pd.DataFrame({"part": [build_batch_fn(X, Y).tolist()]})
+
+        rows = self.df.mapInPandas(op, "part array<double>").collect()
+        total = np.zeros(out_len)
+        for r in rows:
+            total += np.asarray(r["part"])
+        return total
+
+    def eval(self, beta: np.ndarray):
+        fam = self.family.name
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept = self.intercept
+        m = self.m
+        p_total = self.p_total
+
+        def batch(X, Y):
+            lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b
+            primal, dual, g = _family_numpy(fam, Y, lp)
+            grad = X.T @ g
+            if intercept:
+                grad = np.vstack([g.sum(axis=0), grad])
+            return np.concatenate([[primal, dual], grad.ravel(order="F")])
+
+        out = self._partial_reduce(batch, 2 + p_total * m)
+        grad = out[2:].reshape((p_total, m), order="F")
+        return float(out[0]), float(out[1]), grad
+
+    def primal(self, beta: np.ndarray) -> float:
+        fam = self.family.name
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept = self.intercept
+
+        def batch(X, Y):
+            lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b
+            primal, _, _ = _family_numpy(fam, Y, lp, need_dual=False, need_grad=False)
+            return np.array([primal])
+
+        return float(self._partial_reduce(batch, 1)[0])
+
+    def eval_hess(self, beta: np.ndarray):
+        fam = self.family.name
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept = self.intercept
+        m = self.m
+        p_total = self.p_total
+        if fam == "multinomial":
+            raise NotImplementedError(
+                "wide-p multinomial uses the Bohning bound (no per-pass Hessian)")
+
+        def batch(X, Y):
+            lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b
+            primal, dual, g = _family_numpy(fam, Y, lp)
+            grad = X.T @ g
+            if intercept:
+                grad = np.vstack([g.sum(axis=0), grad])
+            if fam == "binomial":
+                s = 1.0 / (1.0 + np.exp(-np.clip(lp[:, 0], -700, 700)))
+                w = s * (1 - s)
+            else:
+                w = np.exp(np.clip(lp[:, 0], -700, 700))
+            Xi = np.hstack([np.ones((X.shape[0], 1)), X]) if intercept else X
+            H = (Xi * w[:, None]).T @ Xi
+            return np.concatenate([[primal, dual], grad.ravel(order="F"),
+                                   H.ravel()])
+
+        out = self._partial_reduce(batch, 2 + p_total * m + p_total * p_total)
+        grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
+        H = out[2 + p_total * m:].reshape((p_total, p_total))
+        return float(out[0]), float(out[1]), grad, H
+
+    def gram(self) -> np.ndarray:
+        intercept = self.intercept
+        p_total = self.p_total
+
+        def batch(X, Y):
+            Xi = np.hstack([np.ones((X.shape[0], 1)), X]) if intercept else X
+            return (Xi.T @ Xi).ravel()
+
+        return self._partial_reduce(batch, p_total * p_total).reshape(
+            (p_total, p_total))
+
+    def xty(self) -> np.ndarray:
+        intercept = self.intercept
+        p_total = self.p_total
+        m = self.m
+
+        def batch(X, Y):
+            Xi = np.hstack([np.ones((X.shape[0], 1)), X]) if intercept else X
+            return (Xi.T @ Y).ravel(order="F")
+
+        return self._partial_reduce(batch, p_total * m).reshape(
+            (p_total, m), order="F")
+
+    def lambda_max_gradient(self) -> np.ndarray:
+        fam = self.family.name
+        m = self.m
+        p = len(self.feat_cols)
+        if fam in ("gaussian", "poisson"):
+            def batch(X, Y):
+                yt = Y if fam == "gaussian" else (1.0 - Y)
+                return (X.T @ yt).ravel(order="F")
+
+            g = self._partial_reduce(batch, p * m)
+            return np.abs(g)
+        # binomial/multinomial need global y statistics first — reuse the
+        # expression implementation (narrow: touches only y columns)
+        return super().lambda_max_gradient()
+
+    def subset(self, cols: np.ndarray) -> "SparkBackend":
+        cols = np.asarray(cols)
+        if self.intercept:
+            assert cols[0] == 0
+            feat = [self.feat_cols[j - 1] for j in cols[1:]]
+        else:
+            feat = [self.feat_cols[j] for j in cols]
+        cls = SparkBackend if len(feat) <= 200 else ArrowSparkBackend
+        return cls(self.df, feat, self.y_cols, self.family,
+                   self.intercept, self.n, self._lgamma_sum, persist=False)
+
+
+def _family_numpy(fam: str, Y: np.ndarray, lp: np.ndarray,
+                  need_dual: bool = True, need_grad: bool = True):
+    """Self-contained family math for executor-side closures (kept free
+    of golem_spark imports; semantics mirror families.py)."""
+    if fam == "gaussian":
+        r = Y - lp
+        primal = 0.5 * float(np.sum(r * r))
+        dual = 0.5 * float(np.sum(Y * Y)) - 0.5 * float(np.sum(lp * lp)) if need_dual else 0.0
+        g = lp - Y if need_grad else None
+    elif fam == "binomial":
+        z = -Y * lp
+        primal = float(np.sum(np.maximum(z, 0) + np.log1p(np.exp(-np.abs(z)))))
+        if need_dual:
+            r = 1.0 / (1.0 + np.exp(np.clip(Y * lp, -700, 700)))
+            tiny = np.finfo(np.float64).tiny
+            dual = float(np.sum((r - 1.0) * np.log(np.maximum(1.0 - r, tiny)))
+                         - np.sum(r * np.log(np.maximum(r, tiny))))
+        else:
+            dual = 0.0
+        g = -Y / (1.0 + np.exp(np.clip(Y * lp, -700, 700))) if need_grad else None
+    elif fam == "poisson":
+        e = np.exp(np.clip(lp, -700, 700))
+        lg = np.vectorize(__import__("math").lgamma)(Y + 1.0)
+        primal = -float(np.sum(Y * lp - e - lg))
+        dual = -float(np.sum(e * (lp - 1.0) - lg)) if need_dual else 0.0
+        g = e - Y if need_grad else None
+    elif fam == "multinomial":
+        lp_max = np.max(lp, axis=1, keepdims=True)
+        lse = np.log(np.exp(-lp_max)
+                     + np.sum(np.exp(np.clip(lp - lp_max, -700, 700)), axis=1,
+                              keepdims=True)) + lp_max
+        primal = float(np.sum(lse)) - float(np.sum(Y * lp))
+        dual = (float(np.sum(lse)) - float(np.sum(lp * np.exp(lp - lse)))
+                if need_dual else 0.0)
+        g = np.exp(lp - lse) - Y if need_grad else None
+    else:
+        raise ValueError(fam)
+    return primal, dual, g
+
+
 def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
                         family_name: str, intercept: bool = True,
                         center: bool = True, scale: str = "l2"):
@@ -503,29 +702,72 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     center/scale/encoding needed by rescale() and predict().
     """
     fam = get_family(family_name)
-
-    # ONE fused pass: null counts (rejected like the reference,
-    # R/owl.R:350-351), row count, per-feature mean + raw second moment
-    # (closed-form l2/sd scales), label mean/min.
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in [*feature_cols, label_col]:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
-    for c in feature_cols:
-        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
-        aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"__ss_{c}"))
-    # label moments only make sense (and only parse cheaply) for numeric
-    # labels; class labels may be strings
     from pyspark.sql import types as T
 
     label_numeric = isinstance(df.schema[label_col].dataType, T.NumericType)
-    if label_numeric:
-        aggs.append(F.avg(F.col(label_col).cast("double")).alias("__ymean"))
-        aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
-    stats = df.agg(*aggs).collect()[0]
-    n = int(stats["__n"])
-    bad = [c for c in [*feature_cols, label_col] if stats[f"__null_{c}"] > 0]
-    if bad:
-        raise ValueError(f"missing values in columns: {bad}")
+    wide = len(feature_cols) > 200
+
+    if not wide:
+        # ONE fused pass: null counts (rejected like the reference,
+        # R/owl.R:350-351), row count, per-feature mean + raw second
+        # moment (closed-form l2/sd scales), label mean/min.
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in [*feature_cols, label_col]:
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        for c in feature_cols:
+            aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
+            aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"__ss_{c}"))
+        if label_numeric:
+            aggs.append(F.avg(F.col(label_col).cast("double")).alias("__ymean"))
+            aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
+        stats = df.agg(*aggs).collect()[0]
+        n = int(stats["__n"])
+        bad = [c for c in [*feature_cols, label_col] if stats[f"__null_{c}"] > 0]
+        if bad:
+            raise ValueError(f"missing values in columns: {bad}")
+    else:
+        # wide-p: expression lists would blow up Catalyst planning —
+        # Arrow-batched partial reduction instead (same statistics)
+        import pandas as pd
+
+        fcols = list(feature_cols)
+        p_ = len(fcols)
+
+        def statop(batches):
+            for pdf in batches:
+                Xb = pdf[fcols].to_numpy(dtype=np.float64)
+                nulls = np.isnan(Xb).sum(axis=0).astype(np.float64)
+                yv = pd.to_numeric(pdf[label_col], errors="coerce").to_numpy(dtype=np.float64)
+                ynull = float(pdf[label_col].isna().sum())
+                Xz = np.nan_to_num(Xb)
+                part = np.concatenate([
+                    [float(len(pdf))], nulls, Xz.sum(axis=0), (Xz * Xz).sum(axis=0),
+                    [np.nansum(yv), np.nanmin(yv) if len(yv) else np.inf, ynull]])
+                yield pd.DataFrame({"part": [part.tolist()]})
+
+        rows = df.mapInPandas(statop, "part array<double>").collect()
+        tot = np.zeros(1 + 3 * p_ + 3)
+        ymin_acc = np.inf
+        for r in rows:
+            arr = np.asarray(r["part"])
+            ymin_acc = min(ymin_acc, arr[1 + 3 * p_ + 1])
+            arr[1 + 3 * p_ + 1] = 0.0
+            tot += arr
+        n = int(tot[0])
+        nullcounts = tot[1:1 + p_]
+        if nullcounts.sum() > 0 or tot[-1] > 0:
+            bad = [c for c, cnt in zip(fcols, nullcounts) if cnt > 0]
+            if tot[-1] > 0:
+                bad.append(label_col)
+            raise ValueError(f"missing values in columns: {bad}")
+        sums = tot[1 + p_:1 + 2 * p_]
+        sqsums = tot[1 + 2 * p_:1 + 3 * p_]
+        stats = {"__n": n, "__ymean": tot[1 + 3 * p_] / max(n, 1), "__ymin": ymin_acc}
+        for j, c in enumerate(fcols):
+            stats[f"__mean_{c}"] = sums[j] / max(n, 1)
+            stats[f"__ss_{c}"] = sqsums[j]
+        if scale in ("l1", "max"):
+            raise ValueError("wide-p mode supports scale in ('l2','sd','none')")
 
     # response encoding
     y_cols: list[str] = []
@@ -602,11 +844,13 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
            .alias(feat_std[j]) for j, c in enumerate(feature_cols)]
     std_df = enc.select(*sel, *[F.col(c) for c in y_cols])
     # the solver hits this cache with many small aggregation passes; a
-    # narrow parquet (few splits) would serialize them on 1-2 cores.
-    # One up-front round-robin shuffle spreads the cached partitions
-    # across the executor cores.
-    target_parts = df.sparkSession.sparkContext.defaultParallelism
-    if std_df.rdd.getNumPartitions() < target_parts:
+    # narrow parquet (few splits) would serialize them on 1-2 cores,
+    # while over-splitting tiny data pays per-partition overhead on
+    # every pass (worst for Arrow/mapInPandas). Target ~20k rows per
+    # partition, capped at the core count.
+    target_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                              n // 20_000 + 1))
+    if std_df.rdd.getNumPartitions() != target_parts:
         std_df = std_df.repartition(target_parts)
 
     lgamma_sum = 0.0
@@ -617,7 +861,8 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         hist = std_df.groupBy("__y0").count().collect()
         lgamma_sum = float(sum(r["count"] * math.lgamma(r["__y0"] + 1.0) for r in hist))
 
-    backend = SparkBackend(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)
+    backend_cls = ArrowSparkBackend if wide else SparkBackend
+    backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)
     meta = {
         "x_center": x_center,
         "x_scale": x_scale,

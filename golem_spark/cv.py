@@ -108,10 +108,73 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
         results = [run_cell(c) for c in cells]
 
     # aggregate mean/se/95% CI per (measure, q, sigma) (trainOwl.R:146-161)
+    return _aggregate_cv(results, full_fits, qs, measures, number * repeats)
+
+
+def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
+                    number: int = 5, repeats: int = 1,
+                    measure: str | list[str] | None = None,
+                    family: str = "gaussian", n_sigma: int = 50,
+                    max_workers: int = 2, **owl_kwargs) -> TrainedOwl:
+    """Distributed repeated k-fold CV: folds are a deterministic Knuth
+    hash of ``key_col`` (kernel K15) computed as a column expression —
+    no shuffle, no sampling; each grid cell is a filtered-DataFrame fit.
+
+    Cells run concurrently from a driver thread pool; on a cluster the
+    FAIR scheduler shares executors between the concurrent fits (the
+    Spark answer to the reference's PSOCK cluster, trainOwl.R:134-144).
+    """
+    from pyspark.sql import functions as F
+
+    from golem_spark.score import score as _score
+
+    qs = [float(v) for v in np.atleast_1d(q)]
+    measures = _measures_for(family)
+    if measure is not None:
+        want = [measure] if isinstance(measure, str) else list(measure)
+        bad = [m for m in want if m not in measures]
+        if bad:
+            raise ValueError(f"measures {bad} not applicable to family {family!r}")
+        measures = want
+
+    full_fits = {qv: owl(df=df, feature_cols=feature_cols, label_col=label_col,
+                         family=family, q=qv, n_sigma=n_sigma, **owl_kwargs)
+                 for qv in qs}
+
+    def fold_col(rep: int):
+        h = (F.col(key_col).cast("long") + F.lit(rep * 1_000_003)) * F.lit(2654435761)
+        return F.pmod(F.pmod(h, F.lit(4294967296)), F.lit(number))
+
+    cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
+             for fold in range(number)]
+
+    def run_cell(cell):
+        qv, fold, rep = cell
+        fc = fold_col(rep)
+        train = df.filter(fc != fold)
+        test = df.filter(fc == fold)
+        sig = full_fits[qv].sigma
+        cell_fit = owl(df=train, feature_cols=feature_cols, label_col=label_col,
+                       family=family, q=qv, sigma=sig, **owl_kwargs)
+        out = {}
+        for m in measures:
+            out[m] = _score(cell_fit, df=test, feature_cols=feature_cols,
+                            label_col=label_col, measure=m)
+        return cell, out
+
+    if max_workers > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(run_cell, cells))
+    else:
+        results = [run_cell(c) for c in cells]
+
+    return _aggregate_cv(results, full_fits, qs, measures, number * repeats)
+
+
+def _aggregate_cv(results, full_fits, qs, measures, n_cells) -> TrainedOwl:
     summary: list[dict] = []
     data: list[dict] = []
     optima: dict[str, dict] = {}
-    n_cells = number * repeats
     tq = _t975(n_cells - 1)
     for m in measures:
         for qv in qs:
@@ -121,11 +184,10 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
             ses = scores.std(axis=0, ddof=1) / math.sqrt(n_cells) if n_cells > 1 \
                 else np.zeros(scores.shape[1])
             for j in range(sig.size):
-                row = {"measure": m, "q": qv, "sigma": float(sig[j]),
-                       "mean": float(means[j]), "se": float(ses[j]),
-                       "lo": float(means[j] - tq * ses[j]),
-                       "hi": float(means[j] + tq * ses[j])}
-                summary.append(row)
+                summary.append({"measure": m, "q": qv, "sigma": float(sig[j]),
+                                "mean": float(means[j]), "se": float(ses[j]),
+                                "lo": float(means[j] - tq * ses[j]),
+                                "hi": float(means[j] + tq * ses[j])})
             best_j = int(np.argmax(means)) if m == "auc" else int(np.argmin(means))
             cand = {"q": qv, "sigma": float(sig[best_j]), "mean": float(means[best_j]),
                     "se": float(ses[best_j]), "path_idx": best_j}
@@ -138,8 +200,6 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
         for m in measures:
             data.append({"q": qv, "fold": fold, "repeat": rep, "measure": m,
                          "scores": out[m].tolist()})
-
     primary = measures[0]
-    best_q = optima[primary]["q"]
     return TrainedOwl(summary=summary, optima=optima, measure=measures,
-                      fit=full_fits[best_q], data=data)
+                      fit=full_fits[optima[primary]["q"]], data=data)

@@ -180,16 +180,22 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     n_sig = sigma_vec.size
 
     # -- sufficient statistics for the gaussian/ADMM path -------------------
+    # Solver routing:
+    # - gaussian with modest p: ADMM over the full Gram — O(1) data
+    #   passes for the whole path;
+    # - gaussian wide-p (full p x p Gram impractical): prox-Newton with
+    #   per-active-set Grams (active sets stay small via screening);
+    # - other families distributed: prox-Newton (one aggregation pass
+    #   per outer iteration — FISTA's per-iteration round trips are a
+    #   non-starter on a cluster); LocalBackend keeps reference-parity
+    #   FISTA.
     is_gaussian = family == "gaussian"
-    # Distributed non-gaussian fits use the prox-Newton solver: one
-    # aggregation pass per outer iteration against a driver-side Gram —
-    # the FISTA-per-iteration round-trip latency is a non-starter on a
-    # cluster. LocalBackend keeps reference-parity FISTA.
-    use_prox_newton = isinstance(backend, SparkBackend) and not is_gaussian
+    use_admm = is_gaussian and (not isinstance(backend, SparkBackend) or p_total <= 500)
+    use_prox_newton = isinstance(backend, SparkBackend) and not use_admm
     gram_full = None
     xty_full = None
     yty = None
-    if is_gaussian:
+    if use_admm:
         gram_full = backend.gram()
         xty_full = backend.xty()
     elif use_prox_newton and p_total <= 500:
@@ -199,7 +205,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
 
     # -- null deviance ------------------------------------------------------
     beta = np.zeros((p_total, m))
-    if is_gaussian:
+    if use_admm:
         # primal at beta=0 is 0.5*||y||^2; get ||y||^2 via one tiny agg
         yty = _yty(backend)
         null_deviance = yty
@@ -225,14 +231,14 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     full_admm_state: dict[str, Any] = {}
 
     def full_gradient(b: np.ndarray) -> np.ndarray:
-        if is_gaussian:
+        if use_admm:
             return gram_full @ b - xty_full  # driver-side, zero data passes
         return backend.eval(b)[2]
 
     def fit_subset(sub_idx: np.ndarray, lam_k: np.ndarray, start_beta: np.ndarray) -> SolverResult:
         """Fit on the rows in sub_idx (full space indices)."""
         nonlocal z, u
-        if is_gaussian:
+        if use_admm:
             gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
             xty_s = xty_full[sub_idx].ravel()
             res, z_s, u_s, _ = admm_gaussian(
@@ -284,7 +290,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                 if active_set.size == 0:
                     beta = np.zeros((p_total, m))
                     res = SolverResult(beta.copy(), 0, deviance=(
-                        yty if is_gaussian else 2.0 * backend.primal(beta)))
+                        yty if use_admm else 2.0 * backend.primal(beta)))
                 else:
                     n_active_pen = (active_set.size - int(intercept)) * m
                     lam_k = (lambda_vec[:n_active_pen] * sig_k)

@@ -158,7 +158,14 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
     pen0 = 1 if backend.intercept else 0
     beta = beta.copy()
 
-    if fam in ("binomial", "poisson"):
+    if fam == "gaussian":
+        # the quadratic model IS the loss: one subproblem solve against
+        # the (active-set) Gram reaches the optimum; the loop only
+        # re-checks the duality gap. Used for wide-p gaussian where the
+        # ADMM path's full p x p Gram is not precomputable.
+        local_hessian = False
+        B = None
+    elif fam in ("binomial", "poisson"):
         # true local Hessian X' diag(w) X, refreshed per outer iteration
         # (one extra pass) — near-quadratic convergence; step-halving
         # safeguards the non-majorizing quadratic model
@@ -214,6 +221,9 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
             else:
                 H_apply = lambda d, Hr=Hr: (
                     (Hr @ d.ravel(order="F")).reshape((p_tot, m), order="F"))
+        elif fam == "gaussian":
+            L_sub = float(np.linalg.eigvalsh(gram).max())
+            H_apply = lambda d: gram @ d
         else:
             L_sub = 0.5 * float(np.linalg.eigvalsh(gram).max())  # eig(B) <= 1
             H_apply = lambda d: 0.5 * (gram @ d @ B)

@@ -1,0 +1,64 @@
+"""Wide-p (Arrow-batched) backend: the scale path for p beyond what
+Catalyst expression lists handle. Metamorphic: arrow == expression ==
+local."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from golem_spark.backends import ArrowSparkBackend, SparkBackend, build_spark_backend
+from golem_spark.families import get_family
+from golem_spark.path import owl
+from tests.conftest import random_problem
+
+
+def _to_spark(spark, x, y):
+    cols = {f"x{j}": x[:, j] for j in range(x.shape[1])}
+    cols["label"] = y
+    return spark.createDataFrame(pd.DataFrame(cols)), [f"x{j}" for j in range(x.shape[1])]
+
+
+def test_arrow_backend_matches_expression_backend(spark):
+    x, y, _ = random_problem(n=150, p=6, response="binomial", seed=60)
+    df, feats = _to_spark(spark, x, y)
+    be_expr, _ = build_spark_backend(df, feats, "label", "binomial")
+    be_arrow = ArrowSparkBackend(be_expr.df, be_expr.feat_cols, be_expr.y_cols,
+                                 get_family("binomial"), True, be_expr.n,
+                                 persist=False)
+    beta = np.linspace(-0.5, 0.5, 7).reshape(7, 1)
+    p1, d1, g1 = be_expr.eval(beta)
+    p2, d2, g2 = be_arrow.eval(beta)
+    assert abs(p1 - p2) < 1e-8 * max(1, abs(p1))
+    assert abs(d1 - d2) < 1e-6 * max(1, abs(d1))
+    np.testing.assert_allclose(g1, g2, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(be_expr.gram(), be_arrow.gram(), rtol=1e-9, atol=1e-9)
+    ph1, dh1, gh1, H1 = be_expr.eval_hess(beta)
+    ph2, dh2, gh2, H2 = be_arrow.eval_hess(beta)
+    np.testing.assert_allclose(H1, H2, rtol=1e-9, atol=1e-9)
+    be_expr.unpersist()
+
+
+@pytest.mark.parametrize("family,response", [("gaussian", "gaussian"),
+                                             ("binomial", "binomial")])
+def test_wide_p_fit_matches_local(spark, family, response):
+    x, y, _ = random_problem(n=260, p=210, q=0.01, response=response, seed=61)
+    df, feats = _to_spark(spark, x, y)
+    local = owl(x, y, family=family, n_sigma=3, lambda_min_ratio=1e-1)
+    dist = owl(df=df, feature_cols=feats, label_col="label",
+               family=family, n_sigma=3, lambda_min_ratio=1e-1)
+    K = min(local.n_sigma, dist.n_sigma)
+    np.testing.assert_allclose(local.coefficients[:, :, :K],
+                               dist.coefficients[:, :, :K], atol=5e-3)
+
+
+def test_wide_p_uses_arrow_backend(spark):
+    x, y, _ = random_problem(n=120, p=250, seed=62)
+    df, feats = _to_spark(spark, x, y)
+    be, _ = build_spark_backend(df, feats, "label", "gaussian")
+    try:
+        assert isinstance(be, ArrowSparkBackend)
+        # subsetting to a small active set falls back to expressions
+        sub = be.subset(np.arange(5))
+        assert type(sub) is SparkBackend
+    finally:
+        be.unpersist()
