@@ -48,6 +48,27 @@ def test_train_owl_rejects_bad_measure():
         train_owl(x, y, family="gaussian", measure="auc", number=2)
 
 
+def test_windowed_stream_equals_batch(spark):
+    """Watermarked tumbling-window aggregation over the stream equals the
+    same window expressions over the static table."""
+    from golem_spark.streaming.windows import run_windowed_stream, windowed_event_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_windowed_stream(spark, f"{sf_dir}/events.parquet").collect()
+    raw = (spark.read.parquet(f"{sf_dir}/events.parquet"))
+    batch = windowed_event_stats(raw).collect()
+
+    def key(r):
+        return (r["window_start"], r["event_type"])
+
+    s = {key(r): r for r in streamed}
+    b = {key(r): r for r in batch}
+    assert set(s) == set(b) and len(s) > 0
+    for k in b:
+        assert s[k]["n"] == b[k]["n"]
+        assert abs(s[k]["avg_score"] - b[k]["avg_score"]) < 1e-9
+
+
 def test_streaming_equals_batch(spark):
     """The streamed per-event-type scores equal the one-shot batch
     aggregation (K20) once all data is processed."""
