@@ -1,0 +1,83 @@
+"""Relational operators composed from DataFrame primitives: the common
+OLAP patterns a training-data pipeline leans on that have no single
+built-in operator.
+
+- top-k per group: window row_number, executes as a partial top-k
+  within partitions (no global sort);
+- sessionization: lag + cumulative gap-count window — one shuffle on
+  the session key;
+- as-of join: for each left row, the latest right row at-or-before its
+  timestamp per key. Spark has no native as-of join; this is the
+  union-merge formulation (one shuffle on the key, one window) which
+  beats per-group applyInPandas merge_asof at scale because it never
+  leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                   k: int, ascending: bool = False,
+                   tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic top-k rows per group (ties broken by tiebreak_cols)."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap: float = 1800) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to
+    the previous event exceeds ``gap`` (in the units of ``ts_col``). Adds ``session_id``
+    (0-based per key)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_val = F.col(ts_col).cast("double") - prev.cast("double")
+    new_sess = F.when(prev.isNull() | (gap_val > gap), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
+              right_ts: str, right_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same ``key`` (NULLs when none).
+
+    Implementation: tag both sides, union, window-sort by (key, ts,
+    side), carry the last right value forward with last_value(ignore
+    nulls), keep left rows. One shuffle on the key — no Python, no
+    cross product.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts).cast("double")) \
+             .withColumn("__side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).cast("double").alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+    left_cols = [c for c in lt.columns if not c.startswith("__")]
+    rt_full = rt
+    for c in left_cols:
+        if c not in rt.columns:
+            rt_full = rt_full.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    both = lt.select(*left_cols, "__ts", "__side",
+                     *[f"__r_{c}" for c in right_cols]) \
+        .unionByName(rt_full.select(*left_cols, "__ts", "__side",
+                                    *[f"__r_{c}" for c in right_cols]))
+    # right rows sort before left rows at the same timestamp -> "<=" semantics
+    w = (Window.partitionBy(key).orderBy(F.col("__ts"), F.col("__side"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = both
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}",
+                             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+    return (out.filter(F.col("__side") == 1)
+            .drop("__ts", "__side", *[f"__r_{c}" for c in right_cols]))

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from golem_spark.session import load_tables
+from golem_spark.operators import relational
 from golem_spark.pipeline import dedup, similarity, text
 
 _DUCK_TOKS = r"list_distinct(string_split_regex(trim(text), '\s+'))"
@@ -306,5 +307,106 @@ _add(
     WHERE list_dot_product(a.ev, b.ev)
           / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.95
     ORDER BY id_a, id_b
+    """,
+)
+
+# -- relational operators (operators/relational.py) -------------------------
+
+def _sessionize_query(t):
+    ev = t["events"].withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    sess = relational.sessionize(ev, "user_id", "ts_ms", gap=600_000)
+    return (sess.groupBy("user_id")
+            .agg((F.max("session_id") + 1).alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+_add(
+    "p13_sessionize",
+    _sessionize_query,
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 600000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM e)
+    SELECT user_id,
+           (MAX(session_id) + 1)::BIGINT AS n_sessions,
+           COUNT(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
+def _topk_query(t):
+    o = t["orders"].withColumn("cust_bucket", (F.col("o_custkey") % 10).cast("long"))
+    top = relational.topk_per_group(o, ["cust_bucket"], "o_totalprice", 3,
+                                    tiebreak_cols=["o_orderkey"])
+    return (top.select("cust_bucket", "o_orderkey",
+                       F.round("o_totalprice", 2).alias("price"))
+            .orderBy("cust_bucket", "o_orderkey"))
+
+
+_add(
+    "p14_topk_per_group",
+    _topk_query,
+    """
+    WITH r AS (
+      SELECT (o_custkey % 10)::BIGINT AS cust_bucket, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey % 10
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    SELECT cust_bucket, o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM r WHERE rn <= 3
+    ORDER BY cust_bucket, o_orderkey
+    """,
+)
+
+
+def _asof_query(t):
+    ev = (t["events"]
+          .withColumn("event_date",
+                      F.date_add(F.lit("1997-06-01").cast("date"),
+                                 (F.col("event_id") % 365).cast("int")))
+          .select("event_id", "user_id", "event_date"))
+    orders = t["orders"].select(F.col("o_custkey").alias("user_id"),
+                                F.col("o_orderdate").cast("date").alias("odate"),
+                                "o_totalprice", "o_orderkey")
+    # deterministic right side: keep the max-price order per (cust, date)
+    orders = (orders.groupBy("user_id", "odate")
+              .agg(F.max("o_totalprice").alias("best_price")))
+    joined = relational.asof_join(
+        ev.withColumn("ts_d", F.unix_date(F.col("event_date"))),
+        orders.withColumn("ts_d", F.unix_date(F.col("odate"))),
+        key="user_id", left_ts="ts_d", right_ts="ts_d",
+        right_cols=["best_price"])
+    return (joined.select("event_id", "user_id",
+                          F.round("best_price_asof", 2).alias("price_asof"))
+            .orderBy("event_id"))
+
+
+_add(
+    "p15_asof_join",
+    _asof_query,
+    """
+    WITH ev AS (
+      SELECT event_id, user_id,
+             (DATE '1997-06-01' + INTERVAL ((event_id % 365)::INT) DAY)::DATE AS event_date
+      FROM events),
+    ords AS (
+      SELECT o_custkey AS user_id, o_orderdate::DATE AS odate,
+             MAX(o_totalprice) AS best_price
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id,
+           ROUND((SELECT o.best_price FROM ords o
+                  WHERE o.user_id = e.user_id AND o.odate <= e.event_date
+                  ORDER BY o.odate DESC LIMIT 1), 2) AS price_asof
+    FROM ev e
+    ORDER BY e.event_id
     """,
 )

@@ -69,6 +69,34 @@ def test_windowed_stream_equals_batch(spark):
         assert abs(s[k]["avg_score"] - b[k]["avg_score"]) < 1e-9
 
 
+def test_stateful_stream_matches_batch(spark):
+    """applyInPandasWithState running per-user aggregates equal the batch
+    groupBy over the same data."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.stateful import run_stateful_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {r["user_id"]: r for r in
+                run_stateful_stream(spark, f"{sf_dir}/events.parquet").collect()}
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.01) * F.col("value") + F.lit(-1.0))))
+    batch = {r["user_id"]: r for r in
+             raw.groupBy("user_id").agg(
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"),
+                 F.avg(score).alias("avg_score"),
+                 F.max("ts").alias("last_ts")).collect()}
+    assert set(streamed) == set(batch) and len(batch) > 0
+    for uid in batch:
+        assert streamed[uid]["n_events"] == batch[uid]["n_events"]
+        assert abs(streamed[uid]["sum_value"] - batch[uid]["sum_value"]) < 1e-6
+        assert abs(streamed[uid]["avg_score"] - batch[uid]["avg_score"]) < 1e-9
+        assert streamed[uid]["last_ts"] == batch[uid]["last_ts"]
+
+
 def test_streaming_equals_batch(spark):
     """The streamed per-event-type scores equal the one-shot batch
     aggregation (K20) once all data is processed."""
