@@ -159,9 +159,7 @@ class LocalBackend:
 # Spark backend
 # ---------------------------------------------------------------------------
 
-def _softplus(z):
-    """log(1 + exp(z)), overflow-stable column expression."""
-    return F.greatest(z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z)))
+from golem_spark.functions.core import softplus as _softplus  # noqa: E402
 
 
 def _curvature_weights(fam: str, y: np.ndarray, lp: np.ndarray) -> np.ndarray:
