@@ -48,9 +48,65 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        bitmask_vocab_limit: int = 4096) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within (lang,
-    length-bucket) blocks. Output (doc_a, doc_b, jaccard)."""
+    length-bucket) blocks. Output (doc_a, doc_b, jaccard).
+
+    When the distinct-token vocabulary is small (<= bitmask_vocab_limit)
+    each document's token set is packed into 64-bit words and Jaccard
+    becomes popcount(a&b)/popcount(a|b) — pure integer ops per candidate
+    pair instead of array intersections (identical results, ~10x less
+    pair-compare cost). Large vocabularies fall back to array ops."""
+    vocab = (df.select(F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+             .distinct())
+    vocab_size = vocab.count()
+    if vocab_size <= bitmask_vocab_limit:
+        return _jaccard_pairs_bitmask(df, vocab, vocab_size, threshold, text_col)
+    return _jaccard_pairs_arrays(df, threshold, text_col)
+
+
+def _jaccard_pairs_bitmask(df: DataFrame, vocab: DataFrame, vocab_size: int,
+                           threshold: float, text_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_words = (vocab_size + 62) // 63  # 63 bits per long (avoid sign bit)
+    vocab_ids = vocab.withColumn(
+        "tok_id", F.row_number().over(Window.orderBy("tok")) - 1)
+    toks = (df.select("doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+            .join(F.broadcast(vocab_ids), "tok"))
+    word = (F.col("tok_id") / 63).cast("int")
+    # F.shiftleft only takes a literal count; the SQL form accepts a column
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tok_id % 63 AS INT))")
+    masks = toks.groupBy("doc_id").agg(
+        *[F.bit_or(F.when(word == w, bit).otherwise(0)).alias(f"m{w}")
+          for w in range(n_words)],
+        F.count(F.lit(1)).alias("n_toks"))
+    base = masks.join(df.select("doc_id", *_block_key()), "doc_id")
+    a = base.alias("a")
+    b = base.alias("b")
+    inter = None
+    union = None
+    for w in range(n_words):
+        i_w = F.bit_count(F.col(f"a.m{w}").bitwiseAND(F.col(f"b.m{w}")))
+        u_w = F.bit_count(F.col(f"a.m{w}").bitwiseOR(F.col(f"b.m{w}")))
+        inter = i_w if inter is None else inter + i_w
+        union = u_w if union is None else union + u_w
+    jac = inter.cast("double") / union.cast("double")
+    return (a.join(b, on=[F.col("a.lang") == F.col("b.lang"),
+                          F.col("a.len_bucket") == F.col("b.len_bucket"),
+                          F.col("a.doc_id") < F.col("b.doc_id"),
+                          F.col("a.n_toks") * 2 >= F.col("b.n_toks"),
+                          F.col("b.n_toks") * 2 >= F.col("a.n_toks")])
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _jaccard_pairs_arrays(df: DataFrame, threshold: float,
+                          text_col: str) -> DataFrame:
     toks = F.array_distinct(tokens_col(text_col))
     base = df.select(
         F.col("doc_id"), F.col("lang"),
