@@ -263,6 +263,10 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                      tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
                      diagnostics=diagnostics)
 
+    grad_cache: np.ndarray | None = None  # full gradient at beta_prev,
+    # left over from the previous point's final KKT check — saves one
+    # full data pass per path point on the prox-Newton backends
+
     k = 0
     while k < n_sig:
         violations_k: list[int] = []
@@ -270,7 +274,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
 
         strong = None
         if screening_on:
-            grad_prev = full_gradient(beta_prev)
+            grad_prev = grad_cache if grad_cache is not None else full_gradient(beta_prev)
             sigma_prev = sigma_max if k == 0 else float(sigma_vec[k - 1])
             strong = strong_set(grad_prev, lambda_vec * sig_k,
                                 lambda_vec * sigma_prev, intercept)
@@ -285,6 +289,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             beta = np.zeros((p_total, m))
             beta[active_set] = res.beta.reshape(active_set.size, m)
             passes[k] = res.passes
+            grad_cache = None  # no KKT pass in the full-set branch
         else:
             while True:
                 if active_set.size == 0:
@@ -300,6 +305,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                     passes[k] = res.passes
 
                 grad = full_gradient(beta)
+                grad_cache = grad
                 possible = kkt_check(grad, beta, lambda_vec * sig_k, tol_infeas, intercept)
                 strong_failures = set_intersect(possible, strong)
                 check_failures = set_diff(strong_failures, active_set)
