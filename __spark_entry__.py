@@ -43,14 +43,20 @@ def _glm_gaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from golem_spark.path import owl
 
+    import pandas as pd
+
     li = load_tables(spark, sf_dir)["lineitem"]
     fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
               label_col="l_quantity", family="gaussian", n_sigma=20)
-    rows = [(int(k), float(round(fit.sigma[k], 8)),
-             float(round(fit.deviance_ratio[k], 6)),
-             int((abs(fit.coefficients[1:, 0, k]) > 1e-12).sum()))
-            for k in range(fit.n_sigma)]
-    return spark.createDataFrame(rows, "path_idx int, sigma double, dev_ratio double, n_nonzero int") \
+    pdf = pd.DataFrame({
+        "path_idx": [int(k) for k in range(fit.n_sigma)],
+        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
+        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
+        "n_nonzero": [int((abs(fit.coefficients[1:, 0, k]) > 1e-12).sum())
+                      for k in range(fit.n_sigma)],
+    })
+    # pandas -> Arrow -> LocalRelation: no RDD parallelize / Python workers
+    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double, n_nonzero int") \
         .orderBy(F.col("path_idx"))
 
 
@@ -61,14 +67,18 @@ def _glm_binomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from golem_spark.path import owl
 
+    import pandas as pd
+
     li = load_tables(spark, sf_dir)["lineitem"]
     li = li.withColumn("is_r", F.when(F.col("l_returnflag") == "R", "R").otherwise("other"))
     fit = owl(df=li, feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
               label_col="is_r", family="binomial", n_sigma=8)
-    rows = [(int(k), float(round(fit.sigma[k], 8)),
-             float(round(fit.deviance_ratio[k], 6)))
-            for k in range(fit.n_sigma)]
-    return spark.createDataFrame(rows, "path_idx int, sigma double, dev_ratio double") \
+    pdf = pd.DataFrame({
+        "path_idx": [int(k) for k in range(fit.n_sigma)],
+        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
+        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
+    })
+    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double") \
         .orderBy(F.col("path_idx"))
 
 

@@ -347,6 +347,37 @@ class SparkBackend:
                 H[l * p:(l + 1) * p, k * p:(k + 1) * p] = blk
         return float(row["__primal"]), float(row["__dual"]), grad, H
 
+    def gaussian_sufficient_stats(self):
+        """(gram, xty, yty) in ONE distributed pass — the complete data
+        dependence of the gaussian path (factorize-once design,
+        src/owl.cpp:171-215). After this single pass the entire ADMM
+        path loop, including lambda_max (= |xty| rows sans intercept),
+        is driver-local: one data pass for the whole fit."""
+        if self.p_total > self._QUAD_EXPR_MAX_P:
+            return self._arrow_view().gaussian_sufficient_stats()
+        cols = ([F.lit(1.0)] if self.intercept else []) + [F.col(c) for c in self.feat_cols]
+        p = self.p_total
+        aggs = []
+        for i in range(p):
+            for j in range(i, p):
+                aggs.append(F.sum(cols[i] * cols[j]).alias(f"__xx_{i}_{j}"))
+        for k, yc in enumerate(self.y_cols):
+            for i, c in enumerate(cols):
+                aggs.append(F.sum(c * F.col(yc)).alias(f"__xty_{i}_{k}"))
+            aggs.append(F.sum(F.col(yc) * F.col(yc)).alias(f"__yy_{k}"))
+        row = self.df.agg(*aggs).collect()[0]
+        g = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                g[i, j] = g[j, i] = row[f"__xx_{i}_{j}"]
+        xty = np.zeros((p, self.m))
+        yty = 0.0
+        for k in range(self.m):
+            for i in range(p):
+                xty[i, k] = row[f"__xty_{i}_{k}"]
+            yty += float(row[f"__yy_{k}"])
+        return g, xty, yty
+
     def gram(self) -> np.ndarray:
         """X^T X including the intercept column — one distributed pass,
         p(p+1)/2 partial-aggregated sums, p×p to the driver. For the
@@ -457,36 +488,39 @@ class SparkBackend:
                             self.intercept, self.n, self._lgamma_sum, persist=False)
 
     def lambda_max_gradient(self) -> np.ndarray:
+        """|X^T y~| in ONE fused aggregation pass (lambdaMax.h:8-60).
+
+        The family-specific centered forms distribute over the sum:
+        sum(c*(y - mu)) = sum(c*y) - mu*sum(c), and the multinomial's
+        standardize-then-rescale (divide by sd, multiply back) cancels —
+        so per-target means come from the same pass instead of a
+        separate statistics job."""
         fam = self.family.name
         cols = [F.col(c) for c in self.feat_cols]
         y0 = F.col(self.y_cols[0])
         if fam == "binomial":
-            ymean = self.df.agg(F.avg((y0 + 1) / 2).alias("m")).collect()[0]["m"]
-            yt = [(y0 + 1) / 2 - F.lit(float(ymean))]
-            scales = [1.0]
+            yts = [(y0 + 1) / 2]
         elif fam == "poisson":
-            yt = [F.lit(1.0) - y0]
-            scales = [1.0]
+            yts = [F.lit(1.0) - y0]
         elif fam == "multinomial":
-            stats = self.df.agg(*(
-                [F.avg(F.col(c)).alias(f"m{k}") for k, c in enumerate(self.y_cols)]
-                + [F.stddev_pop(F.col(c)).alias(f"s{k}") for k, c in enumerate(self.y_cols)]
-            )).collect()[0]
-            yt = [(F.col(c) - F.lit(float(stats[f"m{k}"]))) / F.lit(float(stats[f"s{k}"]))
-                  for k, c in enumerate(self.y_cols)]
-            scales = [float(stats[f"s{k}"]) for k in range(self.m)]
+            yts = [F.col(c) for c in self.y_cols]
         else:
-            yt = [y0]
-            scales = [1.0]
+            yts = [y0]
+        need_center = fam in ("binomial", "multinomial")
         aggs = []
-        for k, yk in enumerate(yt):
+        for k, yk in enumerate(yts):
             for j, c in enumerate(cols):
-                aggs.append(F.sum(c * yk).alias(f"__lm_{j}_{k}"))
+                aggs.append(F.sum(c * yk).alias(f"__cy_{j}_{k}"))
+            if need_center:
+                aggs.append(F.sum(yk).alias(f"__y_{k}"))
+        if need_center:
+            aggs += [F.sum(c).alias(f"__c_{j}") for j, c in enumerate(cols)]
         row = self.df.agg(*aggs).collect()[0]
-        g = np.zeros((len(cols), len(yt)))
-        for k in range(len(yt)):
+        g = np.zeros((len(cols), len(yts)))
+        for k in range(len(yts)):
+            mu = row[f"__y_{k}"] / self.n if need_center else 0.0
             for j in range(len(cols)):
-                g[j, k] = row[f"__lm_{j}_{k}"] * scales[k]
+                g[j, k] = row[f"__cy_{j}_{k}"] - (mu * row[f"__c_{j}"] if need_center else 0.0)
         return np.abs(g.ravel(order="F"))
 
     def null_intercepts(self) -> np.ndarray:
@@ -610,6 +644,23 @@ class ArrowSparkBackend(SparkBackend):
         return self._partial_reduce(batch, p_total * p_total).reshape(
             (p_total, p_total))
 
+    def gaussian_sufficient_stats(self):
+        """(gram, xty, yty) via one mapInPandas partial-reduction pass."""
+        intercept = self.intercept
+        p_total = self.p_total
+        m = self.m
+
+        def batch(X, Y):
+            Xi = np.hstack([np.ones((X.shape[0], 1)), X]) if intercept else X
+            return np.concatenate([(Xi.T @ Xi).ravel(),
+                                   (Xi.T @ Y).ravel(order="F"),
+                                   [float(np.sum(Y * Y))]])
+
+        out = self._partial_reduce(batch, p_total * p_total + p_total * m + 1)
+        gram = out[:p_total * p_total].reshape((p_total, p_total))
+        xty = out[p_total * p_total:-1].reshape((p_total, m), order="F")
+        return gram, xty, float(out[-1])
+
     def xty(self) -> np.ndarray:
         intercept = self.intercept
         p_total = self.p_total
@@ -689,6 +740,18 @@ def _family_numpy(fam: str, Y: np.ndarray, lp: np.ndarray,
     return primal, dual, g
 
 
+def _label_classes(df: DataFrame, label_col: str, stats) -> list:
+    """Sorted distinct label values — from the fused stats pass when
+    available (non-wide), else one distinct() job. Python's sort matches
+    Spark's ascending orderBy for the homogeneous str/numeric label
+    columns a GLM accepts."""
+    try:
+        vals = stats["__classes"]
+    except (KeyError, ValueError, TypeError):
+        return [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+    return sorted(vals)
+
+
 def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
                         family_name: str, intercept: bool = True,
                         center: bool = True, scale: str = "l2"):
@@ -718,6 +781,10 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         if label_numeric:
             aggs.append(F.avg(F.col(label_col).cast("double")).alias("__ymean"))
             aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
+        if family_name in ("binomial", "multinomial"):
+            # class discovery fused into the same pass (GLM labels have
+            # few distinct values; saves a separate distinct() job)
+            aggs.append(F.collect_set(F.col(label_col)).alias("__classes"))
         stats = df.agg(*aggs).collect()[0]
         n = int(stats["__n"])
         bad = [c for c in [*feature_cols, label_col] if stats[f"__null_{c}"] > 0]
@@ -783,7 +850,7 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         enc = df.withColumn("__y0", F.col(label_col).cast("double") - F.lit(float(y_mean)))
         y_cols = ["__y0"]
     elif family_name == "binomial":
-        classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        classes = _label_classes(df, label_col, stats)
         if len(classes) != 2:
             raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
         class_names = [str(c) for c in classes]
@@ -796,7 +863,7 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         enc = df.withColumn("__y0", F.col(label_col).cast("double"))
         y_cols = ["__y0"]
     elif family_name == "multinomial":
-        classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
+        classes = _label_classes(df, label_col, stats)
         if len(classes) == 2:
             raise ValueError("only two classes in response; use family='binomial'")
         class_names = [str(c) for c in classes]

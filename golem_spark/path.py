@@ -166,21 +166,9 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         lambda_vec = lambda_sequence("user", n, n_lambda, user_lambda=np.asarray(lam))
         lambda_vec = lambda_vec * n  # reference convention (regularizationPath.h:54)
 
-    # -- sigma grid ---------------------------------------------------------
-    lam_max_grad = backend.lambda_max_gradient()
-    sigma_max, auto_grid = sigma_grid(lam_max_grad, lambda_vec, n_sigma, lambda_min_ratio)
-    if sigma is None:
-        sigma_vec = auto_grid
-    else:
-        sigma_vec = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
-        # user-specified sigma: never stop the path early (R/owl.R:301-307)
-        tol_dev_change = 0.0
-        tol_dev_ratio = 1.0
-        max_variables = (p_feat + int(intercept)) * m
-    n_sig = sigma_vec.size
-
-    # -- sufficient statistics for the gaussian/ADMM path -------------------
-    # Solver routing:
+    # -- solver routing (decided before the sigma grid so the gaussian
+    # Spark path can fuse lambda_max into its single sufficient-stats
+    # pass) --------------------------------------------------------------
     # - gaussian with modest p: ADMM over the full Gram — O(1) data
     #   passes for the whole path;
     # - gaussian wide-p (full p x p Gram impractical): prox-Newton with
@@ -195,20 +183,49 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     gram_full = None
     xty_full = None
     yty = None
-    if use_admm:
+
+    # -- sigma grid ---------------------------------------------------------
+    if use_admm and isinstance(backend, SparkBackend):
+        # ONE distributed pass covers gram + X'y + ||y||^2, and the
+        # gaussian lambda_max gradient |X^T y| is just the non-intercept
+        # rows of X'y — the whole remaining fit is driver-local.
+        gram_full, xty_full, yty = backend.gaussian_sufficient_stats()
+        off = 1 if intercept else 0
+        lam_max_grad = np.abs(xty_full[off:, :]).ravel(order="F")
+    else:
+        lam_max_grad = backend.lambda_max_gradient()
+    sigma_max, auto_grid = sigma_grid(lam_max_grad, lambda_vec, n_sigma, lambda_min_ratio)
+    if sigma is None:
+        sigma_vec = auto_grid
+    else:
+        sigma_vec = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+        # user-specified sigma: never stop the path early (R/owl.R:301-307)
+        tol_dev_change = 0.0
+        tol_dev_ratio = 1.0
+        max_variables = (p_feat + int(intercept)) * m
+    n_sig = sigma_vec.size
+
+    # -- sufficient statistics for the gaussian/ADMM path -------------------
+    if use_admm and gram_full is None:
+        # local backend: gram/xty/yty are cheap numpy products
         gram_full = backend.gram()
         xty_full = backend.xty()
+        yty = _yty(backend)
     elif use_prox_newton and p_total <= 500:
         # cheap enough to take the single full-Gram pass up front; every
         # active-set Gram is then a driver-side slice
         gram_full = backend.gram()
 
     # -- null deviance ------------------------------------------------------
+    # primal at beta=0 is closed-form for every family (no data pass):
+    # gaussian 0.5*||y||^2, binomial n*log2, poisson n + sum lgamma(y+1),
+    # multinomial n*log(m+1) — src/owl.cpp:94-96 computes the same
+    # quantity with a data pass.
     beta = np.zeros((p_total, m))
     if use_admm:
-        # primal at beta=0 is 0.5*||y||^2; get ||y||^2 via one tiny agg
-        yty = _yty(backend)
         null_deviance = yty
+    elif isinstance(backend, SparkBackend):
+        null_deviance = 2.0 * _spark_primal_at_zero(backend)
     else:
         null_deviance = 2.0 * backend.primal(beta)
 
@@ -294,8 +311,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             while True:
                 if active_set.size == 0:
                     beta = np.zeros((p_total, m))
-                    res = SolverResult(beta.copy(), 0, deviance=(
-                        yty if use_admm else 2.0 * backend.primal(beta)))
+                    # deviance at beta=0 IS the null deviance
+                    res = SolverResult(beta.copy(), 0, deviance=null_deviance)
                 else:
                     n_active_pen = (active_set.size - int(intercept)) * m
                     lam_k = (lambda_vec[:n_active_pen] * sig_k)
@@ -304,7 +321,12 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                     beta[active_set] = res.beta.reshape(active_set.size, m)
                     passes[k] = res.passes
 
-                grad = full_gradient(beta)
+                if active_set.size == p_total and res.grad is not None:
+                    # the solver's final evaluation already produced the
+                    # gradient over ALL columns — no extra KKT pass
+                    grad = res.grad.reshape(p_total, m)
+                else:
+                    grad = full_gradient(beta)
                 grad_cache = grad
                 possible = kkt_check(grad, beta, lambda_vec * sig_k, tol_infeas, intercept)
                 strong_failures = set_intersect(possible, strong)
@@ -375,6 +397,20 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         diagnostics=diag_rows if diagnostics else None,
         meta={**meta, "sigma_max": sigma_max, "n": n},
     )
+
+
+def _spark_primal_at_zero(backend) -> float:
+    """Closed-form family primal at beta=0 — saves a distributed pass."""
+    import math
+
+    fam = backend.family.name
+    if fam == "binomial":
+        return backend.n * math.log(2.0)
+    if fam == "multinomial":
+        return backend.n * math.log(backend.m + 1.0)
+    if fam == "poisson":
+        return backend.n + backend._lgamma_sum
+    return 0.5 * _yty(backend)  # gaussian wide-p prox-Newton
 
 
 def _yty(backend) -> float:

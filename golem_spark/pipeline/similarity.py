@@ -39,13 +39,15 @@ def cosine_topk(df: DataFrame, query_vec_id: int = 0, k: int = 10,
     """Exact top-k cosine neighbors of one stored vector (excluding
     itself). Output (vec_id, cos) ordered by cos desc, id asc."""
     q = df.filter(F.col(id_col) == query_vec_id) \
-          .select(_as_double(F.col(vec_col)).alias("qv"))
+          .select(_as_double(F.col(vec_col)).alias("qv"),
+                  _norm(_as_double(F.col(vec_col))).alias("qnrm"))
     joined = df.filter(F.col(id_col) != query_vec_id) \
                .crossJoin(F.broadcast(q))
     e = _as_double(F.col(vec_col))
     return (joined
             .select(F.col(id_col),
-                    F.round(cosine_expr(e, F.col("qv")), 6).alias("cos"))
+                    F.round(_dot(e, F.col("qv")) / (_norm(e) * F.col("qnrm")),
+                            6).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col))
             .limit(k))
 
@@ -74,6 +76,24 @@ def lsh_signature(vec_col, n_planes: int = 6):
     return sig
 
 
+def _with_sig_norm(df: DataFrame, vec_col: str, id_col: str,
+                   n_planes: int) -> DataFrame:
+    """(id, bucket, ev, nrm) materialized ONCE and persisted.
+
+    The LSH-signature and norm expressions are large higher-order-function
+    trees; without a materialization barrier Catalyst's projection
+    collapse re-inlines them into every join condition and per-pair
+    projection (the signature ends up evaluated per candidate pair rather
+    than per row). Persisting the projected frame is the standard
+    reused-intermediate pattern and keeps per-pair work to one dot
+    product."""
+    return (df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+            .select(F.col(id_col), "bucket",
+                    _as_double(F.col(vec_col)).alias("ev"),
+                    _norm(_as_double(F.col(vec_col))).alias("nrm"))
+            .persist())
+
+
 def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
                  n_planes: int = 6, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
@@ -82,17 +102,18 @@ def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     Output (query_id, vec_id, cos)."""
     from pyspark.sql import Window
 
-    with_sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    with_sig = _with_sig_norm(df, vec_col, id_col, n_planes)
     qs = with_sig.filter(F.col(id_col).isin(list(query_ids))) \
                  .select(F.col(id_col).alias("query_id"),
-                         _as_double(F.col(vec_col)).alias("qv"),
+                         F.col("ev").alias("qv"),
+                         F.col("nrm").alias("qnrm"),
                          F.col("bucket").alias("qbucket"))
     cands = with_sig.join(F.broadcast(qs),
                           on=[F.col("bucket") == F.col("qbucket"),
                               F.col(id_col) != F.col("query_id")])
-    e = _as_double(F.col(vec_col))
+    cos = _dot(F.col("ev"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
     scored = cands.select("query_id", F.col(id_col),
-                          F.round(cosine_expr(e, F.col("qv")), 6).alias("cos"))
+                          F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
@@ -104,14 +125,17 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets (the
     scalable near-dup path for embedding spaces; more planes = smaller
-    buckets = fewer candidate pairs). Output (id_a, id_b, cos)."""
-    with_sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes)) \
-                 .select(id_col, "bucket", _as_double(F.col(vec_col)).alias("ev"))
+    buckets = fewer candidate pairs). Output (id_a, id_b, cos).
+
+    The threshold is applied to the unrounded cosine (same as the DuckDB
+    oracle); only the reported value is rounded."""
+    with_sig = _with_sig_norm(df, vec_col, id_col, n_planes)
     a = with_sig.alias("a")
     b = with_sig.alias("b")
+    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .filter(cos >= threshold)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.round(cosine_expr(F.col("a.ev"), F.col("b.ev")), 6).alias("cos"))
-            .filter(F.col("cos") >= threshold))
+                    F.round(cos, 6).alias("cos")))

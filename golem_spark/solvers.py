@@ -36,6 +36,10 @@ class SolverResult:
     duals: list[float] = field(default_factory=list)
     time: list[float] = field(default_factory=list)
     deviance: float = 0.0
+    # gradient at the returned beta (subset space), when the solver's
+    # final evaluation already produced it — lets the path loop skip a
+    # full-gradient KKT pass when the active set spans all columns
+    grad: np.ndarray | None = None
 
 
 def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
@@ -52,6 +56,7 @@ def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
     beta_tilde = beta.copy()
     eta = 0.5
     t = 1.0
+    final_grad = None  # set when converged (grad matches returned beta)
     primals: list[float] = []
     duals: list[float] = []
     times: list[float] = []
@@ -74,6 +79,7 @@ def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
             duals.append(dual_val)
 
         if optimal and feasible:
+            final_grad = grad
             break
 
         beta_tilde_old = beta_tilde
@@ -101,38 +107,52 @@ def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
         passes += 1
 
     deviance = 2.0 * backend.primal(beta)
-    return SolverResult(beta, passes, primals, duals, times, deviance)
+    return SolverResult(beta, passes, primals, duals, times, deviance,
+                        grad=final_grad)
 
 
-def _prox_quadratic(H_apply, lin: np.ndarray, beta0: np.ndarray, lam: np.ndarray,
-                    L: float, pen0: int, max_iter: int = 20000,
-                    tol: float = 1e-10) -> np.ndarray:
-    """Driver-local FISTA on the quadratic model
+def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
+                    lam: np.ndarray, pen0: int, *, max_iter: int = 5000,
+                    tol: float = 1e-8, alpha: float = 1.5) -> np.ndarray:
+    """Driver-local ADMM on the quadratic model
         min_d  0.5 <d, H d> + <lin, d> + J(beta0 + d; lam)
-    where H_apply(d) computes H d on (p, m) matrices. Model-sized only —
-    microseconds per iteration, no data passes."""
-    d = np.zeros_like(beta0)
-    d_tilde = d.copy()
-    t = 1.0
-    step = 1.0 / max(L, 1e-12)
+    with ``H`` the explicit (p*m, p*m) column-major-flattened quadratic
+    operator. One Cholesky up front, O((p*m)^2) per iteration — orders of
+    magnitude faster than an inner FISTA loop on the same model, and
+    still exact (model-sized driver work, no data passes). Returns d."""
+    p, m = beta0.shape
+    pm = p * m
+    b0 = beta0.ravel(order="F")
+    q0 = H @ b0 - lin.ravel(order="F")
+    eig_max = float(np.linalg.eigvalsh(H).max()) if pm > 1 else float(H[0, 0])
+    rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) \
+        if lam.size and lam.max() > 0 else max(eig_max, 1.0)
+    rho = max(rho, 1e-12)
+    Lc = np.linalg.cholesky(H + rho * np.eye(pm))
+    z = b0.copy()
+    u = np.zeros(pm)
+    b = b0.copy()
     for _ in range(max_iter):
-        grad = H_apply(d) + lin
-        cand = d - step * grad
-        full = beta0 + cand
-        full[pen0:, :] = prox_sorted_l1(
-            full[pen0:, :].ravel(order="F"), lam * step
-        ).reshape(full[pen0:, :].shape, order="F")
-        cand = full - beta0
-        t_old = t
-        t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * t_old * t_old))
-        d_new = cand + (t_old - 1.0) / t * (cand - d_tilde)
-        if np.max(np.abs(cand - d_tilde)) < tol * max(1.0, np.max(np.abs(beta0 + cand))):
-            d_tilde = cand
-            d = d_new
+        q = q0 + rho * (z - u)
+        b = np.linalg.solve(Lc.T, np.linalg.solve(Lc, q))
+        z_old = z
+        b_hat = alpha * b + (1 - alpha) * z_old
+        z = b_hat + u
+        if pm - pen0 * m:
+            zm = z.reshape((p, m), order="F")
+            zm[pen0:, :] = prox_sorted_l1(
+                zm[pen0:, :].ravel(order="F"), lam / rho
+            ).reshape((p - pen0, m), order="F")
+            z = zm.ravel(order="F")
+        u = u + (b_hat - z)
+        r = float(np.linalg.norm(b - z))
+        s = float(np.linalg.norm(rho * (z - z_old)))
+        eps_p = math.sqrt(pm) * 1e-10 + tol * max(
+            float(np.linalg.norm(b)), float(np.linalg.norm(z)))
+        eps_d = math.sqrt(pm) * 1e-10 + tol * float(np.linalg.norm(rho * u))
+        if r < eps_p and s < eps_d:
             break
-        d_tilde = cand
-        d = d_new
-    return d_tilde
+    return z.reshape((p, m), order="F") - beta0
 
 
 def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
@@ -214,21 +234,15 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
             break
 
         if local_hessian:
-            Hr = H + 1e-9 * np.eye(p_tot * m)
-            L_sub = float(np.linalg.eigvalsh(Hr).max())
-            if m == 1:
-                H_apply = lambda d, Hr=Hr: Hr @ d
-            else:
-                H_apply = lambda d, Hr=Hr: (
-                    (Hr @ d.ravel(order="F")).reshape((p_tot, m), order="F"))
+            Hmat = H + 1e-9 * np.eye(p_tot * m)
         elif fam == "gaussian":
-            L_sub = float(np.linalg.eigvalsh(gram).max())
-            H_apply = lambda d: gram @ d
+            Hmat = gram
         else:
-            L_sub = 0.5 * float(np.linalg.eigvalsh(gram).max())  # eig(B) <= 1
-            H_apply = lambda d: 0.5 * (gram @ d @ B)
+            # Bohning bound 0.5 (I - 11'/(m+1)) (x) X'X; vec_F(G d B) =
+            # (B (x) G) vec_F(d) for symmetric B
+            Hmat = 0.5 * np.kron(B, gram)
 
-        d = _prox_quadratic(H_apply, grad, beta, lam, L_sub, pen0)
+        d = _prox_quadratic(Hmat, grad, beta, lam, pen0)
 
         if local_hessian:
             # the local quadratic is not a global bound: step-halving
@@ -250,7 +264,9 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
             primal_val, dual_val, grad, H = evaluate(beta)
 
     deviance = 2.0 * primal_val
-    return SolverResult(beta, passes, primals, duals, times, deviance)
+    # grad was produced by the same evaluation that set primal_val/beta
+    return SolverResult(beta, passes, primals, duals, times, deviance,
+                        grad=grad)
 
 
 def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
