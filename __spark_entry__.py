@@ -82,6 +82,42 @@ def _glm_binomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("path_idx"))
 
 
+def _path_frame(spark: SparkSession, fit) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({
+        "path_idx": [int(k) for k in range(fit.n_sigma)],
+        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
+        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
+    })
+    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double") \
+        .orderBy(F.col("path_idx"))
+
+
+def _glm_poisson_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: distributed poisson (prox-Newton) path — model
+    the l_linenumber count from lineitem numerics."""
+    from golem_spark.path import owl
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
+              label_col="l_linenumber", family="poisson", n_sigma=5)
+    return _path_frame(spark, fit)
+
+
+def _glm_multinomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: distributed multinomial path — classify the
+    3-class l_returnflag (A/N/R) from lineitem numerics (full-rank m-1
+    parameterization, exact block Hessian)."""
+    from golem_spark.path import owl
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    fit = owl(df=li, feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
+              label_col="l_returnflag", family="multinomial", n_sigma=5)
+    return _path_frame(spark, fit)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in KERNELS:
@@ -89,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PIPELINE_QUERIES)
     out["glm_gaussian_path"] = _glm_gaussian_path
     out["glm_binomial_path"] = _glm_binomial_path
+    out["glm_poisson_path"] = _glm_poisson_path
+    out["glm_multinomial_path"] = _glm_multinomial_path
     return out
 
 

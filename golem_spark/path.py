@@ -252,7 +252,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             return gram_full @ b - xty_full  # driver-side, zero data passes
         return backend.eval(b)[2]
 
-    def fit_subset(sub_idx: np.ndarray, lam_k: np.ndarray, start_beta: np.ndarray) -> SolverResult:
+    def fit_subset(sub_idx: np.ndarray, lam_k: np.ndarray, start_beta: np.ndarray,
+                   init_eval: tuple | None = None) -> SolverResult:
         """Fit on the rows in sub_idx (full space indices)."""
         nonlocal z, u
         if use_admm:
@@ -275,14 +276,46 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                       else sub_backend.gram())
             return prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
                                max_passes=max_passes, tol_rel_gap=tol_rel_gap,
-                               tol_infeas=tol_infeas, diagnostics=diagnostics)
+                               tol_infeas=tol_infeas, diagnostics=diagnostics,
+                               init_eval=init_eval)
         return fista(sub_backend, sub_beta, lam_k, max_passes=max_passes,
                      tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
                      diagnostics=diagnostics)
 
-    grad_cache: np.ndarray | None = None  # full gradient at beta_prev,
-    # left over from the previous point's final KKT check — saves one
-    # full data pass per path point on the prox-Newton backends
+    # eval_cache: full-space (primal, dual, grad, hess) at a known beta —
+    # produced by the KKT check or the solver's final evaluation, consumed
+    # by the strong rule (gradient) AND as the next fit's first-iteration
+    # evaluation (init_eval). Every reuse is one full data pass saved.
+    eval_cache: dict | None = None
+
+    def full_eval(b: np.ndarray):
+        """(primal, dual, grad, hess|None) over ALL columns. ADMM: zero
+        data passes. Prox-Newton: eval_hess when the solver's local-
+        Hessian strategy will want H at this beta anyway, else eval."""
+        if use_admm:
+            return None, None, gram_full @ b - xty_full, None
+        fam_name = backend.family.name
+        need_h = (use_prox_newton
+                  and (fam_name in ("binomial", "poisson")
+                       or (fam_name == "multinomial" and p_total * m <= 60)))
+        if need_h:
+            return backend.eval_hess(b)
+        pr, du, g = backend.eval(b)
+        return pr, du, g, None
+
+    def cache_slice(sub_idx: np.ndarray, start_beta: np.ndarray):
+        """init_eval for a subset fit starting at start_beta, when the
+        cache holds an evaluation at exactly that point (start_beta is
+        zero outside sub_idx, so the scalar primal/dual carry over)."""
+        if (eval_cache is None or eval_cache.get("primal") is None
+                or not np.array_equal(eval_cache["beta"], start_beta)):
+            return None
+        g = eval_cache["grad"][sub_idx, :]
+        H = eval_cache["hess"]
+        if H is not None:
+            idx = np.concatenate([kk * p_total + sub_idx for kk in range(m)])
+            H = H[np.ix_(idx, idx)]
+        return eval_cache["primal"], eval_cache["dual"], g, H
 
     k = 0
     while k < n_sig:
@@ -291,7 +324,10 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
 
         strong = None
         if screening_on:
-            grad_prev = grad_cache if grad_cache is not None else full_gradient(beta_prev)
+            if eval_cache is not None and np.array_equal(eval_cache["beta"], beta_prev):
+                grad_prev = eval_cache["grad"]
+            else:
+                grad_prev = full_gradient(beta_prev)
             sigma_prev = sigma_max if k == 0 else float(sigma_vec[k - 1])
             strong = strong_set(grad_prev, lambda_vec * sig_k,
                                 lambda_vec * sigma_prev, intercept)
@@ -302,12 +338,18 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         if active_set.size == p_total or not screening_on:
             screening_on = False
             active_set = np.arange(p_total, dtype=np.int64)
-            res = fit_subset(active_set, lambda_vec * sig_k, beta_prev)
+            res = fit_subset(active_set, lambda_vec * sig_k, beta_prev,
+                             init_eval=cache_slice(active_set, beta_prev))
             beta = np.zeros((p_total, m))
             beta[active_set] = res.beta.reshape(active_set.size, m)
             passes[k] = res.passes
-            grad_cache = None  # no KKT pass in the full-set branch
+            # solver's final evaluation covers the full space: feeds the
+            # next path point's warm chain directly
+            eval_cache = None if res.grad is None else {
+                "beta": beta.copy(), "grad": res.grad.reshape(p_total, m),
+                "hess": res.hess, "primal": res.primal, "dual": res.dual}
         else:
+            start = beta_prev
             while True:
                 if active_set.size == 0:
                     beta = np.zeros((p_total, m))
@@ -316,7 +358,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                 else:
                     n_active_pen = (active_set.size - int(intercept)) * m
                     lam_k = (lambda_vec[:n_active_pen] * sig_k)
-                    res = fit_subset(active_set, lam_k, beta_prev)
+                    res = fit_subset(active_set, lam_k, start,
+                                     init_eval=cache_slice(active_set, start))
                     beta = np.zeros((p_total, m))
                     beta[active_set] = res.beta.reshape(active_set.size, m)
                     passes[k] = res.passes
@@ -325,9 +368,13 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                     # the solver's final evaluation already produced the
                     # gradient over ALL columns — no extra KKT pass
                     grad = res.grad.reshape(p_total, m)
+                    eval_cache = {"beta": beta.copy(), "grad": grad,
+                                  "hess": res.hess, "primal": res.primal,
+                                  "dual": res.dual}
                 else:
-                    grad = full_gradient(beta)
-                grad_cache = grad
+                    pr_f, du_f, grad, H_f = full_eval(beta)
+                    eval_cache = {"beta": beta.copy(), "grad": grad,
+                                  "hess": H_f, "primal": pr_f, "dual": du_f}
                 possible = kkt_check(grad, beta, lambda_vec * sig_k, tol_infeas, intercept)
                 strong_failures = set_intersect(possible, strong)
                 check_failures = set_diff(strong_failures, active_set)

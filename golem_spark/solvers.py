@@ -36,10 +36,14 @@ class SolverResult:
     duals: list[float] = field(default_factory=list)
     time: list[float] = field(default_factory=list)
     deviance: float = 0.0
-    # gradient at the returned beta (subset space), when the solver's
-    # final evaluation already produced it — lets the path loop skip a
-    # full-gradient KKT pass when the active set spans all columns
+    # final-evaluation state at the returned beta (subset space), when
+    # the solver's last evaluation already produced it — lets the path
+    # loop skip a full-gradient KKT pass when the active set spans all
+    # columns, and warm-chain the next fit's first evaluation
     grad: np.ndarray | None = None
+    hess: np.ndarray | None = None
+    primal: float | None = None
+    dual: float | None = None
 
 
 def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
@@ -158,7 +162,8 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
 def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
                 max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
                 tol_infeas: float = 1e-3, max_outer: int = 1000,
-                diagnostics: bool = False) -> SolverResult:
+                diagnostics: bool = False,
+                init_eval: tuple | None = None) -> SolverResult:
     """Distributed-friendly solver: ONE aggregation pass per outer
     iteration (plus line-search passes for poisson).
 
@@ -220,7 +225,14 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
         pr, du, g = backend.eval(b)
         return pr, du, g, None
 
-    primal_val, dual_val, grad, H = evaluate(beta)
+    # init_eval = (primal, dual, grad, hess|None) already computed at the
+    # start beta (e.g. by the path loop's KKT check) — skips the first
+    # data pass; unusable when the local-Hessian strategy needs H and the
+    # caller could not supply it
+    if init_eval is not None and (not local_hessian or init_eval[3] is not None):
+        primal_val, dual_val, grad, H = init_eval
+    else:
+        primal_val, dual_val, grad, H = evaluate(beta)
     for _ in range(max_outer):
         f = primal_val + sorted_l1_norm(beta[pen0:, :], lam)
         infeas = infeasibility(grad[pen0:, :], lam) if lam.size else 0.0
@@ -264,9 +276,9 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
             primal_val, dual_val, grad, H = evaluate(beta)
 
     deviance = 2.0 * primal_val
-    # grad was produced by the same evaluation that set primal_val/beta
+    # grad/H were produced by the same evaluation that set primal_val/beta
     return SolverResult(beta, passes, primals, duals, times, deviance,
-                        grad=grad)
+                        grad=grad, hess=H, primal=primal_val, dual=dual_val)
 
 
 def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
