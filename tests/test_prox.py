@@ -76,3 +76,35 @@ def test_preserves_shape_and_sign():
     assert x.shape == (4, 3)
     nz = x != 0
     assert np.all(np.sign(x[nz]) == np.sign(v[nz]))
+
+
+# -- property-based (hypothesis) -------------------------------------------
+# mirrors the reference's randomized-problem test style (SURVEY §5.3)
+# with adversarial inputs: ties, zeros, flat and steep lambda ramps.
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_prox_properties(data):
+    p = data.draw(st.integers(1, 25))
+    v = np.asarray(data.draw(st.lists(
+        st.floats(-50, 50, allow_nan=False, width=64), min_size=p, max_size=p)))
+    lam = np.sort(np.asarray(data.draw(st.lists(
+        st.floats(0, 20, allow_nan=False, width=64), min_size=p, max_size=p))))[::-1]
+    x = prox_sorted_l1(v, lam)
+    # 1) agrees with the slow independent pooling implementation
+    np.testing.assert_allclose(x, prox_sorted_l1_reference(v, lam), atol=1e-10)
+    # 2) shrinkage: never grows a magnitude
+    assert np.all(np.abs(x) <= np.abs(v) + 1e-12)
+    # 3) sign consistency
+    assert np.all(x * v >= -1e-12)
+    # 4) magnitude order preserved (prox commutes with the sort)
+    order = np.argsort(-np.abs(v), kind="stable")
+    mags = np.abs(x)[order]
+    assert np.all(np.diff(mags) <= 1e-12)
+    # 5) no-worse objective than the 0 and identity candidates
+    f = objective(x, v, lam)
+    assert f <= objective(np.zeros(p), v, lam) + 1e-9
+    assert f <= objective(v.copy(), v, lam) + 1e-9
