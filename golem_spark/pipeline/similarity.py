@@ -120,6 +120,59 @@ def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
             .select("query_id", id_col, "cos"))
 
 
+def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
+                 n_seeds: int = 16, n_probe: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization against a fixed
+    set of seed vectors (the first ``n_seeds`` stored vectors — a
+    deterministic stand-in for k-means centroids, so both engines agree
+    exactly), each vector assigned to its nearest seed's cell, queries
+    probing their ``n_probe`` nearest cells. Output (query_id, vec_id,
+    cos).
+
+    Scale path: the assignment is a broadcast of ``n_seeds`` tiny
+    vectors against one scan (the n x n_seeds expansion reduces
+    map-side via max_by-style struct aggregation — no global sort); the
+    candidate join touches only probed cells, ~n_probe/n_seeds of the
+    data. A production variant would learn the seeds with distributed
+    k-means (Lloyd's on a driver sample) and assign via one
+    mapInPandas matmul pass; the cell/probe plumbing is identical."""
+    from pyspark.sql import Window
+
+    base = (df.select(F.col(id_col),
+                      _as_double(F.col(vec_col)).alias("ev"),
+                      _norm(_as_double(F.col(vec_col))).alias("nrm"))
+            .persist())
+    seeds = (base.filter(F.col(id_col) < n_seeds)
+             .select(F.col(id_col).alias("seed_id"), F.col("ev").alias("sv"),
+                     F.col("nrm").alias("snrm")))
+    cos_seed = _dot(F.col("ev"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))
+    expanded = (base.crossJoin(F.broadcast(seeds))
+                .select(id_col, "seed_id", cos_seed.alias("__cs")))
+    # nearest seed per vector: max(struct(cos, -seed_id)) == smallest
+    # seed id on exact-cosine ties — map-side combinable, no window sort
+    cells = (expanded.groupBy(id_col)
+             .agg(F.max(F.struct(F.col("__cs"), (-F.col("seed_id")).alias("ns"))).alias("b"))
+             .select(id_col, (-F.col("b.ns")).alias("cell"))
+             .join(base, id_col))
+    wq = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("seed_id"))
+    qp = (expanded.filter(F.col(id_col).isin(list(query_ids)))
+          .withColumn("rn", F.row_number().over(wq))
+          .filter(F.col("rn") <= n_probe)
+          .select(F.col(id_col).alias("query_id"), F.col("seed_id").alias("qcell"))
+          .join(base.select(F.col(id_col).alias("query_id"),
+                            F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")),
+                "query_id"))
+    cos = _dot(F.col("ev"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
+    scored = (cells.join(F.broadcast(qp), on=[F.col("cell") == F.col("qcell"),
+                                              F.col(id_col) != F.col("query_id")])
+              .select("query_id", F.col(id_col), F.round(cos, 6).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("query_id", id_col, "cos"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 10, vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

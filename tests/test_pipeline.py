@@ -95,6 +95,19 @@ def test_embedding_near_dup(vecs):
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
 
 
+def test_ann_ivf_contains_near_neighbor(vecs):
+    """The planted near-dup of vector 0 shares vector 0's nearest-seed
+    cell (cos(0,1) ~ 1 so their seed rankings agree), so probing the
+    query's own cell must surface it."""
+    out = similarity.ann_ivf_topk(vecs, query_ids=(0,), k=5,
+                                  n_seeds=4, n_probe=2).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 1 in ids
+    assert len(ids) == len(set(ids)) <= 5
+    # every result carries a valid cosine
+    assert all(-1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9 for r in out)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_fake_media(docs)
     feats = multimodal.extract_features(media)
