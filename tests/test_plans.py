@@ -75,3 +75,23 @@ def test_cosine_topk_broadcasts_query_vector(tables):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # top-k is TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_assignment_broadcasts_seeds_no_global_sort(tables):
+    """IVF assignment must broadcast the tiny seed set against one scan
+    and reduce to cells via hash aggregation — a SortExchange-based
+    assignment (global window) would not survive a 100 TB corpus."""
+    from golem_spark.pipeline.similarity import ann_ivf_topk
+
+    q = ann_ivf_topk(tables["embeddings"], query_ids=(0,), k=3,
+                     n_seeds=4, n_probe=2)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # nearest-cell reduction has map-side combine on the n x n_seeds
+    # expansion: a partial max(struct) BEFORE the exchange (structs
+    # aren't Tungsten-hashable, so it plans as SortAggregate — the
+    # partial/final split is what matters at scale)
+    assert "partial_max(struct" in plan
+    # top-k per query is rank-limited before the shuffle, not a global
+    # sort of all candidates
+    assert "WindowGroupLimit" in plan
