@@ -211,9 +211,12 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         gram_full = backend.gram()
         xty_full = backend.xty()
         yty = _yty(backend)
-    elif use_prox_newton and p_total <= 500:
-        # cheap enough to take the single full-Gram pass up front; every
-        # active-set Gram is then a driver-side slice
+    elif use_prox_newton and p_total <= 500 and (
+            is_gaussian or (family == "multinomial" and p_total * m > 60)):
+        # the Gram is only consumed by the majorization strategies
+        # (gaussian quadratic model, multinomial Bohning bound);
+        # binomial/poisson refresh a local Hessian every iteration and
+        # would waste this pass
         gram_full = backend.gram()
 
     # -- null deviance ------------------------------------------------------
@@ -272,8 +275,13 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         sub_backend = backend.subset(sub_idx)
         sub_beta = start_beta[sub_idx]
         if use_prox_newton:
-            gram_s = (gram_full[np.ix_(sub_idx, sub_idx)] if gram_full is not None
-                      else sub_backend.gram())
+            if gram_full is not None:
+                gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
+            elif family in ("binomial", "poisson") or (
+                    family == "multinomial" and sub_idx.size * m <= 60):
+                gram_s = None  # local-Hessian strategy: never consumed
+            else:
+                gram_s = sub_backend.gram()
             return prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
                                max_passes=max_passes, tol_rel_gap=tol_rel_gap,
                                tol_infeas=tol_infeas, diagnostics=diagnostics,

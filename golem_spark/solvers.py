@@ -159,7 +159,8 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
     return z.reshape((p, m), order="F") - beta0
 
 
-def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
+def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
+                gram: np.ndarray | None,
                 max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
                 tol_infeas: float = 1e-3, max_outer: int = 1000,
                 diagnostics: bool = False,
@@ -201,7 +202,7 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
         # else the Bohning (1992) global bound
         # H <= 0.5 (I - 11'/(m+1)) (x) X'X (guaranteed descent, 1 pass
         # per iteration, linear rate)
-        local_hessian = gram.shape[0] * m <= 60
+        local_hessian = beta.shape[0] * m <= 60
         B = np.eye(m) - np.ones((m, m)) / (m + 1)
     else:
         raise ValueError(f"prox_newton does not handle family {fam!r}")
@@ -211,7 +212,9 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *, gram: np.ndarray,
     times: list[float] = []
     t0 = time.monotonic()
 
-    p_tot = gram.shape[0]
+    p_tot = beta.shape[0]
+    if not local_hessian and gram is None:
+        raise ValueError("prox_newton majorization strategies need the Gram")
     passes = 0
     optimal = False
 
