@@ -218,10 +218,17 @@ class SparkBackend:
         fam = self.family.name
         ys = [F.col(c) for c in self.y_cols]
         if fam == "gaussian":
-            r = ys[0] - lps[0]
-            primal = F.lit(0.5) * F.sum(r * r)
-            dual = F.lit(0.5) * F.sum(ys[0] * ys[0]) - F.lit(0.5) * F.sum(lps[0] * lps[0])
-            grads = [lps[0] - ys[0]]
+            # sums run over all targets (Frobenius loss, multi-task role)
+            rr = (ys[0] - lps[0]) * (ys[0] - lps[0])
+            yy = ys[0] * ys[0]
+            ll = lps[0] * lps[0]
+            for k in range(1, self.m):
+                rr = rr + (ys[k] - lps[k]) * (ys[k] - lps[k])
+                yy = yy + ys[k] * ys[k]
+                ll = ll + lps[k] * lps[k]
+            primal = F.lit(0.5) * F.sum(rr)
+            dual = F.lit(0.5) * F.sum(yy) - F.lit(0.5) * F.sum(ll)
+            grads = [lps[k] - ys[k] for k in range(self.m)]
         elif fam == "binomial":
             z = -ys[0] * lps[0]
             primal = F.sum(_softplus(z))
@@ -502,10 +509,9 @@ class SparkBackend:
             yts = [(y0 + 1) / 2]
         elif fam == "poisson":
             yts = [F.lit(1.0) - y0]
-        elif fam == "multinomial":
-            yts = [F.col(c) for c in self.y_cols]
         else:
-            yts = [y0]
+            # gaussian (possibly multi-target) and multinomial: all y cols
+            yts = [F.col(c) for c in self.y_cols]
         need_center = fam in ("binomial", "multinomial")
         aggs = []
         for k, yk in enumerate(yts):
@@ -765,15 +771,25 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     fam = get_family(family_name)
     from pyspark.sql import types as T
 
-    label_numeric = isinstance(df.schema[label_col].dataType, T.NumericType)
+    # gaussian accepts a LIST of label columns (multi-task role, the
+    # reference's student dataset); every other family takes exactly one
+    label_cols = [label_col] if isinstance(label_col, str) else list(label_col)
+    if len(label_cols) > 1 and family_name != "gaussian":
+        raise ValueError(f"family {family_name!r} takes a single label column")
+    label_col = label_cols[0]
+
+    label_numeric = all(isinstance(df.schema[c].dataType, T.NumericType)
+                        for c in label_cols)
     wide = len(feature_cols) > 200
+    if wide and len(label_cols) > 1:
+        raise ValueError("wide-p mode supports a single label column")
 
     if not wide:
         # ONE fused pass: null counts (rejected like the reference,
         # R/owl.R:350-351), row count, per-feature mean + raw second
         # moment (closed-form l2/sd scales), label mean/min.
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in [*feature_cols, label_col]:
+        for c in [*feature_cols, *label_cols]:
             aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
         for c in feature_cols:
             aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
@@ -781,13 +797,15 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         if label_numeric:
             aggs.append(F.avg(F.col(label_col).cast("double")).alias("__ymean"))
             aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
+            for k, c in enumerate(label_cols[1:], start=1):
+                aggs.append(F.avg(F.col(c).cast("double")).alias(f"__ymean_{k}"))
         if family_name in ("binomial", "multinomial"):
             # class discovery fused into the same pass (GLM labels have
             # few distinct values; saves a separate distinct() job)
             aggs.append(F.collect_set(F.col(label_col)).alias("__classes"))
         stats = df.agg(*aggs).collect()[0]
         n = int(stats["__n"])
-        bad = [c for c in [*feature_cols, label_col] if stats[f"__null_{c}"] > 0]
+        bad = [c for c in [*feature_cols, *label_cols] if stats[f"__null_{c}"] > 0]
         if bad:
             raise ValueError(f"missing values in columns: {bad}")
     else:
@@ -845,10 +863,14 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
 
     enc = df
     if family_name == "gaussian":
-        y_mean = stats["__ymean"]
-        y_center = np.array([float(y_mean)])
-        enc = df.withColumn("__y0", F.col(label_col).cast("double") - F.lit(float(y_mean)))
-        y_cols = ["__y0"]
+        y_means = [float(stats["__ymean"])] + [
+            float(stats[f"__ymean_{k}"]) for k in range(1, len(label_cols))]
+        y_center = np.array(y_means)
+        for k, (c, mu_) in enumerate(zip(label_cols, y_means)):
+            enc = enc.withColumn(f"__y{k}", F.col(c).cast("double") - F.lit(mu_))
+        y_cols = [f"__y{k}" for k in range(len(label_cols))]
+        n_targets = len(label_cols)
+        y_scale = np.ones(n_targets)
     elif family_name == "binomial":
         classes = _label_classes(df, label_col, stats)
         if len(classes) != 2:

@@ -135,7 +135,10 @@ def random_problem(n=100, p=10, q=0.3, n_targets=1, density=1.0,
 
     lp = x @ beta
     if response == "gaussian":
-        y = lp[:, 0] + sigma_noise * rng.standard_normal(n)
+        # n_targets > 1 yields an (n, m) multi-task response
+        y = lp + sigma_noise * rng.standard_normal((n, m))
+        if m == 1:
+            y = y[:, 0]
     elif response == "binomial":
         y = (np.sign(lp[:, 0] + sigma_noise * rng.standard_normal(n)) + 1) / 2
     elif response == "poisson":

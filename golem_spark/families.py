@@ -74,14 +74,23 @@ class Gaussian(Family):
         return np.mean(y, axis=0)
 
     def preprocess_response(self, y):
-        y = np.asarray(y, dtype=np.float64).reshape(-1, 1)
-        y_center = float(np.mean(y))
+        # n x m responses are first-class: the reference core carries a
+        # p x m x K coefficient cube (src/owl.cpp:88) and ships the
+        # multi-task student dataset (R/data.R:151-155); each target is
+        # centered by its own mean.
+        y = np.asarray(y, dtype=np.float64)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)
+        elif y.ndim != 2:
+            raise ValueError("gaussian response must be a vector or an n x m matrix")
+        m = y.shape[1]
+        y_center = np.mean(y, axis=0)
         return {
             "y": y - y_center,
-            "y_center": np.array([y_center]),
-            "y_scale": np.array([1.0]),
+            "y_center": y_center,
+            "y_scale": np.ones(m),
             "n_classes": 1,
-            "n_targets": 1,
+            "n_targets": m,
             "class_names": None,
         }
 
@@ -105,7 +114,10 @@ class Binomial(Family):
         return trunc_log(mu / (1 - mu))
 
     def preprocess_response(self, y):
-        y = np.asarray(y).ravel()
+        y = np.asarray(y)
+        if y.ndim > 1 and y.shape[1] > 1:
+            raise ValueError("response for binomial regression must be one-dimensional")
+        y = y.ravel()
         classes = np.unique(y)
         if classes.size != 2:
             raise ValueError(f"binomial response needs exactly 2 classes, got {classes.size}")
@@ -141,7 +153,10 @@ class Poisson(Family):
         return trunc_log(np.mean(y, axis=0))
 
     def preprocess_response(self, y):
-        y = np.asarray(y, dtype=np.float64).reshape(-1, 1)
+        y = np.asarray(y, dtype=np.float64)
+        if y.ndim > 1 and y.shape[1] > 1:
+            raise ValueError("response for poisson regression must be one-dimensional")
+        y = y.reshape(-1, 1)
         if np.any(y < 0):
             raise ValueError("cannot have negative responses in poisson model")
         return {

@@ -245,8 +245,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
 
     active_set = np.arange(p_total, dtype=np.int64)
     ever_active = np.array([0], dtype=np.int64) if intercept else np.array([], dtype=np.int64)
-    z = np.zeros(p_total)
-    u = np.zeros(p_total)
+    z = np.zeros((p_total, m))
+    u = np.zeros((p_total, m))
     screening_on = bool(screening)
     full_admm_state: dict[str, Any] = {}
 
@@ -261,16 +261,18 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         nonlocal z, u
         if use_admm:
             gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
-            xty_s = xty_full[sub_idx].ravel()
+            xty_s = xty_full[sub_idx]
             res, z_s, u_s, _ = admm_gaussian(
-                gram_s, xty_s, start_beta[sub_idx].ravel(), z[sub_idx], u[sub_idx],
+                gram_s, xty_s, start_beta[sub_idx], z[sub_idx], u[sub_idx],
                 lam_k, n=n, intercept=intercept, max_passes=max_passes,
                 tol_abs=tol_abs, tol_rel=tol_rel, diagnostics=diagnostics)
             z[sub_idx] = z_s
             u[sub_idx] = u_s
-            # deviance from sufficient stats: ||y-Xb||^2 = yty - 2 b.xty + b'Gb
-            bv = res.beta.ravel()
-            res.deviance = yty - 2.0 * float(bv @ xty_s) + float(bv @ (gram_s @ bv))
+            # deviance from sufficient stats, summed over targets:
+            # ||Y-XB||_F^2 = yty - 2 tr(B'X'Y) + tr(B'GB)
+            B = res.beta
+            res.deviance = (yty - 2.0 * float(np.sum(B * xty_s))
+                            + float(np.sum(B * (gram_s @ B))))
             return res
         sub_backend = backend.subset(sub_idx)
         sub_beta = start_beta[sub_idx]

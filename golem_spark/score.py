@@ -65,7 +65,9 @@ def _score_np(fit: OwlFit, x: np.ndarray, y, measure: str, sigma) -> np.ndarray:
     out = np.zeros(K)
 
     if fam in ("gaussian", "poisson"):
-        yv = np.asarray(y, dtype=np.float64).ravel()
+        yv = np.asarray(y, dtype=np.float64)
+        if yv.ndim == 1:
+            yv = yv.reshape(-1, 1)
     elif fam == "binomial":
         y01 = np.asarray([0.0 if str(v) == str(fit.class_names[0]) else 1.0
                           for v in np.asarray(y).ravel()])
@@ -79,8 +81,8 @@ def _score_np(fit: OwlFit, x: np.ndarray, y, measure: str, sigma) -> np.ndarray:
     for k in range(K):
         sub = OwlFit(**{**fit.__dict__, "coefficients": betas[:, :, [k]]})
         if fam in ("gaussian", "poisson"):
-            pred = predict(sub, x, type="response")[:, 0]
-            out[k] = _mse_mae(pred, yv, measure)
+            pred = predict(sub, x, type="response")  # (n, m)
+            out[k] = _mse_mae(pred.ravel(), yv.ravel(), measure)
         elif fam == "binomial":
             prob = predict(sub, x, type="response")[:, 0]
             if measure in ("mse", "mae"):

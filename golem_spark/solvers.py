@@ -251,7 +251,8 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         if local_hessian:
             Hmat = H + 1e-9 * np.eye(p_tot * m)
         elif fam == "gaussian":
-            Hmat = gram
+            # multi-target: Hessian of 0.5||Y-XB||_F^2 is I_m (x) X'X
+            Hmat = gram if m == 1 else np.kron(np.eye(m), gram)
         else:
             # Bohning bound 0.5 (I - 11'/(m+1)) (x) X'X; vec_F(G d B) =
             # (B (x) G) vec_F(d) for symmetric B
@@ -292,16 +293,24 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
                   diagnostics: bool = False) -> tuple[SolverResult, np.ndarray, np.ndarray, float]:
     """Gaussian SLOPE via ADMM on precomputed sufficient statistics.
 
-    gram: X^T X (p×p), xty: X^T y (p,) — the only data-dependent inputs,
-    each one distributed pass. z, u: warm-started ADMM state (updated in
-    place semantics via return). Returns (result, z, u, rho).
+    gram: X^T X (p×p), xty: X^T Y (p, m) — the only data-dependent
+    inputs, each one distributed pass. Multi-target (m > 1, the
+    reference's p×m×K cube, src/owl.cpp:88) shares ONE Cholesky factor
+    across all targets: the β-step is a single matrix-RHS solve, and the
+    sorted-L1 prox couples all p·m penalized entries (column-major, like
+    the reference's vectorized cube slice). z, u: warm-started ADMM state
+    (p, m). Returns (result, z, u, rho).
 
     rho heuristic: eig_max(gram)^(1/3) * lam_max^(2/3)
     (reference src/owl.cpp:190-192).
     """
     p = gram.shape[0]
-    xty = xty.ravel()
+    xty = np.asarray(xty, dtype=np.float64)
+    if xty.ndim == 1:
+        xty = xty[:, None]
+    m = xty.shape[1]
     lam = np.asarray(lam, dtype=np.float64)
+    pen0 = 1 if intercept else 0
 
     if rho is None:
         eig_max = float(np.linalg.eigvalsh(gram).max())
@@ -309,10 +318,9 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
         rho = max(rho, 1e-12)
     L = np.linalg.cholesky(gram + rho * np.eye(p))
 
-    beta = beta.ravel().copy()
-    z = z.ravel().copy()
-    u = u.ravel().copy()
-    n_pen = lam.size
+    beta = np.asarray(beta, dtype=np.float64).reshape(p, m).copy()
+    z = np.asarray(z, dtype=np.float64).reshape(p, m).copy()
+    u = np.asarray(u, dtype=np.float64).reshape(p, m).copy()
 
     primals: list[float] = []
     duals: list[float] = []
@@ -329,8 +337,10 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
         beta_hat = alpha * beta + (1 - alpha) * z_old
 
         z = beta_hat + u
-        if n_pen:
-            z[-n_pen:] = prox_sorted_l1(z[-n_pen:], lam / rho)
+        if lam.size:
+            z[pen0:, :] = prox_sorted_l1(
+                z[pen0:, :].ravel(order="F"), lam / rho
+            ).reshape((p - pen0, m), order="F")
 
         u = u + (beta_hat - z)
 
@@ -348,5 +358,5 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
         if r_norm < eps_primal and s_norm < eps_dual:
             break
 
-    res = SolverResult(z.reshape(-1, 1), passes, primals, duals, times, 0.0)
+    res = SolverResult(z.copy(), passes, primals, duals, times, 0.0)
     return res, z, u, rho

@@ -121,11 +121,11 @@ def test_deviance_accessor():
 def test_fixture_fits(name):
     gen, family = fixtures.FIXTURES[name]
     x, y, names = gen()
-    if name == "student":
-        y = y[:, 0]  # single target for the quick check
     fit = owl(x, y, family=family, n_sigma=10)
     assert fit.n_sigma >= 1
     assert fit.coefficients.shape[0] == x.shape[1] + 1
+    if name == "student":  # multi-task gaussian: both targets fit
+        assert fit.coefficients.shape[1] == y.shape[1] == 2
     assert np.all(np.isfinite(fit.coefficients))
     m = "misclass" if family in ("binomial", "multinomial") else "mse"
     s = score(fit, x, y, measure=m)
