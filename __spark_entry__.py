@@ -17,6 +17,7 @@ if "/root/repo" not in sys.path:
 
 from golem_spark.session import load_tables
 from golem_spark.kernels import KERNELS
+from golem_spark.glm_queries import GLM_QUERIES, glm_oracles
 from golem_spark.pipeline.kernels import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 
@@ -35,102 +36,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(KERNELS["k18_grouped_agg"].spark_sql)
 
 
-def _glm_gaussian_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: distributed gaussian SLOPE path on lineitem
-    (iterative solver — not SQL-expressible; the statistical oracles live
-    in tests/)."""
-    from pyspark.sql import functions as F
-
-    from golem_spark.path import owl
-
-    import pandas as pd
-
-    li = load_tables(spark, sf_dir)["lineitem"]
-    fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
-              label_col="l_quantity", family="gaussian", n_sigma=20)
-    pdf = pd.DataFrame({
-        "path_idx": [int(k) for k in range(fit.n_sigma)],
-        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
-        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
-        "n_nonzero": [int((abs(fit.coefficients[1:, 0, k]) > 1e-12).sum())
-                      for k in range(fit.n_sigma)],
-    })
-    # pandas -> Arrow -> LocalRelation: no RDD parallelize / Python workers
-    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double, n_nonzero int") \
-        .orderBy(F.col("path_idx"))
-
-
-def _glm_binomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: distributed binomial (prox-Newton) path —
-    classify l_returnflag='R' from lineitem numerics."""
-    from pyspark.sql import functions as F
-
-    from golem_spark.path import owl
-
-    import pandas as pd
-
-    li = load_tables(spark, sf_dir)["lineitem"]
-    li = li.withColumn("is_r", F.when(F.col("l_returnflag") == "R", "R").otherwise("other"))
-    fit = owl(df=li, feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
-              label_col="is_r", family="binomial", n_sigma=8)
-    pdf = pd.DataFrame({
-        "path_idx": [int(k) for k in range(fit.n_sigma)],
-        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
-        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
-    })
-    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double") \
-        .orderBy(F.col("path_idx"))
-
-
-def _path_frame(spark: SparkSession, fit) -> DataFrame:
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    pdf = pd.DataFrame({
-        "path_idx": [int(k) for k in range(fit.n_sigma)],
-        "sigma": [float(round(fit.sigma[k], 8)) for k in range(fit.n_sigma)],
-        "dev_ratio": [float(round(fit.deviance_ratio[k], 6)) for k in range(fit.n_sigma)],
-    })
-    return spark.createDataFrame(pdf, "path_idx int, sigma double, dev_ratio double") \
-        .orderBy(F.col("path_idx"))
-
-
-def _glm_poisson_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: distributed poisson (prox-Newton) path — model
-    the l_linenumber count from lineitem numerics."""
-    from golem_spark.path import owl
-
-    li = load_tables(spark, sf_dir)["lineitem"]
-    fit = owl(df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
-              label_col="l_linenumber", family="poisson", n_sigma=5)
-    return _path_frame(spark, fit)
-
-
-def _glm_multinomial_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: distributed multinomial path — classify the
-    3-class l_returnflag (A/N/R) from lineitem numerics (full-rank m-1
-    parameterization, exact block Hessian)."""
-    from golem_spark.path import owl
-
-    li = load_tables(spark, sf_dir)["lineitem"]
-    fit = owl(df=li, feature_cols=["l_quantity", "l_extendedprice", "l_discount"],
-              label_col="l_returnflag", family="multinomial", n_sigma=5)
-    return _path_frame(spark, fit)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in KERNELS:
         out[name] = _kernel_query(name)
     out.update(PIPELINE_QUERIES)
-    out["glm_gaussian_path"] = _glm_gaussian_path
-    out["glm_binomial_path"] = _glm_binomial_path
-    out["glm_poisson_path"] = _glm_poisson_path
-    out["glm_multinomial_path"] = _glm_multinomial_path
+    # GLM path fits at pinned sigmas, fully oracle-checked: sigma_max and
+    # the gaussian tail are recomputed in SQL, and every fitted row's
+    # dev_ratio is re-derived by DuckDB from the emitted coefficients
+    # (golem_spark/glm_queries.py).
+    out.update(GLM_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: k.duck_sql for name, k in KERNELS.items()}
     out.update(PIPELINE_ORACLES)
+    out.update(glm_oracles())
     return out
