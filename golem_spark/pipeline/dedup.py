@@ -4,14 +4,16 @@ Four strategies, all deterministic and shuffle-conscious:
 
 - exact: md5 content hash -> groupBy (one shuffle on the hash; at scale
   this is the classic map-side-combinable exact dedup).
-- n-gram Jaccard: word-set Jaccard within (lang, length-bucket) blocks —
-  blocking turns the O(n^2) pair space into per-block joins; the block
-  key is the shuffle key, so skew is bounded by block size.
+- n-gram Jaccard: EXACT set-similarity join via frequency-ordered
+  prefix filtering (AllPairs/PPJoin) — candidates keyed on (prefix
+  token, lang, length-bucket), verified with the exact Jaccard, so no
+  unbounded all-pairs self-join survives in the plan.
 - MinHash + LSH: k=8 deterministic min-hashes over distinct tokens,
-  banded 4x2; candidate pairs = same (band, band-hash) bucket — the
-  standard sub-quadratic near-dup path for 100 TB corpora.
-- SimHash: 16-bit sign-sum fingerprint; near-dups = hamming <= 2 within
-  blocks (bit_count(xor) both engines).
+  banded 4x2 in ONE posexplode pass; candidate pairs = same (band,
+  band-hash) bucket — the standard sub-quadratic near-dup path for
+  100 TB corpora.
+- SimHash: 16-bit sign-sum fingerprint; near-dups = hamming <= 2 via
+  exact pigeonhole chunk indexing + verification.
 
 Hashing is md5-based so Spark and DuckDB agree bit-for-bit (see
 pipeline/kernels.py for the oracle SQL).
@@ -48,86 +50,68 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
-                        text_col: str = "text",
-                        bitmask_vocab_limit: int = 4096) -> DataFrame:
+                        text_col: str = "text") -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within (lang,
     length-bucket) blocks. Output (doc_a, doc_b, jaccard).
 
-    When the distinct-token vocabulary is small (<= bitmask_vocab_limit)
-    each document's token set is packed into 64-bit words and Jaccard
-    becomes popcount(a&b)/popcount(a|b) — pure integer ops per candidate
-    pair instead of array intersections (identical results, ~10x less
-    pair-compare cost). Large vocabularies fall back to array ops."""
-    vocab = (df.select(F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
-             .distinct())
-    vocab_size = vocab.count()
-    if vocab_size <= bitmask_vocab_limit:
-        return _jaccard_pairs_bitmask(df, vocab, vocab_size, threshold, text_col)
-    return _jaccard_pairs_arrays(df, threshold, text_col)
+    EXACT sub-quadratic set-similarity join via prefix filtering
+    (AllPairs / PPJoin, Bayardo et al. WWW'07): order every document's
+    tokens by ascending corpus frequency and keep only the first
+    |A| - ceil(t*|A|) + 1 of them; any pair with Jaccard >= t MUST share
+    a prefix token, so the candidate join is keyed on (prefix token,
+    block) instead of block alone — no unbounded all-pairs self-join,
+    and rare tokens (the frequency-ascending prefix heads) bound bucket
+    sizes at 100 TB. Candidates are then verified with the exact
+    Jaccard expression, so results equal the brute-force definition and
+    the DuckDB oracle is unchanged.
 
-
-def _jaccard_pairs_bitmask(df: DataFrame, vocab: DataFrame, vocab_size: int,
-                           threshold: float, text_col: str) -> DataFrame:
+    The size prefilter is derived from the threshold (J >= t implies
+    t*|B| <= |A| <= |B|/t), sound for ANY t in (0, 1]."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
 
-    n_words = (vocab_size + 62) // 63  # 63 bits per long (avoid sign bit)
-    vocab_ids = vocab.withColumn(
-        "tok_id", F.row_number().over(Window.orderBy("tok")) - 1)
-    toks = (df.select("doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
-            .join(F.broadcast(vocab_ids), "tok"))
-    word = (F.col("tok_id") / 63).cast("int")
-    # F.shiftleft only takes a literal count; the SQL form accepts a column
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tok_id % 63 AS INT))")
-    masks = toks.groupBy("doc_id").agg(
-        *[F.bit_or(F.when(word == w, bit).otherwise(0)).alias(f"m{w}")
-          for w in range(n_words)],
-        F.count(F.lit(1)).alias("n_toks"))
-    base = masks.join(df.select("doc_id", *_block_key()), "doc_id")
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = None
-    union = None
-    for w in range(n_words):
-        i_w = F.bit_count(F.col(f"a.m{w}").bitwiseAND(F.col(f"b.m{w}")))
-        u_w = F.bit_count(F.col(f"a.m{w}").bitwiseOR(F.col(f"b.m{w}")))
-        inter = i_w if inter is None else inter + i_w
-        union = u_w if union is None else union + u_w
-    jac = inter.cast("double") / union.cast("double")
-    return (a.join(b, on=[F.col("a.lang") == F.col("b.lang"),
+    toks_arr = F.array_distinct(tokens_col(text_col))
+    toks = df.select("doc_id", F.explode(toks_arr).alias("tok"))
+    tok_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+
+    # slim (doc_id, tok) rows through the frequency join + windows; the
+    # block keys join back afterwards (measured faster than carrying
+    # wide rows through the window sort)
+    w_doc = Window.partitionBy("doc_id").orderBy("tok_freq", "tok")
+    w_cnt = Window.partitionBy("doc_id")
+    ranked = (toks.join(tok_freq, "tok")
+              .withColumn("rn", F.row_number().over(w_doc))
+              .withColumn("n_toks", F.count(F.lit(1)).over(w_cnt)))
+    prefix_len = (F.col("n_toks")
+                  - F.ceil(F.lit(float(threshold)) * F.col("n_toks")) + 1)
+    prefix = (ranked.filter(F.col("rn") <= prefix_len)
+              .select("doc_id", "tok", "n_toks")
+              .join(df.select("doc_id", *_block_key()), "doc_id"))
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    t_lit = F.lit(float(threshold))
+    cand = (a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                          F.col("a.lang") == F.col("b.lang"),
                           F.col("a.len_bucket") == F.col("b.len_bucket"),
                           F.col("a.doc_id") < F.col("b.doc_id"),
-                          F.col("a.n_toks") * 2 >= F.col("b.n_toks"),
-                          F.col("b.n_toks") * 2 >= F.col("a.n_toks")])
+                          F.col("a.n_toks") >= t_lit * F.col("b.n_toks"),
+                          F.col("b.n_toks") >= t_lit * F.col("a.n_toks")])
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    jac.alias("jaccard"))
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+    # verify candidates with the exact Jaccard (token arrays only
+    # materialize against the small candidate set)
+    sets = df.select("doc_id", toks_arr.alias("toks"))
+    jac = (F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).cast("double")
+           / F.size(F.array_union(F.col("sa.toks"), F.col("sb.toks"))).cast("double"))
+    return (cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")))
-
-
-def _jaccard_pairs_arrays(df: DataFrame, threshold: float,
-                          text_col: str) -> DataFrame:
-    toks = F.array_distinct(tokens_col(text_col))
-    base = df.select(
-        F.col("doc_id"), F.col("lang"),
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        toks.alias("toks")).withColumn("n_toks", F.size("toks"))
-    a = base.alias("a")
-    b = base.alias("b")
-    # size prefilter is IMPLIED by jaccard >= 0.5 (min/max set-size ratio
-    # bounds Jaccard), so it prunes pairs without changing the result
-    j = (a.join(b, on=[F.col("a.lang") == F.col("b.lang"),
-                       F.col("a.len_bucket") == F.col("b.len_bucket"),
-                       F.col("a.doc_id") < F.col("b.doc_id"),
-                       F.col("a.n_toks") * 2 >= F.col("b.n_toks"),
-                       F.col("b.n_toks") * 2 >= F.col("a.n_toks")])
-         .select(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 (F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-                  / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast("double")
-                  ).alias("jaccard")))
-    return j.filter(F.col("jaccard") >= threshold) \
-            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -152,15 +136,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     sized bucket on one reducer."""
     sig = minhash_signatures(df, text_col).join(
         df.select("doc_id", *_block_key()), "doc_id")
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        key = F.concat_ws("_", *[c.cast("string") for c in cols])
-        bands.append(sig.select("doc_id", "lang", "len_bucket",
-                                F.lit(b).alias("band"), key.alias("bkey")))
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+    # ONE pass: emit all band keys as an array and posexplode — the
+    # signature aggregation is computed once, not once per band (the
+    # per-band select + union form re-ran the whole explode+groupBy
+    # N_BANDS times)
+    band_arr = F.array(*[
+        F.concat_ws("_", *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                           for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)])
+    allb = sig.select("doc_id", "lang", "len_bucket",
+                      F.posexplode(band_arr).alias("band", "bkey"))
     a = allb.alias("a")
     b2 = allb.alias("b")
     return (a.join(b2, on=[F.col("a.lang") == F.col("b.lang"),
@@ -189,20 +174,43 @@ def simhash(df: DataFrame, n_bits: int = 16, text_col: str = "text") -> DataFram
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 2,
+def simhash_pairs(df: DataFrame, max_hamming: int = 2, n_bits: int = 16,
                   text_col: str = "text") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming within (lang,
-    length-bucket) blocks. Output (doc_a, doc_b, hamming)."""
-    sh = simhash(df, text_col=text_col)
+    length-bucket) blocks. Output (doc_a, doc_b, hamming).
+
+    EXACT multi-index hamming search: the fingerprint is split into
+    max_hamming + 1 contiguous chunks; by pigeonhole any pair within
+    hamming distance max_hamming matches on at least one chunk, so the
+    candidate join is keyed on (chunk_id, chunk_value, block) — bounded
+    buckets instead of an unbounded per-block all-pairs join — and the
+    exact hamming filter then verifies candidates. Identical results to
+    the brute-force definition."""
+    sh = simhash(df, n_bits=n_bits, text_col=text_col)
     meta = df.select("doc_id", *_block_key())
     full = sh.join(meta, "doc_id")
-    a = full.alias("a")
-    b = full.alias("b")
+
+    n_chunks = max_hamming + 1
+    widths = [n_bits // n_chunks + (1 if i < n_bits % n_chunks else 0)
+              for i in range(n_chunks)]
+    chunk_exprs = []
+    start = 0
+    for w in widths:
+        chunk_exprs.append(
+            (F.shiftright(F.col("simhash"), start) % F.lit(1 << w)).cast("long"))
+        start += w
+    ex = full.select("doc_id", "simhash", "lang", "len_bucket",
+                     F.posexplode(F.array(*chunk_exprs)).alias("chunk", "cval"))
+    a = ex.alias("a")
+    b = ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, on=[F.col("a.lang") == F.col("b.lang"),
+    return (a.join(b, on=[F.col("a.chunk") == F.col("b.chunk"),
+                          F.col("a.cval") == F.col("b.cval"),
+                          F.col("a.lang") == F.col("b.lang"),
                           F.col("a.len_bucket") == F.col("b.len_bucket"),
                           F.col("a.doc_id") < F.col("b.doc_id")])
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     ham.cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

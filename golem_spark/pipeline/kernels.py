@@ -233,6 +233,31 @@ _add(
     """,
 )
 
+_add(
+    "p17_simhash_pairs",
+    lambda t: dedup.simhash_pairs(t["documents"], max_hamming=2)
+    .orderBy("doc_a", "doc_b"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_MD5INT.format(x='tok')} AS h
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)),
+    bits AS (
+      SELECT doc_id,
+           {_SIMHASH_BITS_DUCK}
+      FROM toks GROUP BY doc_id),
+    sh AS (
+      SELECT b.doc_id, ({_SIMHASH_FP_DUCK})::BIGINT AS simhash,
+             d.lang, (d.n_chars // 100) AS len_bucket
+      FROM bits b JOIN documents d USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+
 # -- similarity search ------------------------------------------------------
 
 _add(

@@ -77,6 +77,48 @@ def test_cosine_topk_broadcasts_query_vector(tables):
     assert "TakeOrderedAndProject" in plan
 
 
+def _join_conditions(plan: str) -> list[str]:
+    return [l for l in plan.splitlines()
+            if ("SortMergeJoin" in l or "BroadcastHashJoin" in l
+                or "ShuffledHashJoin" in l)]
+
+
+def test_jaccard_pairs_join_is_token_keyed(tables):
+    """p06's candidate self-join must be keyed on a prefix TOKEN, not on
+    the (lang, len_bucket) block alone — a block-only self-join is
+    quadratic in block size and dies at 100 TB."""
+    from golem_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(tables["documents"], threshold=0.5))
+    for cond in _join_conditions(plan):
+        if "len_bucket" in cond:  # the candidate self-join
+            assert "tok" in cond, cond
+
+
+def test_simhash_pairs_join_is_chunk_keyed(tables):
+    """Pigeonhole chunk index: the self-join key must include the chunk
+    value, never the block alone."""
+    from golem_spark.pipeline.dedup import simhash_pairs
+
+    plan = _plan(simhash_pairs(tables["documents"], max_hamming=2))
+    for cond in _join_conditions(plan):
+        if "len_bucket" in cond:
+            assert "cval" in cond, cond
+
+
+def test_minhash_lsh_single_signature_pass(tables):
+    """p08 must compute the minhash signature aggregation once per join
+    side (2 subtrees), not once per band per side (8 with 4 bands) —
+    the posexplode banding replaced the per-band union."""
+    from golem_spark.pipeline.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(tables["documents"]))
+    # each signature aggregation contributes one partial_min(...) batch
+    # of 8 hashes; allow partial+final per side = 8*2*2
+    assert plan.count("partial_min") <= 2 * len(
+        __import__("golem_spark.pipeline.dedup", fromlist=["MINHASH_A"]).MINHASH_A)
+
+
 def test_ann_ivf_assignment_broadcasts_seeds_no_global_sort(tables):
     """IVF assignment must broadcast the tiny seed set against one scan
     and reduce to cells via hash aggregation — a SortExchange-based
