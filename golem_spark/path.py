@@ -100,7 +100,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         family: str = "gaussian", intercept: bool = True,
         center: bool | None = None, scale: str = "l2",
         sigma=None, lam="gaussian", lambda_min_ratio: float | None = None,
-        n_sigma: int = 100, q: float | None = None, screening: bool = True,
+        n_sigma: int = 100, q: float | None = None,
+        screening: bool | None = None,
         tol_dev_change: float = 1e-5, tol_dev_ratio: float = 0.995,
         tol_abs: float = 1e-5, tol_rel: float = 1e-4,
         max_variables: int | None = None, max_passes: int = 10**6,
@@ -148,6 +149,18 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
 
     p_total = backend.p_total
     n_lambda = p_feat * m
+
+    if screening is None:
+        # Strong-rule screening trades extra full-gradient KKT passes
+        # for smaller per-iteration subproblems. Locally that is nearly
+        # free (reference behavior, R/owl.R:283); on a cluster every
+        # KKT check is one more distributed pass, and with only a
+        # handful of features the subset savings can never repay it —
+        # the pass over p<=16 columns costs the same job as the pass
+        # over all of them. Auto mode screens only when the feature
+        # count makes pruning worthwhile; pass screening=True/False to
+        # force either.
+        screening = (df is None) or (p_feat > 16)
 
     # -- defaults (R/owl.R:280-291) -----------------------------------------
     if q is None:

@@ -71,9 +71,12 @@ def test_multitarget_spark_matches_local(spark):
     pdf["ya"] = y[:, 0]
     pdf["yb"] = y[:, 1]
     df = spark.createDataFrame(pdf)
+    # pin screening so both backends follow the identical iteration
+    # path (auto mode disables it for narrow distributed fits)
     fit_s = owl(df=df, feature_cols=[f"f{j}" for j in range(4)],
-                label_col=["ya", "yb"], family="gaussian", n_sigma=6)
-    fit_l = owl(x, y, family="gaussian", n_sigma=6)
+                label_col=["ya", "yb"], family="gaussian", n_sigma=6,
+                screening=True)
+    fit_l = owl(x, y, family="gaussian", n_sigma=6, screening=True)
     K = min(fit_s.n_sigma, fit_l.n_sigma)
     np.testing.assert_allclose(fit_s.coefficients[:, :, :K],
                                fit_l.coefficients[:, :, :K],
