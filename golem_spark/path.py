@@ -465,7 +465,16 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         null_deviance=null_deviance,
         violations=violations_all,
         diagnostics=diag_rows if diagnostics else None,
-        meta={**meta, "sigma_max": sigma_max, "n": n},
+        meta={**meta, "sigma_max": sigma_max, "n": n,
+              # enough of the call to reproduce it — consumed by
+              # coef(..., exact=True) refits (R/coef.R:40-42)
+              "fit_options": {
+                  "family": family, "intercept": intercept, "center": center,
+                  "scale": scale, "lam": lam, "q": q,
+                  "tol_abs": tol_abs, "tol_rel": tol_rel,
+                  "tol_rel_gap": tol_rel_gap, "tol_infeas": tol_infeas,
+                  "max_passes": max_passes, "screening": screening,
+              }},
     )
 
 

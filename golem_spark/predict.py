@@ -48,13 +48,38 @@ def _interpolation_weights(path_sigma: np.ndarray, want: np.ndarray):
     return left, right, 1.0 - frac
 
 
-def coef_at(fit: OwlFit, sigma=None, simplify: bool = True) -> np.ndarray:
-    """Coefficients at the requested sigma value(s), linearly interpolated
-    between adjacent path points when not on the path (R/coef.R:23-54)."""
+def coef_at(fit: OwlFit, sigma=None, simplify: bool = True, *,
+            exact: bool = False, x=None, y=None,
+            df=None, feature_cols=None, label_col=None) -> np.ndarray:
+    """Coefficients at the requested sigma value(s) (R/coef.R:23-54).
+
+    Off-path sigmas are linearly interpolated between adjacent path
+    points by default; with ``exact=True`` the model is REFIT at the
+    requested sigmas (the reference's ``stats::update`` path,
+    R/coef.R:40-42) — the caller must re-supply the training data
+    (numpy ``x, y`` or Spark ``df/feature_cols/label_col``), exactly
+    like the reference requires ``x`` and ``y`` in the dots."""
     if sigma is None:
         out = fit.coefficients
         return out[:, :, 0] if (simplify and out.shape[2] == 1) else out
     want = np.atleast_1d(np.asarray(sigma, dtype=np.float64))
+
+    on_path = np.all([np.any(np.isclose(w, fit.sigma, rtol=1e-12)) for w in want])
+    if exact and not on_path:
+        if x is None and df is None:
+            raise ValueError(
+                "coef_at(..., exact=True) refits the model: pass the training "
+                "data (x, y) or (df, feature_cols, label_col)")
+        from golem_spark.path import owl
+
+        opts = dict(fit.meta.get("fit_options", {}))
+        opts.setdefault("family", fit.family)
+        opts.setdefault("intercept", fit.intercept)
+        refit = owl(x, y, df=df, feature_cols=feature_cols,
+                    label_col=label_col, sigma=want, **opts)
+        out = refit.coefficients
+        return out[:, :, 0] if (simplify and out.shape[2] == 1) else out
+
     left, right, wl = _interpolation_weights(fit.sigma, want)
     out = (fit.coefficients[:, :, left] * wl[None, None, :]
            + fit.coefficients[:, :, right] * (1.0 - wl)[None, None, :])

@@ -43,6 +43,38 @@ def test_coef_clamps_outside_path():
                                fit.coefficients[:, :, -1], atol=1e-10)
 
 
+def test_coef_exact_refit_matches_direct_fit():
+    """exact=True re-fits at the requested sigma (R/coef.R:40-42): the
+    result must equal a direct owl() fit there, and differ from the
+    linear interpolation between path neighbors."""
+    x, y, _ = random_problem(n=100, p=10, seed=1624)
+    fit = owl(x, y, family="gaussian", n_sigma=8)
+    s_mid = np.sqrt(fit.sigma[2] * fit.sigma[3])
+
+    exact = coef_at(fit, s_mid, exact=True, x=x, y=y)
+    direct = owl(x, y, family="gaussian", sigma=[s_mid]).coefficients[:, :, 0]
+    np.testing.assert_allclose(exact, direct, rtol=1e-6, atol=1e-8)
+
+    interp = coef_at(fit, s_mid)
+    assert not np.allclose(exact, interp, atol=1e-10)
+
+
+def test_coef_exact_on_path_needs_no_data():
+    """On-path sigmas slice the stored cube even with exact=True (the
+    reference's `value %in% penalty` branch)."""
+    x, y, _ = random_problem(n=100, p=5, seed=1625)
+    fit = owl(x, y, family="gaussian", n_sigma=6)
+    c = coef_at(fit, fit.sigma[3], exact=True)
+    np.testing.assert_allclose(c, fit.coefficients[:, :, 3], atol=1e-12)
+
+
+def test_coef_exact_offpath_requires_data():
+    x, y, _ = random_problem(n=80, p=4, seed=1626)
+    fit = owl(x, y, family="gaussian", n_sigma=5)
+    with pytest.raises(ValueError, match="exact"):
+        coef_at(fit, float(np.sqrt(fit.sigma[1] * fit.sigma[2])), exact=True)
+
+
 # -- path behavior (test-path-behavior.R:1-17) ------------------------------
 
 def test_path_stops_at_max_variables():
