@@ -142,8 +142,21 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                  for qv in qs}
 
     def fold_col(rep: int):
-        h = (F.col(key_col).cast("long") + F.lit(rep * 1_000_003)) * F.lit(2654435761)
-        return F.pmod(F.pmod(h, F.lit(4294967296)), F.lit(number))
+        # same hash as fold_ids(): ((key + off) * 2654435761) mod 2^32
+        # mod k — but computed with every intermediate < 2^63 so it is
+        # ANSI-mode safe (a raw 64-bit multiply would rely on silent
+        # wraparound and throw under spark.sql.ansi.enabled). Split the
+        # 32-bit operand into 16-bit halves: k*C = k_hi*(C<<16) + k_lo*C
+        # (mod 2^32), each term < 2^48.
+        C = 2654435761
+        M32 = 4294967296
+        c16 = (C << 16) % M32
+        k32 = F.pmod(F.pmod(F.col(key_col).cast("long"), F.lit(M32))
+                     + F.lit(rep * 1_000_003), F.lit(M32))
+        k_lo = F.pmod(k32, F.lit(65536))
+        k_hi = F.floor(k32 / F.lit(65536.0)).cast("long")
+        h32 = F.pmod(k_hi * F.lit(c16) + k_lo * F.lit(C), F.lit(M32))
+        return F.pmod(h32, F.lit(number))
 
     cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
              for fold in range(number)]

@@ -53,14 +53,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
     side), carry the last right value forward with last_value(ignore
     nulls), keep left rows. One shuffle on the key — no Python, no
     cross product.
+
+    Timestamps are ordered in the LEFT column's native type (the right
+    side is cast to it) — a double cast would lose integer precision
+    above 2^53, mis-ordering epoch-nanos events closer than ~256 ns.
     """
-    lt = left.withColumn("__ts", F.col(left_ts).cast("double")) \
+    ts_type = dict(left.dtypes)[left_ts]
+    lt = left.withColumn("__ts", F.col(left_ts)) \
              .withColumn("__side", F.lit(1))
     for c in right_cols:
         lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     rt = right.select(
         F.col(key),
-        F.col(right_ts).cast("double").alias("__ts"),
+        F.col(right_ts).cast(ts_type).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols])
     left_cols = [c for c in lt.columns if not c.startswith("__")]

@@ -76,6 +76,21 @@ def lsh_signature(vec_col, n_planes: int = 6):
     return sig
 
 
+# One live cached frame per operator slot: a fresh call unpersists the
+# previous call's frame (blocking=False, so an old returned DataFrame
+# simply recomputes if re-executed). Bounds executor cache growth across
+# repeated pipeline calls without asking callers to manage lifetimes.
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_CACHES.get(slot)
+    if prev is not None:
+        prev.unpersist()
+    _LIVE_CACHES[slot] = df.persist()
+    return df
+
+
 def _with_sig_norm(df: DataFrame, vec_col: str, id_col: str,
                    n_planes: int) -> DataFrame:
     """(id, bucket, ev, nrm) materialized ONCE and persisted.
@@ -87,11 +102,11 @@ def _with_sig_norm(df: DataFrame, vec_col: str, id_col: str,
     than per row). Persisting the projected frame is the standard
     reused-intermediate pattern and keeps per-pair work to one dot
     product."""
-    return (df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
-            .select(F.col(id_col), "bucket",
-                    _as_double(F.col(vec_col)).alias("ev"),
-                    _norm(_as_double(F.col(vec_col))).alias("nrm"))
-            .persist())
+    return _swap_cache("sig_norm", (
+        df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+        .select(F.col(id_col), "bucket",
+                _as_double(F.col(vec_col)).alias("ev"),
+                _norm(_as_double(F.col(vec_col))).alias("nrm"))))
 
 
 def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
@@ -139,10 +154,10 @@ def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     mapInPandas matmul pass; the cell/probe plumbing is identical."""
     from pyspark.sql import Window
 
-    base = (df.select(F.col(id_col),
-                      _as_double(F.col(vec_col)).alias("ev"),
-                      _norm(_as_double(F.col(vec_col))).alias("nrm"))
-            .persist())
+    base = _swap_cache("ivf_base", df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("ev"),
+        _norm(_as_double(F.col(vec_col))).alias("nrm")))
     seeds = (base.filter(F.col(id_col) < n_seeds)
              .select(F.col(id_col).alias("seed_id"), F.col("ev").alias("sv"),
                      F.col("nrm").alias("snrm")))

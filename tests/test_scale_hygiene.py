@@ -1,0 +1,75 @@
+"""Round-2 hygiene gates: ANSI-safe fold hashing, integer-precision
+as-of ordering, bounded executor-cache growth across repeated pipeline
+calls."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_fold_hash_matches_numpy_under_ansi(spark):
+    """train_owl_spark's fold column must equal fold_ids() bit-for-bit,
+    including with ANSI mode ON (the raw 64-bit multiply would throw)."""
+    from golem_spark.cv import fold_ids
+
+    keys = np.array([0, 1, 7, 12345, 2**31 - 1, 2**31, 2**40 + 17,
+                     2**52 + 3, 2**62 + 11], dtype=np.int64)
+    want = {rep: fold_ids(keys.copy(), 10, rep) for rep in (0, 1, 3)}
+
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        C, M32 = 2654435761, 4294967296
+        c16 = (C << 16) % M32
+        for rep in (0, 1, 3):
+            k32 = F.pmod(F.pmod(F.col("k"), F.lit(M32))
+                         + F.lit(rep * 1_000_003), F.lit(M32))
+            k_lo = F.pmod(k32, F.lit(65536))
+            k_hi = F.floor(k32 / F.lit(65536.0)).cast("long")
+            h32 = F.pmod(k_hi * F.lit(c16) + k_lo * F.lit(C), F.lit(M32))
+            fold = F.pmod(h32, F.lit(10))
+            got = np.array([r["f"] for r in df.select(F.col("k"), fold.alias("f"))
+                            .orderBy("k").collect()])  # keys are ascending
+            np.testing.assert_array_equal(got, want[rep])
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_asof_join_preserves_nanosecond_order(spark):
+    """Two right rows 1 ns apart near 2^60 must resolve correctly — a
+    double cast collapses them (~256 ns granularity at epoch-nanos)."""
+    from golem_spark.operators.relational import asof_join
+
+    t0 = (1 << 60) + 123456789
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [t0 + 1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [t0, t0 + 1], "v": [10.0, 20.0]}))
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                    right_cols=["v"]).collect()
+    # the row AT t0+1 (== left ts) wins, not the one 1 ns earlier
+    assert out[0]["v_asof"] == 20.0
+
+    left2 = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [t0]}))
+    out2 = asof_join(left2, right, key="k", left_ts="ts", right_ts="ts",
+                     right_cols=["v"]).collect()
+    assert out2[0]["v_asof"] == 10.0
+
+
+def test_pipeline_cache_growth_is_bounded(spark):
+    """Repeated similarity calls must not accumulate persisted frames
+    (the swap-slot pattern unpersists the previous call's cache)."""
+    from golem_spark.session import load_tables
+    from golem_spark.pipeline.similarity import (
+        ann_lsh_topk, ann_ivf_topk, embedding_near_dup_pairs)
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(3):
+        ann_lsh_topk(emb, query_ids=(0,), k=3).count()
+        ann_ivf_topk(emb, query_ids=(0,), k=3, n_seeds=4).count()
+        embedding_near_dup_pairs(emb, threshold=0.99).count()
+    n_cached = jsc.getPersistentRDDs().size()
+    assert n_cached <= 2, f"cache leak: {n_cached} persisted RDDs"
