@@ -135,9 +135,44 @@ def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
             .select("query_id", id_col, "cos"))
 
 
+def kmeans_seed_centroids(df: DataFrame, n_seeds: int = 16,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          sample_n: int = 4096, n_iter: int = 20) -> "np.ndarray":
+    """Learned IVF seeds: spherical k-means (Lloyd's) on a DETERMINISTIC
+    driver sample — the production seeding for ann_ivf_topk (the
+    first-n variant remains the cross-engine oracle fixture).
+
+    The sample is the ``sample_n`` rows with the smallest murmur3 hash
+    of their id (TakeOrdered — no global sort, no rand()); centroids
+    initialize from the first ``n_seeds`` sample rows and iterate
+    assign/mean/normalize on the driver. Model-sized work only: the
+    cluster is touched once for the sample."""
+    import numpy as np
+
+    rows = (df.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("ev"))
+            .orderBy(F.pmod(F.hash(F.col(id_col).cast("string")), F.lit(100003)),
+                     F.col(id_col))
+            .limit(sample_n).collect())
+    X = np.asarray([r["ev"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_seeds].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_seeds):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 1e-12:
+                    C[j] = c / nrm
+    return C
+
+
 def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
                  n_seeds: int = 16, n_probe: int = 2,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed_centroids=None) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization against a fixed
     set of seed vectors (the first ``n_seeds`` stored vectors — a
     deterministic stand-in for k-means centroids, so both engines agree
@@ -149,18 +184,33 @@ def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     vectors against one scan (the n x n_seeds expansion reduces
     map-side via max_by-style struct aggregation — no global sort); the
     candidate join touches only probed cells, ~n_probe/n_seeds of the
-    data. A production variant would learn the seeds with distributed
-    k-means (Lloyd's on a driver sample) and assign via one
-    mapInPandas matmul pass; the cell/probe plumbing is identical."""
+    data.
+
+    ``seed_centroids``: optional (n_seeds, dim) numpy array of LEARNED
+    centroids (see kmeans_seed_centroids) — better recall on clustered
+    embeddings; the default first-n-vectors seeding stays exactly
+    reproducible in SQL for the oracle."""
     from pyspark.sql import Window
 
     base = _swap_cache("ivf_base", df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("ev"),
         _norm(_as_double(F.col(vec_col))).alias("nrm")))
-    seeds = (base.filter(F.col(id_col) < n_seeds)
-             .select(F.col(id_col).alias("seed_id"), F.col("ev").alias("sv"),
-                     F.col("nrm").alias("snrm")))
+    if seed_centroids is not None:
+        import numpy as np
+        import pandas as pd
+
+        cent = np.asarray(seed_centroids, dtype=np.float64)
+        n_seeds = len(cent)
+        seeds = df.sparkSession.createDataFrame(pd.DataFrame({
+            "seed_id": np.arange(n_seeds, dtype=np.int64),
+            "sv": [[float(v) for v in c] for c in cent],
+            "snrm": [float(max(np.linalg.norm(c), 1e-12)) for c in cent],
+        }))
+    else:
+        seeds = (base.filter(F.col(id_col) < n_seeds)
+                 .select(F.col(id_col).alias("seed_id"), F.col("ev").alias("sv"),
+                         F.col("nrm").alias("snrm")))
     cos_seed = _dot(F.col("ev"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))
     expanded = (base.crossJoin(F.broadcast(seeds))
                 .select(id_col, "seed_id", cos_seed.alias("__cs")))

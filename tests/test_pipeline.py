@@ -128,3 +128,47 @@ def test_multimodal_plumbing(spark, docs):
 def test_feature_extract_prunes_blob_column(spark, docs):
     out = multimodal.extract_features(multimodal.attach_fake_media(docs))
     assert "payload" not in out.columns
+
+
+def test_ivf_kmeans_seeds_beat_first_n_on_clustered_data(spark):
+    """Learned IVF seeds (driver-sample spherical k-means) must beat the
+    first-n-vectors seeding on clustered embeddings when queries are NOT
+    part of the seed prefix — the realistic ANN setting. (On uniform
+    data the first-n fixture wins trivially because each query IS a
+    seed, which is why it stays the oracle variant only.)"""
+    import numpy as np
+    import pandas as pd
+
+    from golem_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32)) * 3
+    X = np.vstack([c + rng.standard_normal((250, 32)) for c in centers])
+    X = X[rng.permutation(len(X))]
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(len(X)),
+        "embedding": [list(map(float, v)) for v in X]})).cache()
+    df.count()
+
+    qids = tuple(range(100, 108))
+    k = 10
+    truth = {q: {r["vec_id"] for r in
+                 sim.cosine_topk(df, query_vec_id=q, k=k).collect()}
+             for q in qids}
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return float(np.mean([len(got.get(q, set()) & truth[q]) / k
+                              for q in qids]))
+
+    r_first = recall(sim.ann_ivf_topk(df, query_ids=qids, k=k,
+                                      n_seeds=16, n_probe=2))
+    C = sim.kmeans_seed_centroids(df, n_seeds=16, sample_n=1024)
+    assert C.shape == (16, 32)
+    r_kmeans = recall(sim.ann_ivf_topk(df, query_ids=qids, k=k, n_seeds=16,
+                                       n_probe=2, seed_centroids=C))
+    df.unpersist()
+    assert r_kmeans > r_first, (r_kmeans, r_first)
+    assert r_kmeans >= 0.95
