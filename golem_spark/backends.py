@@ -706,6 +706,433 @@ class ArrowSparkBackend(SparkBackend):
                    self.intercept, self.n, self._lgamma_sum, persist=False)
 
 
+class SparseArrowBackend(ArrowSparkBackend):
+    """Sparse-native wide-p backend: features arrive as per-row
+    (indices, values) array columns — hashed one-hots / CSR rows, the
+    reference's dgCMatrix role (R/owl.R:353-360). Standardization is
+    scale-only (centering would densify — rejected exactly like the
+    reference) and is FOLDED into every pass as values * inv_scale[idx]
+    instead of rewriting the arrays. All kernels are pure-numpy CSR
+    reductions (bincount matvecs / per-row outer accumulation) inside
+    mapInPandas Arrow batches — no scipy, nothing densifies to n x p.
+
+    ``col_sel``: optional sorted array of ORIGINAL feature ids this
+    backend exposes (active-set subsetting); indices outside it are
+    masked out batch-side and survivors remapped to 0..len-1.
+    """
+
+    def __init__(self, df: DataFrame, idx_col: str, val_col: str,
+                 y_cols: list[str], family: Family, intercept: bool, n: int,
+                 p_feat: int, inv_scale: np.ndarray,
+                 lgamma_sum: float = 0.0, persist: bool = True,
+                 col_sel: np.ndarray | None = None):
+        self.df = df.persist() if persist else df
+        self.idx_col = idx_col
+        self.val_col = val_col
+        self.y_cols = list(y_cols)
+        self.family = family
+        self.intercept = intercept
+        self.n = n
+        self.m = len(y_cols)
+        self._lgamma_sum = lgamma_sum
+        self.inv_scale_full = np.ascontiguousarray(inv_scale, dtype=np.float64)
+        self.col_sel = None if col_sel is None else np.asarray(col_sel, dtype=np.int64)
+        self.p_feat = p_feat if self.col_sel is None else int(self.col_sel.size)
+        self.p_total = self.p_feat + (1 if intercept else 0)
+        self.p_orig = p_feat
+        self.feat_cols = [f"s{j}" for j in range(self.p_feat)]  # names only
+
+    # -- batch plumbing ------------------------------------------------------
+
+    def _csr_closure(self):
+        """Returns a self-contained fn(pdf) -> (nrow, rows, cols, vals, Y)
+        with scaling and column selection applied."""
+        idx_col, val_col, y_cols = self.idx_col, self.val_col, self.y_cols
+        inv_scale = self.inv_scale_full
+        p_orig = self.p_orig
+        col_map = None
+        if self.col_sel is not None:
+            col_map = np.full(p_orig, -1, dtype=np.int64)
+            col_map[self.col_sel] = np.arange(self.col_sel.size)
+
+        def csr(pdf):
+            il = pdf[idx_col].to_numpy()
+            vl = pdf[val_col].to_numpy()
+            nrow = len(il)
+            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
+            if lens.sum():
+                flat_idx = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
+                flat_val = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
+            else:
+                flat_idx = np.zeros(0, dtype=np.int64)
+                flat_val = np.zeros(0, dtype=np.float64)
+            rows = np.repeat(np.arange(nrow), lens)
+            flat_val = flat_val * inv_scale[flat_idx]
+            if col_map is not None:
+                remap = col_map[flat_idx]
+                keep = remap >= 0
+                rows, flat_idx, flat_val = rows[keep], remap[keep], flat_val[keep]
+            Y = pdf[y_cols].to_numpy(dtype=np.float64)
+            return nrow, rows, flat_idx, flat_val, Y
+
+        return csr
+
+    def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
+        import pandas as pd
+
+        csr = self._csr_closure()
+
+        def op(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"part": [build_batch_fn(*csr(pdf)).tolist()]})
+
+        rows = self.df.mapInPandas(op, "part array<double>").collect()
+        total = np.zeros(out_len)
+        for r in rows:
+            total += np.asarray(r["part"])
+        return total
+
+    @staticmethod
+    def _lp(nrow, rows, cols, vals, b, intercept):
+        """Sparse X @ b (+ intercept row of b), b is (p_total, m)."""
+        m = b.shape[1]
+        bf = b[1:] if intercept else b
+        lp = np.zeros((nrow, m))
+        for k in range(m):
+            lp[:, k] = np.bincount(rows, weights=vals * bf[cols, k],
+                                   minlength=nrow)
+        if intercept:
+            lp += b[0][None, :]
+        return lp
+
+    @staticmethod
+    def _xtg(p_feat, rows, cols, vals, g, intercept):
+        """Sparse X^T g with optional intercept row (column of ones)."""
+        m = g.shape[1]
+        out = np.zeros((p_feat + (1 if intercept else 0), m))
+        off = 1 if intercept else 0
+        for k in range(m):
+            out[off:, k] = np.bincount(cols, weights=vals * g[rows, k],
+                                       minlength=p_feat)
+            if intercept:
+                out[0, k] = g[:, k].sum()
+        return out
+
+    # -- contract ------------------------------------------------------------
+
+    def eval(self, beta: np.ndarray):
+        fam = self.family.name
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept, m, p_feat = self.intercept, self.m, self.p_feat
+        lpf, xtgf = self._lp, self._xtg
+
+        def batch(nrow, rows, cols, vals, Y):
+            lp = lpf(nrow, rows, cols, vals, b, intercept)
+            primal, dual, g = _family_numpy(fam, Y, lp)
+            grad = xtgf(p_feat, rows, cols, vals, g, intercept)
+            return np.concatenate([[primal, dual], grad.ravel(order="F")])
+
+        out = self._partial_reduce(batch, 2 + self.p_total * m)
+        grad = out[2:].reshape((self.p_total, m), order="F")
+        return float(out[0]), float(out[1]), grad
+
+    def primal(self, beta: np.ndarray) -> float:
+        fam = self.family.name
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept = self.intercept
+        lpf = self._lp
+
+        def batch(nrow, rows, cols, vals, Y):
+            lp = lpf(nrow, rows, cols, vals, b, intercept)
+            p, _, _ = _family_numpy(fam, Y, lp, need_dual=False, need_grad=False)
+            return np.array([p])
+
+        return float(self._partial_reduce(batch, 1)[0])
+
+    @staticmethod
+    def _accum_gram(H, nrow, rows, cols, vals, w=None, intercept=False):
+        """H += X^T diag(w) X over one batch (H is (p_total, p_total),
+        intercept row/col included when intercept). Per-row outer
+        products — cost sum(nnz_row^2), never n x p."""
+        off = 1 if intercept else 0
+        order = np.argsort(rows, kind="stable")
+        rs, cs, vs = rows[order], cols[order], vals[order]
+        starts = np.searchsorted(rs, np.arange(nrow))
+        ends = np.searchsorted(rs, np.arange(nrow) + 1)
+        for r in range(nrow):
+            s, e = starts[r], ends[r]
+            if s == e and not intercept:
+                continue
+            ci = cs[s:e] + off
+            vi = vs[s:e]
+            wr = 1.0 if w is None else w[r]
+            H[np.ix_(ci, ci)] += wr * np.outer(vi, vi)
+            if intercept:
+                H[0, ci] += wr * vi
+                H[ci, 0] += wr * vi
+                H[0, 0] += wr
+
+    def gram(self) -> np.ndarray:
+        intercept, p_total = self.intercept, self.p_total
+        accum = self._accum_gram
+
+        def batch(nrow, rows, cols, vals, Y):
+            H = np.zeros((p_total, p_total))
+            accum(H, nrow, rows, cols, vals, None, intercept)
+            return H.ravel()
+
+        return self._partial_reduce(batch, p_total * p_total).reshape(
+            (p_total, p_total))
+
+    def xty(self) -> np.ndarray:
+        intercept, p_feat, m = self.intercept, self.p_feat, self.m
+        xtgf = self._xtg
+
+        def batch(nrow, rows, cols, vals, Y):
+            return xtgf(p_feat, rows, cols, vals, Y, intercept).ravel(order="F")
+
+        return self._partial_reduce(batch, self.p_total * m).reshape(
+            (self.p_total, m), order="F")
+
+    def gaussian_sufficient_stats(self):
+        intercept, p_total, p_feat, m = (self.intercept, self.p_total,
+                                         self.p_feat, self.m)
+        accum, xtgf = self._accum_gram, self._xtg
+
+        def batch(nrow, rows, cols, vals, Y):
+            H = np.zeros((p_total, p_total))
+            accum(H, nrow, rows, cols, vals, None, intercept)
+            xty = xtgf(p_feat, rows, cols, vals, Y, intercept)
+            return np.concatenate([H.ravel(), xty.ravel(order="F"),
+                                   [float(np.sum(Y * Y))]])
+
+        out = self._partial_reduce(batch, p_total * p_total + p_total * m + 1)
+        gram = out[:p_total * p_total].reshape((p_total, p_total))
+        xty = out[p_total * p_total:-1].reshape((p_total, m), order="F")
+        return gram, xty, float(out[-1])
+
+    def eval_hess(self, beta: np.ndarray):
+        fam = self.family.name
+        if fam == "multinomial":
+            raise NotImplementedError(
+                "sparse multinomial uses the Bohning bound (no per-pass Hessian)")
+        b = np.ascontiguousarray(beta, dtype=np.float64)
+        intercept, m, p_feat, p_total = (self.intercept, self.m, self.p_feat,
+                                         self.p_total)
+        lpf, xtgf, accum = self._lp, self._xtg, self._accum_gram
+
+        def batch(nrow, rows, cols, vals, Y):
+            lp = lpf(nrow, rows, cols, vals, b, intercept)
+            primal, dual, g = _family_numpy(fam, Y, lp)
+            grad = xtgf(p_feat, rows, cols, vals, g, intercept)
+            if fam == "binomial":
+                s = 1.0 / (1.0 + np.exp(-np.clip(lp[:, 0], -700, 700)))
+                w = s * (1 - s)
+            else:
+                w = np.exp(np.clip(lp[:, 0], -700, 700))
+            H = np.zeros((p_total, p_total))
+            accum(H, nrow, rows, cols, vals, w, intercept)
+            return np.concatenate([[primal, dual], grad.ravel(order="F"),
+                                   H.ravel()])
+
+        out = self._partial_reduce(batch, 2 + p_total * m + p_total * p_total)
+        grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
+        H = out[2 + p_total * m:].reshape((p_total, p_total))
+        return float(out[0]), float(out[1]), grad, H
+
+    def lambda_max_gradient(self) -> np.ndarray:
+        """|X_std^T ytilde| per family (lambdaMax.h:8-60). The centered
+        forms need column sums too (features are NOT centered, so
+        sum(x_j) != 0); everything comes from one pass."""
+        fam = self.family.name
+        m, p_feat = self.m, self.p_feat
+        intercept = self.intercept
+        xtgf = self._xtg
+
+        def batch(nrow, rows, cols, vals, Y):
+            if fam == "binomial":
+                yt = (Y + 1) / 2.0
+            elif fam == "poisson":
+                yt = 1.0 - Y
+            else:
+                yt = Y
+            xy = xtgf(p_feat, rows, cols, vals, yt, False)
+            colsum = np.bincount(cols, weights=vals, minlength=p_feat)
+            ysum = yt.sum(axis=0)
+            return np.concatenate([xy.ravel(order="F"), colsum, ysum, [nrow]])
+
+        out = self._partial_reduce(batch, p_feat * m + p_feat + m + 1)
+        xy = out[:p_feat * m].reshape((p_feat, m), order="F")
+        colsum = out[p_feat * m:p_feat * m + p_feat]
+        ysum = out[p_feat * m + p_feat:-1]
+        n = out[-1]
+        if fam in ("binomial", "multinomial"):
+            xy = xy - np.outer(colsum, ysum / n)
+        return np.abs(xy.ravel(order="F"))
+
+    def subset(self, cols: np.ndarray) -> "SparseArrowBackend":
+        cols = np.asarray(cols)
+        if self.intercept:
+            assert cols[0] == 0, "active set must contain the intercept"
+            feat_ids = cols[1:] - 1
+        else:
+            feat_ids = cols
+        base_sel = (feat_ids if self.col_sel is None
+                    else self.col_sel[feat_ids])
+        return SparseArrowBackend(
+            self.df, self.idx_col, self.val_col, self.y_cols, self.family,
+            self.intercept, self.n, self.p_orig, self.inv_scale_full,
+            self._lgamma_sum, persist=False, col_sel=base_sel)
+
+
+def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
+                         label_col, family_name: str, p: int, *,
+                         intercept: bool = True, center: bool = False,
+                         scale: str = "l2"):
+    """Assemble a SparseArrowBackend from (indices, values) array columns.
+
+    Centering is rejected exactly like the reference's sparse path
+    (R/owl.R:359-360: 'centering would destroy sparsity'); scale modes
+    l2/sd/none compute from one sparse stats pass and are applied
+    lazily inside every kernel."""
+    import pandas as pd
+
+    if center:
+        raise ValueError("centering would destroy sparsity in x (predictors)")
+    if scale not in ("l2", "sd", "none"):
+        raise ValueError("sparse mode supports scale in ('l2','sd','none')")
+    fam = get_family(family_name)
+
+    label_cols = [label_col] if isinstance(label_col, str) else list(label_col)
+    if len(label_cols) > 1 and family_name != "gaussian":
+        raise ValueError(f"family {family_name!r} takes a single label column")
+
+    # one stats pass: n, per-column sum/sumsq (scale), label sums/min
+    # (numeric-label families only), out-of-range index checks
+    need_y_stats = family_name in ("gaussian", "poisson")
+
+    def statop(batches):
+        for pdf in batches:
+            il = pdf[idx_col].to_numpy()
+            vl = pdf[val_col].to_numpy()
+            nrow = len(il)
+            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
+            if lens.sum():
+                fi = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
+                fv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
+            else:
+                fi = np.zeros(0, dtype=np.int64)
+                fv = np.zeros(0, dtype=np.float64)
+            bad = float(((fi < 0) | (fi >= p)).sum())
+            fi2 = np.clip(fi, 0, p - 1)
+            sums = np.bincount(fi2, weights=fv, minlength=p)
+            sqs = np.bincount(fi2, weights=fv * fv, minlength=p)
+            ysums = np.zeros(len(label_cols))
+            ymin = np.inf
+            if need_y_stats and nrow:
+                for j, c in enumerate(label_cols):
+                    col = pd.to_numeric(pdf[c], errors="coerce").to_numpy(np.float64)
+                    ysums[j] = np.nansum(col)
+                    if j == 0:
+                        ymin = float(np.nanmin(col))
+            yield pd.DataFrame({"part": [np.concatenate(
+                [[float(nrow), bad], sums, sqs, ysums, [ymin]]).tolist()]})
+
+    parts = df.mapInPandas(statop, "part array<double>").collect()
+    nlab = len(label_cols)
+    tot = np.zeros(2 + 2 * p + nlab + 1)
+    ymin = np.inf
+    for r in parts:
+        arr = np.asarray(r["part"])
+        ymin = min(ymin, arr[-1])
+        arr[-1] = 0.0
+        tot += arr
+    n = int(tot[0])
+    if tot[1] > 0:
+        raise ValueError(f"{int(tot[1])} feature indices outside [0, {p})")
+    sums = tot[2:2 + p]
+    sqs = tot[2 + p:2 + 2 * p]
+    ysums = tot[2 + 2 * p:2 + 2 * p + nlab]
+
+    if scale == "l2":
+        x_scale = _apply_scale_guard(np.sqrt(sqs))
+    elif scale == "sd":
+        x_scale = _apply_scale_guard(
+            np.sqrt(np.maximum(sqs - sums ** 2 / max(n, 1), 0.0) / max(n - 1, 1)))
+    else:
+        x_scale = np.ones(p)
+    inv_scale = 1.0 / x_scale
+
+    # response encoding (same semantics as build_spark_backend)
+    class_names = None
+    n_targets = 1
+    y_center = np.zeros(1)
+    y_scale = np.ones(1)
+    enc = df
+    if family_name == "gaussian":
+        n_targets = len(label_cols)
+        y_center = ysums / max(n, 1)
+        y_scale = np.ones(n_targets)
+        for k, c in enumerate(label_cols):
+            enc = enc.withColumn(
+                f"__y{k}", F.col(c).cast("double") - F.lit(float(y_center[k])))
+        y_cols = [f"__y{k}" for k in range(n_targets)]
+    elif family_name == "binomial":
+        classes = [r[0] for r in
+                   df.select(label_col).distinct().orderBy(label_col).collect()]
+        if len(classes) != 2:
+            raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
+        class_names = [str(c) for c in classes]
+        enc = df.withColumn("__y0", F.when(F.col(label_col) == classes[0], -1.0)
+                            .otherwise(1.0))
+        y_cols = ["__y0"]
+    elif family_name == "poisson":
+        if ymin < 0:
+            raise ValueError("cannot have negative responses in poisson model")
+        enc = df.withColumn("__y0", F.col(label_col).cast("double"))
+        y_cols = ["__y0"]
+    elif family_name == "multinomial":
+        classes = [r[0] for r in
+                   df.select(label_col).distinct().orderBy(label_col).collect()]
+        if len(classes) == 2:
+            raise ValueError("only two classes in response; use family='binomial'")
+        class_names = [str(c) for c in classes]
+        n_targets = len(classes) - 1
+        for k in range(n_targets):
+            enc = enc.withColumn(f"__y{k}", F.when(F.col(label_col) == classes[k],
+                                                   1.0).otherwise(0.0))
+        y_cols = [f"__y{k}" for k in range(n_targets)]
+        y_center = np.zeros(n_targets)
+        y_scale = np.ones(n_targets)
+    else:
+        raise ValueError(family_name)
+
+    std_df = enc.select(idx_col, val_col, *y_cols)
+    target_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                              n // 20_000 + 1))
+    if std_df.rdd.getNumPartitions() != target_parts:
+        std_df = std_df.repartition(target_parts)
+
+    lgamma_sum = 0.0
+    if family_name == "poisson":
+        hist = std_df.groupBy("__y0").count().collect()
+        lgamma_sum = float(sum(r["count"] * math.lgamma(r["__y0"] + 1.0)
+                               for r in hist))
+
+    backend = SparseArrowBackend(std_df, idx_col, val_col, y_cols, fam,
+                                 intercept, n, p, inv_scale, lgamma_sum)
+    meta = {
+        "x_center": np.zeros(p),
+        "x_scale": x_scale,
+        "y_center": y_center,
+        "y_scale": y_scale,
+        "class_names": class_names,
+        "n_targets": n_targets,
+        "feature_names": [f"V{j+1}" for j in range(p)],
+    }
+    return backend, meta
+
+
 def _family_numpy(fam: str, Y: np.ndarray, lp: np.ndarray,
                   need_dual: bool = True, need_grad: bool = True):
     """Self-contained family math for executor-side closures (kept free

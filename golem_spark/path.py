@@ -23,7 +23,9 @@ from typing import Any
 
 import numpy as np
 
-from golem_spark.backends import LocalBackend, SparkBackend, build_spark_backend, standardize_local
+from golem_spark.backends import (LocalBackend, SparkBackend,
+                                  build_spark_backend, build_sparse_backend,
+                                  standardize_local)
 from golem_spark.families import get_family
 from golem_spark.lambdas import lambda_sequence, sigma_grid
 from golem_spark.prox import sorted_l1_norm  # noqa: F401  (re-export convenience)
@@ -97,6 +99,8 @@ def _validate_local(x: np.ndarray, y: np.ndarray) -> None:
 
 
 def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
+        sparse_features: tuple[str, str] | None = None,
+        sparse_p: int | None = None,
         family: str = "gaussian", intercept: bool = True,
         center: bool | None = None, scale: str = "l2",
         sigma=None, lam="gaussian", lambda_min_ratio: float | None = None,
@@ -109,25 +113,40 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         diagnostics: bool = False) -> OwlFit:
     """Fit a full regularization path of sorted-L1 penalized GLMs.
 
-    Two input modes:
+    Three input modes:
     - local: ``owl(x, y, ...)`` with numpy arrays (n×p features, n response)
-    - distributed: ``owl(df=frame, feature_cols=[...], label_col=...)``
-      with a Spark DataFrame; all data-sized work stays on the cluster.
+    - distributed dense: ``owl(df=frame, feature_cols=[...], label_col=...)``
+    - distributed sparse: ``owl(df=frame, sparse_features=("idx_col",
+      "val_col"), sparse_p=<dimension>, label_col=...)`` — per-row
+      (indices, values) arrays, the reference's dgCMatrix role
+      (R/owl.R:353-360); centering is rejected, scaling stays lazy.
 
     Mirrors the reference entry point R/owl.R:271-487.
     """
-    if center is None:
-        center = True
-
     fam = get_family(family)
 
-    if df is not None:
+    if df is not None and sparse_features is not None:
+        if sparse_p is None:
+            raise ValueError("sparse_p (the feature dimension) is required "
+                             "with sparse_features")
+        if center is None:
+            center = False
+        backend, meta = build_sparse_backend(
+            df, sparse_features[0], sparse_features[1], label_col, family,
+            sparse_p, intercept=intercept, center=center, scale=scale)
+        n = backend.n
+        p_feat = sparse_p
+        m = backend.m
+    elif df is not None:
+        if center is None:
+            center = True
         backend, meta = build_spark_backend(df, feature_cols, label_col, family,
                                             intercept=intercept, center=center, scale=scale)
         n = backend.n
         p_feat = len(feature_cols)
         m = backend.m
     else:
+        center = True if center is None else center
         x = np.asarray(x, dtype=np.float64)
         _validate_local(x, y)
         resp = fam.preprocess_response(y)
@@ -225,11 +244,13 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         xty_full = backend.xty()
         yty = _yty(backend)
     elif use_prox_newton and p_total <= 500 and (
-            is_gaussian or (family == "multinomial" and p_total * m > 60)):
+            is_gaussian
+            or (family == "binomial" and p_total * m > 200)
+            or (family == "multinomial" and p_total * m > 60)):
         # the Gram is only consumed by the majorization strategies
-        # (gaussian quadratic model, multinomial Bohning bound);
-        # binomial/poisson refresh a local Hessian every iteration and
-        # would waste this pass
+        # (gaussian quadratic model, binomial/multinomial Bohning
+        # bounds); narrow binomial and poisson refresh a local Hessian
+        # every iteration and would waste this pass
         gram_full = backend.gram()
 
     # -- null deviance ------------------------------------------------------
@@ -292,8 +313,9 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         if use_prox_newton:
             if gram_full is not None:
                 gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
-            elif family in ("binomial", "poisson") or (
-                    family == "multinomial" and sub_idx.size * m <= 60):
+            elif (family == "poisson"
+                  or (family == "binomial" and sub_idx.size * m <= 200)
+                  or (family == "multinomial" and sub_idx.size * m <= 60)):
                 gram_s = None  # local-Hessian strategy: never consumed
             else:
                 gram_s = sub_backend.gram()
@@ -319,7 +341,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             return None, None, gram_full @ b - xty_full, None
         fam_name = backend.family.name
         need_h = (use_prox_newton
-                  and (fam_name in ("binomial", "poisson")
+                  and (fam_name == "poisson"
+                       or (fam_name == "binomial" and p_total * m <= 200)
                        or (fam_name == "multinomial" and p_total * m <= 60)))
         if need_h:
             return backend.eval_hess(b)

@@ -191,10 +191,16 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         # ADMM path's full p x p Gram is not precomputable.
         local_hessian = False
         B = None
-    elif fam in ("binomial", "poisson"):
-        # true local Hessian X' diag(w) X, refreshed per outer iteration
-        # (one extra pass) — near-quadratic convergence; step-halving
-        # safeguards the non-majorizing quadratic model
+    elif fam == "binomial":
+        # true local Hessian X' diag(w) X (near-quadratic convergence)
+        # while the per-pass p^2 payload is affordable; above that, the
+        # Bohning (1992) global bound H <= 0.25 X'X — ONE Gram pass for
+        # the whole fit, p-vector gradients per iteration
+        local_hessian = beta.shape[0] * m <= 200
+        B = None
+    elif fam == "poisson":
+        # no global curvature bound exists: local weighted Gram,
+        # refreshed per outer iteration with a step-halving safeguard
         local_hessian = True
         B = None
     elif fam == "multinomial":
@@ -253,6 +259,8 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         elif fam == "gaussian":
             # multi-target: Hessian of 0.5||Y-XB||_F^2 is I_m (x) X'X
             Hmat = gram if m == 1 else np.kron(np.eye(m), gram)
+        elif fam == "binomial":
+            Hmat = 0.25 * gram
         else:
             # Bohning bound 0.5 (I - 11'/(m+1)) (x) X'X; vec_F(G d B) =
             # (B (x) G) vec_F(d) for symmetric B

@@ -1,0 +1,105 @@
+"""Sparse-native backend (per-row (indices, values) arrays): the
+reference's dgCMatrix role (R/owl.R:353-360, tests/testthat/
+test-sparsity.R). Metamorphic: sparse == dense on the same data, with
+the sparse path never densifying and centering rejected."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from golem_spark.path import owl
+from tests.conftest import random_problem
+
+
+def _sparse_frames(spark, X, y):
+    n = X.shape[0]
+    idx = [list(np.flatnonzero(X[i]).astype(int)) for i in range(n)]
+    val = [[float(v) for v in X[i, np.flatnonzero(X[i])]] for i in range(n)]
+    return spark.createDataFrame(pd.DataFrame({"idx": idx, "val": val,
+                                               "label": list(y)}))
+
+
+def _dense_frame(spark, X, y):
+    cols = {f"x{j}": X[:, j] for j in range(X.shape[1])}
+    cols["label"] = list(y)
+    return spark.createDataFrame(pd.DataFrame(cols)), \
+        [f"x{j}" for j in range(X.shape[1])]
+
+
+@pytest.fixture(scope="module")
+def half_dense():
+    x, y, _ = random_problem(n=300, p=20, density=0.5, seed=71)
+    return x, y
+
+
+def test_sparse_equals_dense_gaussian(spark, half_dense):
+    """density-0.5 metamorphic (mirrors test-sparsity.R:1-23)."""
+    X, y = half_dense
+    df = _sparse_frames(spark, X, y)
+    fs = owl(df=df, sparse_features=("idx", "val"), sparse_p=20,
+             label_col="label", family="gaussian", n_sigma=5)
+    fl = owl(X, y, family="gaussian", n_sigma=5, center=False, scale="l2")
+    K = min(fs.n_sigma, fl.n_sigma)
+    np.testing.assert_allclose(fs.coefficients[:, :, :K],
+                               fl.coefficients[:, :, :K], atol=1e-9)
+
+
+@pytest.mark.parametrize("family,response", [("binomial", "binomial"),
+                                             ("poisson", "poisson")])
+def test_sparse_equals_dense_spark(spark, family, response):
+    """Same solver (prox-Newton) on both representations: tight match."""
+    x, y, _ = random_problem(n=250, p=12, density=0.5, response=response,
+                             seed=72)
+    if family == "binomial":
+        y = np.where(y > 0, "b", "a")
+    dfs = _sparse_frames(spark, x, y)
+    dfd, feats = _dense_frame(spark, x, y)
+    fs = owl(df=dfs, sparse_features=("idx", "val"), sparse_p=12,
+             label_col="label", family=family, n_sigma=4)
+    fd = owl(df=dfd, feature_cols=feats, label_col="label", family=family,
+             n_sigma=4, center=False, scale="l2")
+    K = min(fs.n_sigma, fd.n_sigma)
+    np.testing.assert_allclose(fs.coefficients[:, :, :K],
+                               fd.coefficients[:, :, :K],
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_sparse_wide_one_hot_fit(spark):
+    """Hashed one-hot features p=400, 3 nnz/row: screening + active-set
+    subsetting run through the sparse kernels end to end."""
+    rng = np.random.default_rng(73)
+    n, p = 3000, 400
+    idx = [sorted(rng.choice(p, size=3, replace=False).astype(int).tolist())
+           for _ in range(n)]
+    val = [[1.0, 1.0, 1.0]] * n
+    signal = np.array([5.0 if j < 5 else 0.0 for j in range(p)])
+    y = [float(sum(signal[j] for j in ix) + rng.standard_normal())
+         for ix in idx]
+    df = spark.createDataFrame(pd.DataFrame({"idx": idx, "val": val,
+                                             "label": y}))
+    fit = owl(df=df, sparse_features=("idx", "val"), sparse_p=p,
+              label_col="label", family="gaussian", n_sigma=6,
+              lambda_min_ratio=1e-2)
+    assert fit.coefficients.shape[0] == p + 1
+    assert np.all(np.isfinite(fit.coefficients))
+    assert fit.deviance_ratio[-1] > 0.5
+    # the planted one-hot signals dominate the tail solution
+    tail = np.abs(fit.coefficients[1:, 0, -1])
+    top5 = set(np.argsort(tail)[-5:])
+    assert top5 == {0, 1, 2, 3, 4}
+
+
+def test_sparse_center_rejected(spark, half_dense):
+    X, y = half_dense
+    df = _sparse_frames(spark, X, y)
+    with pytest.raises(ValueError, match="destroy sparsity"):
+        owl(df=df, sparse_features=("idx", "val"), sparse_p=20,
+            label_col="label", family="gaussian", center=True)
+
+
+def test_sparse_bad_index_rejected(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "idx": [[0, 5]], "val": [[1.0, 1.0]], "label": [1.0]}))
+    with pytest.raises(ValueError, match="outside"):
+        owl(df=df, sparse_features=("idx", "val"), sparse_p=3,
+            label_col="label", family="gaussian")
