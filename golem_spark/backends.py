@@ -548,6 +548,26 @@ class SparkBackend:
         self.df.unpersist()
 
 
+def _collect_partials(df: DataFrame, out_len: int) -> np.ndarray:
+    """Sum array<double> partial rows on the driver WITHOUT collect()'s
+    per-element Python float materialization: Arrow transfer keeps the
+    values in one contiguous buffer (a p^2-sized Gram partial from 30
+    partitions is ~20M doubles — Row conversion alone costs seconds)."""
+    total = np.zeros(out_len)
+    try:
+        tbl = df.toArrow()
+        col = tbl.column("part")
+        for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            if flat.size:
+                total += flat.reshape(-1, out_len).sum(axis=0)
+        return total
+    except Exception:
+        for r in df.collect():
+            total += np.asarray(r["part"])
+        return total
+
+
 class ArrowSparkBackend(SparkBackend):
     """Wide-p variant: data passes are mapInPandas partial reductions
     (Arrow batches -> numpy -> one partial-sum row per batch) instead of
@@ -569,13 +589,10 @@ class ArrowSparkBackend(SparkBackend):
             for pdf in batches:
                 X = pdf[feat_cols].to_numpy(dtype=np.float64)
                 Y = pdf[y_cols].to_numpy(dtype=np.float64)
-                yield pd.DataFrame({"part": [build_batch_fn(X, Y).tolist()]})
+                yield pd.DataFrame({"part": [build_batch_fn(X, Y)]})
 
-        rows = self.df.mapInPandas(op, "part array<double>").collect()
-        total = np.zeros(out_len)
-        for r in rows:
-            total += np.asarray(r["part"])
-        return total
+        return _collect_partials(self.df.mapInPandas(op, "part array<double>"),
+                                 out_len)
 
     def eval(self, beta: np.ndarray):
         fam = self.family.name
@@ -784,13 +801,10 @@ class SparseArrowBackend(ArrowSparkBackend):
 
         def op(batches):
             for pdf in batches:
-                yield pd.DataFrame({"part": [build_batch_fn(*csr(pdf)).tolist()]})
+                yield pd.DataFrame({"part": [build_batch_fn(*csr(pdf))]})
 
-        rows = self.df.mapInPandas(op, "part array<double>").collect()
-        total = np.zeros(out_len)
-        for r in rows:
-            total += np.asarray(r["part"])
-        return total
+        return _collect_partials(self.df.mapInPandas(op, "part array<double>"),
+                                 out_len)
 
     @staticmethod
     def _lp(nrow, rows, cols, vals, b, intercept):
@@ -852,25 +866,33 @@ class SparseArrowBackend(ArrowSparkBackend):
     @staticmethod
     def _accum_gram(H, nrow, rows, cols, vals, w=None, intercept=False):
         """H += X^T diag(w) X over one batch (H is (p_total, p_total),
-        intercept row/col included when intercept). Per-row outer
-        products — cost sum(nnz_row^2), never n x p."""
+        intercept row/col included when intercept). Fully vectorized
+        pair expansion + np.add.at — cost sum(nnz_row^2) flat array
+        ops, never n x p and never a per-row Python loop."""
         off = 1 if intercept else 0
         order = np.argsort(rows, kind="stable")
         rs, cs, vs = rows[order], cols[order], vals[order]
-        starts = np.searchsorted(rs, np.arange(nrow))
-        ends = np.searchsorted(rs, np.arange(nrow) + 1)
-        for r in range(nrow):
-            s, e = starts[r], ends[r]
-            if s == e and not intercept:
-                continue
-            ci = cs[s:e] + off
-            vi = vs[s:e]
-            wr = 1.0 if w is None else w[r]
-            H[np.ix_(ci, ci)] += wr * np.outer(vi, vi)
-            if intercept:
-                H[0, ci] += wr * vi
-                H[ci, 0] += wr * vi
-                H[0, 0] += wr
+        L = np.bincount(rs, minlength=nrow)          # nnz per row
+        starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        L2 = L * L
+        total = int(L2.sum())
+        if total:
+            # p-th pair of row r (p in [0, L_r^2)) -> (p // L_r, p % L_r)
+            pair_off = np.concatenate([[0], np.cumsum(L2)[:-1]])
+            k = np.arange(total) - np.repeat(pair_off, L2)
+            Lr = np.repeat(L, L2)
+            so = np.repeat(starts, L2)
+            ia = so + k // Lr
+            ib = so + k % Lr
+            pw = (vs[ia] * vs[ib] if w is None
+                  else vs[ia] * vs[ib] * np.repeat(w, L2))
+            np.add.at(H, (cs[ia] + off, cs[ib] + off), pw)
+        if intercept:
+            cw = vs if w is None else vs * w[rs]
+            csum = np.bincount(cs, weights=cw, minlength=H.shape[0] - 1)
+            H[0, 1:] += csum
+            H[1:, 0] += csum
+            H[0, 0] += float(nrow) if w is None else float(np.sum(w))
 
     def gram(self) -> np.ndarray:
         intercept, p_total = self.intercept, self.p_total

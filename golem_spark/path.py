@@ -210,7 +210,10 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     #   non-starter on a cluster); LocalBackend keeps reference-parity
     #   FISTA.
     is_gaussian = family == "gaussian"
-    use_admm = is_gaussian and (not isinstance(backend, SparkBackend) or p_total <= 500)
+    # sufficient-stats ADMM whenever the p x p Gram is storable: at
+    # p = 2000 that is 32 MB driver-side — one data pass for the whole
+    # path. Beyond that, prox-Newton with per-active-set Grams.
+    use_admm = is_gaussian and (not isinstance(backend, SparkBackend) or p_total <= 2000)
     use_prox_newton = isinstance(backend, SparkBackend) and not use_admm
     gram_full = None
     xty_full = None
@@ -243,7 +246,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         gram_full = backend.gram()
         xty_full = backend.xty()
         yty = _yty(backend)
-    elif use_prox_newton and p_total <= 500 and (
+    elif use_prox_newton and p_total <= 2000 and (
             is_gaussian
             or (family == "binomial" and p_total * m > 200)
             or (family == "multinomial" and p_total * m > 60)):
@@ -283,6 +286,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     u = np.zeros((p_total, m))
     screening_on = bool(screening)
     full_admm_state: dict[str, Any] = {}
+    pn_caches: dict[tuple, dict] = {}  # (subset, lam_max) -> factorization
 
     def full_gradient(b: np.ndarray) -> np.ndarray:
         if use_admm:
@@ -296,9 +300,21 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         if use_admm:
             gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
             xty_s = xty_full[sub_idx]
+            rho = None
+            if sub_idx.size > 48:
+                # wide subsets: a fresh eigvalsh per call is O(p^3);
+                # a deterministic power iteration on the subset Gram
+                # (a dozen O(p^2) matmuls) estimates eig_max well
+                # enough for the rho heuristic, which only steers the
+                # ADMM step size, not the fixed point
+                e = _power_eig_max(gram_s)
+                lmx = float(lam_k.max()) if lam_k.size else 0.0
+                rho = max((e ** (1.0 / 3.0)) * (lmx ** (2.0 / 3.0))
+                          if lmx > 0 else max(e, 1.0), 1e-12)
             res, z_s, u_s, _ = admm_gaussian(
                 gram_s, xty_s, start_beta[sub_idx], z[sub_idx], u[sub_idx],
-                lam_k, n=n, intercept=intercept, max_passes=max_passes,
+                lam_k, n=n, intercept=intercept, rho=rho,
+                max_passes=max_passes,
                 tol_abs=tol_abs, tol_rel=tol_rel, diagnostics=diagnostics)
             z[sub_idx] = z_s
             u[sub_idx] = u_s
@@ -319,10 +335,34 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                 gram_s = None  # local-Hessian strategy: never consumed
             else:
                 gram_s = sub_backend.gram()
+            # fixed-Hessian strategies: the (H + rho I) inverse survives
+            # KKT re-entries via a (subset, lambda)-keyed cache, and for
+            # wide subsets rho preseeds from the full-Gram eigenvalue
+            # bound (eig of any principal submatrix <= eig of the full
+            # Gram) — no O(p^3) eigvalsh per solve
+            fixed_h = (family == "gaussian"
+                       or (family == "binomial" and sub_idx.size * m > 200)
+                       or (family == "multinomial" and sub_idx.size * m > 60))
+            s_cache = None
+            if fixed_h:
+                key = (sub_idx.tobytes(),
+                       float(lam_k.max()) if lam_k.size else 0.0)
+                s_cache = pn_caches.setdefault(key, {})
+                if (gram_s is not None and sub_idx.size > 48
+                        and "rho" not in s_cache):
+                    # power-iteration eig estimate of the strategy's
+                    # fixed Hessian (see the ADMM branch note)
+                    scale_f = {"gaussian": 1.0, "binomial": 0.25,
+                               "multinomial": 0.5}[family]
+                    e = scale_f * _power_eig_max(gram_s)
+                    lmx = float(lam_k.max()) if lam_k.size else 0.0
+                    s_cache["rho"] = max(
+                        (e ** (1.0 / 3.0)) * (lmx ** (2.0 / 3.0))
+                        if lmx > 0 else max(e, 1.0), 1e-12)
             return prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
                                max_passes=max_passes, tol_rel_gap=tol_rel_gap,
                                tol_infeas=tol_infeas, diagnostics=diagnostics,
-                               init_eval=init_eval)
+                               init_eval=init_eval, solver_cache=s_cache)
         return fista(sub_backend, sub_beta, lam_k, max_passes=max_passes,
                      tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
                      diagnostics=diagnostics)
@@ -499,6 +539,20 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                   "max_passes": max_passes, "screening": screening,
               }},
     )
+
+
+def _power_eig_max(G: np.ndarray, iters: int = 16) -> float:
+    """Deterministic power-iteration estimate of the top eigenvalue of a
+    PSD matrix — a dozen O(p^2) matmuls instead of O(p^3) eigvalsh."""
+    v = np.ones(G.shape[0])
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        w = G @ v
+        nw = float(np.linalg.norm(w))
+        if nw <= 0.0:
+            return 0.0
+        v = w / nw
+    return float(v @ (G @ v))
 
 
 def _spark_primal_at_zero(backend) -> float:

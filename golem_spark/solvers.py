@@ -117,28 +117,48 @@ def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
 
 def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
                     lam: np.ndarray, pen0: int, *, max_iter: int = 5000,
-                    tol: float = 1e-8, alpha: float = 1.5) -> np.ndarray:
+                    tol: float = 1e-8, alpha: float = 1.5,
+                    cache: dict | None = None) -> np.ndarray:
     """Driver-local ADMM on the quadratic model
         min_d  0.5 <d, H d> + <lin, d> + J(beta0 + d; lam)
     with ``H`` the explicit (p*m, p*m) column-major-flattened quadratic
-    operator. One Cholesky up front, O((p*m)^2) per iteration — orders of
-    magnitude faster than an inner FISTA loop on the same model, and
-    still exact (model-sized driver work, no data passes). Returns d."""
+    operator. The (H + rho I) inverse is computed ONCE (and reused
+    across calls via ``cache`` when the majorization strategy keeps H
+    fixed, e.g. gaussian / Bohning bounds), so every iteration is one
+    O((p*m)^2) matmul — never an O(p^3) re-solve. Returns d."""
     p, m = beta0.shape
     pm = p * m
     b0 = beta0.ravel(order="F")
     q0 = H @ b0 - lin.ravel(order="F")
-    eig_max = float(np.linalg.eigvalsh(H).max()) if pm > 1 else float(H[0, 0])
-    rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) \
-        if lam.size and lam.max() > 0 else max(eig_max, 1.0)
-    rho = max(rho, 1e-12)
-    Lc = np.linalg.cholesky(H + rho * np.eye(pm))
-    z = b0.copy()
-    u = np.zeros(pm)
+    if cache is not None and "Hinv" in cache:
+        rho = cache["rho"]
+        Hinv = cache["Hinv"]
+    else:
+        if cache is not None and "rho" in cache:
+            rho = cache["rho"]  # preseeded (full-Gram eigenvalue bound)
+        else:
+            eig_max = float(np.linalg.eigvalsh(H).max()) if pm > 1 else float(H[0, 0])
+            rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) \
+                if lam.size and lam.max() > 0 else max(eig_max, 1.0)
+            rho = max(rho, 1e-12)
+        Hinv = np.linalg.inv(H + rho * np.eye(pm))
+        if cache is not None:
+            cache["rho"] = rho
+            cache["Hinv"] = Hinv
+    # warm-start the splitting state across outer iterations (cache'd
+    # fixed-H strategies only): successive subproblems differ only in
+    # the linear term, so the previous (z, u) is near-optimal
+    adaptive = cache is not None
+    if adaptive and cache.get("z") is not None and cache["z"].size == pm:
+        z = cache["z"].copy()
+        u = cache["u"].copy()
+    else:
+        z = b0.copy()
+        u = np.zeros(pm)
     b = b0.copy()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         q = q0 + rho * (z - u)
-        b = np.linalg.solve(Lc.T, np.linalg.solve(Lc, q))
+        b = Hinv @ q
         z_old = z
         b_hat = alpha * b + (1 - alpha) * z_old
         z = b_hat + u
@@ -156,6 +176,22 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
         eps_d = math.sqrt(pm) * 1e-10 + tol * float(np.linalg.norm(rho * u))
         if r < eps_p and s < eps_d:
             break
+        # residual balancing (Boyd et al. 2011, sec 3.4.1) — cached
+        # strategies only, so the uncached narrow paths stay bitwise
+        # identical; u is the SCALED dual, so it rescales with rho
+        if adaptive and (it + 1) % 25 == 0 and cache.get("n_rho", 0) < 12:
+            rho_new = rho * 2.0 if r > 10.0 * s else (
+                rho / 2.0 if s > 10.0 * r else rho)
+            if rho_new != rho:
+                u *= rho / rho_new
+                rho = rho_new
+                Hinv = np.linalg.inv(H + rho * np.eye(pm))
+                cache["rho"] = rho
+                cache["Hinv"] = Hinv
+                cache["n_rho"] = cache.get("n_rho", 0) + 1
+    if adaptive:
+        cache["z"] = z.copy()
+        cache["u"] = u.copy()
     return z.reshape((p, m), order="F") - beta0
 
 
@@ -164,7 +200,8 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
                 max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
                 tol_infeas: float = 1e-3, max_outer: int = 1000,
                 diagnostics: bool = False,
-                init_eval: tuple | None = None) -> SolverResult:
+                init_eval: tuple | None = None,
+                solver_cache: dict | None = None) -> SolverResult:
     """Distributed-friendly solver: ONE aggregation pass per outer
     iteration (plus line-search passes for poisson).
 
@@ -223,6 +260,11 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         raise ValueError("prox_newton majorization strategies need the Gram")
     passes = 0
     optimal = False
+    # fixed-Hessian strategies factorize (H + rho I) exactly once; the
+    # caller may pass a (subset, lambda)-keyed cache that survives KKT
+    # re-entries, optionally preseeded with "rho" from a full-Gram
+    # eigenvalue bound (skips the O(p^3) eigvalsh entirely)
+    fixed_h_cache: dict = {} if solver_cache is None else solver_cache
 
     def evaluate(b):
         """One combined pass; hessian only when the local-Hessian
@@ -266,7 +308,8 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
             # (B (x) G) vec_F(d) for symmetric B
             Hmat = 0.5 * np.kron(B, gram)
 
-        d = _prox_quadratic(Hmat, grad, beta, lam, pen0)
+        d = _prox_quadratic(Hmat, grad, beta, lam, pen0,
+                            cache=None if local_hessian else fixed_h_cache)
 
         if local_hessian:
             # the local quadratic is not a global bound: step-halving
@@ -324,7 +367,9 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
         eig_max = float(np.linalg.eigvalsh(gram).max())
         rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) if lam.size else max(eig_max, 1.0)
         rho = max(rho, 1e-12)
-    L = np.linalg.cholesky(gram + rho * np.eye(p))
+    # one O(p^3) factorization; every iteration is then one O(p^2)
+    # matmul (an np.linalg.solve per iteration would redo LU each time)
+    Hinv = np.linalg.inv(gram + rho * np.eye(p))
 
     beta = np.asarray(beta, dtype=np.float64).reshape(p, m).copy()
     z = np.asarray(z, dtype=np.float64).reshape(p, m).copy()
@@ -335,11 +380,16 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
     times: list[float] = []
     t0 = time.monotonic()
 
+    # residual balancing for wide problems only (p <= 48 keeps the
+    # exact reference-heuristic trajectory)
+    adaptive = p > 48
+    n_rho = 0
+
     passes = 0
     while passes < max_passes:
         passes += 1
         q = xty + rho * (z - u)
-        beta = np.linalg.solve(L.T, np.linalg.solve(L, q))
+        beta = Hinv @ q
 
         z_old = z
         beta_hat = alpha * beta + (1 - alpha) * z_old
@@ -365,6 +415,15 @@ def admm_gaussian(gram: np.ndarray, xty: np.ndarray, beta: np.ndarray,
 
         if r_norm < eps_primal and s_norm < eps_dual:
             break
+
+        if adaptive and passes % 25 == 0 and n_rho < 12:
+            rho_new = rho * 2.0 if r_norm > 10.0 * s_norm else (
+                rho / 2.0 if s_norm > 10.0 * r_norm else rho)
+            if rho_new != rho:
+                u *= rho / rho_new  # scaled dual rescales with rho
+                rho = rho_new
+                Hinv = np.linalg.inv(gram + rho * np.eye(p))
+                n_rho += 1
 
     res = SolverResult(z.copy(), passes, primals, duals, times, 0.0)
     return res, z, u, rho
