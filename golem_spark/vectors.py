@@ -41,3 +41,31 @@ def columns_to_vector(df: DataFrame, cols: list[str],
     from pyspark.ml.feature import VectorAssembler
 
     return VectorAssembler(inputCols=list(cols), outputCol=vector_col).transform(df)
+
+
+def vector_to_sparse_arrays(df: DataFrame, vector_col: str = "features",
+                            idx_col: str = "idx", val_col: str = "val",
+                            drop: bool = True) -> tuple[DataFrame, int]:
+    """Expand a VectorUDT column into (indices, values) array columns
+    WITHOUT densifying — SparseVector rows keep exactly their stored
+    nonzeros (dense rows expand to all positions). The output feeds
+    ``owl(df=..., sparse_features=(idx_col, val_col), sparse_p=dim)``.
+
+    Returns (df, dim). Uses unwrap_udt (Spark >= 3.4): the UDT struct is
+    (type: 0=sparse/1=dense, size, indices, values)."""
+    from pyspark.sql.functions import unwrap_udt
+
+    first = df.select(vector_col).first()
+    if first is None:
+        raise ValueError("empty DataFrame")
+    dim = len(first[0])
+
+    s = unwrap_udt(F.col(vector_col))
+    is_sparse = s.getField("type") == 0
+    vals = s.getField("values")
+    idx = F.when(is_sparse, s.getField("indices")).otherwise(
+        F.sequence(F.lit(0), F.size(vals) - 1).cast("array<int>"))
+    out = df.withColumn(idx_col, idx).withColumn(val_col, vals)
+    if drop:
+        out = out.drop(vector_col)
+    return out, dim

@@ -103,3 +103,42 @@ def test_sparse_bad_index_rejected(spark):
     with pytest.raises(ValueError, match="outside"):
         owl(df=df, sparse_features=("idx", "val"), sparse_p=3,
             label_col="label", family="gaussian")
+
+
+def test_vector_udt_to_sparse_arrays_roundtrip(spark):
+    """MLlib SparseVector columns feed the sparse backend without
+    densifying: unwrap_udt keeps exactly the stored nonzeros."""
+    from pyspark.ml.linalg import Vectors
+
+    from golem_spark.vectors import vector_to_sparse_arrays
+
+    rows = [
+        (Vectors.sparse(5, [1, 3], [2.0, -1.0]), 1.0),
+        (Vectors.dense([0.0, 1.0, 0.0, 0.0, 4.0]), 2.0),
+        (Vectors.sparse(5, [], []), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    out, dim = vector_to_sparse_arrays(df, "features")
+    assert dim == 5
+    got = {tuple(r["idx"]): list(r["val"]) for r in out.collect()}
+    assert got[(1, 3)] == [2.0, -1.0]
+    assert got[(0, 1, 2, 3, 4)] == [0.0, 1.0, 0.0, 0.0, 4.0]
+    assert got[()] == []
+
+    x, y, _ = random_problem(n=200, p=5, density=0.5, seed=74)
+    sdf = spark.createDataFrame(
+        [(Vectors.sparse(5, list(np.flatnonzero(x[i]).astype(int)),
+                         list(x[i][np.flatnonzero(x[i])])), float(y[i]))
+         for i in range(200)], ["features", "label"])
+    arr_df, p = vector_to_sparse_arrays(sdf, "features")
+    # pin screening: auto mode differs between local and narrow
+    # distributed fits, which shifts the sigma_max point within solver
+    # tolerance
+    fit = owl(df=arr_df, sparse_features=("idx", "val"), sparse_p=p,
+              label_col="label", family="gaussian", n_sigma=4,
+              screening=True)
+    fl = owl(x, y, family="gaussian", n_sigma=4, center=False, scale="l2",
+             screening=True)
+    K = min(fit.n_sigma, fl.n_sigma)
+    np.testing.assert_allclose(fit.coefficients[:, :, :K],
+                               fl.coefficients[:, :, :K], atol=1e-9)
