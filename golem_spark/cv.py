@@ -115,7 +115,9 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     number: int = 5, repeats: int = 1,
                     measure: str | list[str] | None = None,
                     family: str = "gaussian", n_sigma: int = 50,
-                    max_workers: int = 2, **owl_kwargs) -> TrainedOwl:
+                    max_workers: int = 2,
+                    sparse_features: tuple[str, str] | None = None,
+                    sparse_p: int | None = None, **owl_kwargs) -> TrainedOwl:
     """Distributed repeated k-fold CV: folds are a deterministic Knuth
     hash of ``key_col`` (kernel K15) computed as a column expression —
     no shuffle, no sampling; each grid cell is a filtered-DataFrame fit.
@@ -123,6 +125,10 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
     Cells run concurrently from a driver thread pool; on a cluster the
     FAIR scheduler shares executors between the concurrent fits (the
     Spark answer to the reference's PSOCK cluster, trainOwl.R:134-144).
+
+    ``sparse_features``/``sparse_p``: run every cell through the sparse
+    backend (feature_cols is ignored); held-out scoring evaluates the
+    whole path in one Arrow pass per cell.
     """
     from pyspark.sql import functions as F
 
@@ -136,9 +142,14 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
         if bad:
             raise ValueError(f"measures {bad} not applicable to family {family!r}")
         measures = want
+    if sparse_features is not None and "auc" in measures:
+        measures = [m for m in measures if m != "auc"]
 
-    full_fits = {qv: owl(df=df, feature_cols=feature_cols, label_col=label_col,
-                         family=family, q=qv, n_sigma=n_sigma, **owl_kwargs)
+    fit_kw = (dict(sparse_features=sparse_features, sparse_p=sparse_p)
+              if sparse_features is not None else dict(feature_cols=feature_cols))
+    full_fits = {qv: owl(df=df, label_col=label_col,
+                         family=family, q=qv, n_sigma=n_sigma,
+                         **fit_kw, **owl_kwargs)
                  for qv in qs}
 
     def fold_col(rep: int):
@@ -167,12 +178,17 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
         train = df.filter(fc != fold)
         test = df.filter(fc == fold)
         sig = full_fits[qv].sigma
-        cell_fit = owl(df=train, feature_cols=feature_cols, label_col=label_col,
-                       family=family, q=qv, sigma=sig, **owl_kwargs)
+        cell_fit = owl(df=train, label_col=label_col,
+                       family=family, q=qv, sigma=sig, **fit_kw, **owl_kwargs)
         out = {}
         for m in measures:
-            out[m] = _score(cell_fit, df=test, feature_cols=feature_cols,
-                            label_col=label_col, measure=m)
+            if sparse_features is not None:
+                out[m] = _score(cell_fit, df=test,
+                                sparse_features=sparse_features,
+                                label_col=label_col, measure=m)
+            else:
+                out[m] = _score(cell_fit, df=test, feature_cols=feature_cols,
+                                label_col=label_col, measure=m)
         return cell, out
 
     if max_workers > 1:

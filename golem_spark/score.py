@@ -36,11 +36,19 @@ def _measures_for(family: str) -> list[str]:
 
 def score(fit: OwlFit, x=None, y=None, *, df: DataFrame | None = None,
           feature_cols: list[str] | None = None, label_col: str | None = None,
+          sparse_features: tuple[str, str] | None = None,
           measure: str = "mse", sigma=None) -> np.ndarray:
     """Score the fit at every path point (or at ``sigma``); returns an
-    array of scores, one per evaluated path point."""
+    array of scores, one per evaluated path point.
+
+    ``sparse_features=(idx_col, val_col)``: score a sparse-features
+    DataFrame — ONE Arrow pass evaluates every path point (the
+    coefficient cube rides in the closure; a per-point literal
+    expression list would not survive wide p)."""
     if measure not in _measures_for(fit.family):
         raise ValueError(f"measure {measure!r} not available for family {fit.family!r}")
+    if df is not None and sparse_features is not None:
+        return _score_sparse(fit, df, sparse_features, label_col, measure, sigma)
     if df is not None:
         return _score_spark(fit, df, feature_cols, label_col, measure, sigma)
     return _score_np(fit, np.asarray(x, dtype=np.float64), y, measure, sigma)
@@ -133,6 +141,107 @@ def _auc_np(y01: np.ndarray, prob: np.ndarray) -> float:
         return float("nan")
     u = float(np.sum(ranks[y01 == 1.0])) - n1 * (n1 + 1) / 2.0
     return u / (n1 * n0)
+
+
+# ---------------------------------------------------------------------------
+# Sparse Spark scoring (one Arrow pass, all path points)
+# ---------------------------------------------------------------------------
+
+def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
+                  measure: str, sigma) -> np.ndarray:
+    import pandas as pd
+
+    from golem_spark.backends import _collect_partials
+
+    if measure == "auc":
+        raise ValueError("auc over sparse features is not implemented; "
+                         "use a dense scoring frame")
+    fam = fit.family
+    if sigma is not None:
+        betas = coef_at(fit, sigma, simplify=False)
+    else:
+        betas = fit.coefficients
+    p_tot, m, K = betas.shape
+    B = np.ascontiguousarray(betas)
+    intercept = fit.intercept
+    idx_col, val_col = sparse_features
+    class_names = fit.class_names
+
+    def op(batches):
+        for pdf in batches:
+            il = pdf[idx_col].to_numpy()
+            vl = pdf[val_col].to_numpy()
+            nrow = len(il)
+            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
+            if lens.sum():
+                fi = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
+                fv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
+            else:
+                fi = np.zeros(0, dtype=np.int64)
+                fv = np.zeros(0, dtype=np.float64)
+            rows = np.repeat(np.arange(nrow), lens)
+            lab = pdf[label_col].to_numpy()
+            # lp: (nrow, m, K) via CSR matvec against the whole cube
+            Bf = B[1:] if intercept else B
+            lp = np.zeros((nrow, m, K))
+            contrib = fv[:, None, None] * Bf[fi]  # (nnz, m, K)
+            np.add.at(lp, rows, contrib)
+            if intercept:
+                lp += B[0][None, :, :]
+            part = np.zeros(K + 1)
+            part[K] = float(nrow)
+            if fam in ("gaussian", "poisson"):
+                yv = lab.astype(np.float64)
+                pred = np.exp(np.clip(lp[:, 0, :], -700, 700)) \
+                    if fam == "poisson" else lp[:, 0, :]
+                d = pred - yv[:, None]
+                part[:K] = (np.sum(d * d, axis=0) if measure == "mse"
+                            else np.sum(np.abs(d), axis=0))
+            elif fam == "binomial":
+                y01 = np.asarray([0.0 if str(v) == str(class_names[0]) else 1.0
+                                  for v in lab])
+                prob = 1.0 / (1.0 + np.exp(-np.clip(lp[:, 0, :], -700, 700)))
+                if measure in ("mse", "mae"):
+                    d = prob - y01[:, None]
+                    part[:K] = (np.sum(d * d, axis=0) if measure == "mse"
+                                else np.sum(np.abs(d), axis=0))
+                elif measure == "deviance":
+                    pcl = np.clip(prob, _CLAMP, 1 - _CLAMP)
+                    part[:K] = -2.0 * np.sum(
+                        y01[:, None] * np.log(pcl)
+                        + (1 - y01[:, None]) * np.log(1 - pcl), axis=0)
+                elif measure == "misclass":
+                    part[:K] = np.sum((prob > 0.5) != (y01[:, None] == 1.0),
+                                      axis=0)
+            else:  # multinomial
+                names = class_names
+                y_idx = np.asarray([names.index(str(v)) for v in lab])
+                full = np.concatenate(
+                    [lp, np.zeros((nrow, 1, K))], axis=1)  # implicit class
+                full -= full.max(axis=1, keepdims=True)
+                e = np.exp(full)
+                prob = e / e.sum(axis=1, keepdims=True)  # (nrow, m+1, K)
+                Y = np.zeros((nrow, len(names)))
+                Y[np.arange(nrow), y_idx] = 1.0
+                if measure in ("mse", "mae"):
+                    d = prob - Y[:, :, None]
+                    s = (np.sum(d * d, axis=(0, 1)) if measure == "mse"
+                         else np.sum(np.abs(d), axis=(0, 1)))
+                    part[:K] = s / len(names)
+                elif measure == "deviance":
+                    pcl = np.clip(prob, _CLAMP, 1 - _CLAMP)
+                    part[:K] = -2.0 * np.sum(Y[:, :, None] * np.log(pcl),
+                                             axis=(0, 1))
+                elif measure == "misclass":
+                    part[:K] = np.sum(np.argmax(prob, axis=1)
+                                      != y_idx[:, None], axis=0)
+            yield pd.DataFrame({"part": [part]})
+
+    out = _collect_partials(
+        df.select(idx_col, val_col, label_col).mapInPandas(
+            op, "part array<double>"), K + 1)
+    n = max(out[K], 1.0)
+    return out[:K] / n
 
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,45 @@ def test_vector_udt_to_sparse_arrays_roundtrip(spark):
     K = min(fit.n_sigma, fl.n_sigma)
     np.testing.assert_allclose(fit.coefficients[:, :, :K],
                                fl.coefficients[:, :, :K], atol=1e-9)
+
+
+def test_sparse_scoring_matches_numpy(spark, half_dense):
+    """One-Arrow-pass sparse scoring == local numpy scoring, every
+    path point, multiple measures and families."""
+    from golem_spark.score import score
+
+    X, y = half_dense
+    df = _sparse_frames(spark, X, y)
+    fit = owl(df=df, sparse_features=("idx", "val"), sparse_p=20,
+              label_col="label", family="gaussian", n_sigma=5,
+              screening=True)
+    for measure in ("mse", "mae"):
+        s_sparse = score(fit, df=df, sparse_features=("idx", "val"),
+                         label_col="label", measure=measure)
+        s_np = score(fit, X, y, measure=measure)
+        np.testing.assert_allclose(s_sparse, s_np, rtol=1e-9, atol=1e-12)
+
+    yb = np.where(X @ np.linspace(-1, 1, 20) > 0, "b", "a")
+    dfb = _sparse_frames(spark, X, yb)
+    fitb = owl(df=dfb, sparse_features=("idx", "val"), sparse_p=20,
+               label_col="label", family="binomial", n_sigma=4)
+    for measure in ("mse", "deviance", "misclass"):
+        s_sparse = score(fitb, df=dfb, sparse_features=("idx", "val"),
+                         label_col="label", measure=measure)
+        s_np = score(fitb, X, yb, measure=measure)
+        np.testing.assert_allclose(s_sparse, s_np, rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_cv_runs(spark, half_dense):
+    from pyspark.sql import functions as F
+
+    from golem_spark.cv import train_owl_spark
+
+    X, y = half_dense
+    df = _sparse_frames(spark, X, y).withColumn(
+        "rid", F.monotonically_increasing_id())
+    trained = train_owl_spark(df, None, "label", "rid", q=(0.2,),
+                              number=3, n_sigma=4, max_workers=1,
+                              sparse_features=("idx", "val"), sparse_p=20)
+    assert "mse" in trained.optima
+    assert np.isfinite(trained.optima["mse"]["mean"])
