@@ -97,7 +97,8 @@ def _linear_predictor_np(x: np.ndarray, beta: np.ndarray, intercept: bool) -> np
 
 
 def predict(fit: OwlFit, x=None, *, df: DataFrame | None = None,
-            feature_cols: list[str] | None = None, sigma=None,
+            feature_cols: list[str] | None = None,
+            sparse_features: tuple[str, str] | None = None, sigma=None,
             type: str = "link", path_idx: int | None = None):
     """Predict from a fitted path.
 
@@ -107,8 +108,12 @@ def predict(fit: OwlFit, x=None, *, df: DataFrame | None = None,
     numpy mode returns an ndarray (n, m) for a single sigma or (n, m, K);
     Spark mode (df=...) returns the DataFrame with appended prediction
     columns pred_0..pred_{m-1} / pred_class for ONE path point (pass
-    sigma or path_idx).
+    sigma or path_idx). ``sparse_features=(idx_col, val_col)`` predicts
+    over sparse rows via one Arrow map pass (no literal expression per
+    feature — survives wide p).
     """
+    if df is not None and sparse_features is not None:
+        return _predict_sparse(fit, df, sparse_features, sigma, type, path_idx)
     if df is not None:
         return _predict_spark(fit, df, feature_cols, sigma, type, path_idx)
 
@@ -155,6 +160,83 @@ def _apply_link_np(fit: OwlFit, lp: np.ndarray, type: str):
             return np.asarray([names[i] for i in np.argmax(full, axis=1)])
         raise ValueError(f"type='class' not defined for family {fam!r}")
     raise ValueError(f"unknown type {type!r}")
+
+
+def _predict_sparse(fit: OwlFit, df: DataFrame, sparse_features, sigma,
+                    type, path_idx):
+    """Arrow map pass appending pred_* columns for ONE path point from
+    (indices, values) rows — the coefficient vector rides in the
+    closure as a CSR matvec, never as per-feature literals."""
+    import pandas as pd
+
+    if sigma is not None:
+        beta = coef_at(fit, float(np.atleast_1d(sigma)[0]), simplify=False)[:, :, 0]
+    else:
+        beta = fit.coefficients[:, :, path_idx if path_idx is not None else fit.n_sigma - 1]
+    B = np.ascontiguousarray(beta)
+    m = B.shape[1]
+    intercept = fit.intercept
+    fam = fit.family
+    names = fit.class_names
+    idx_col, val_col = sparse_features
+
+    if type == "class" and fam not in ("binomial", "multinomial"):
+        raise ValueError(f"type='class' not defined for family {fam!r}")
+    if type not in ("link", "response", "class"):
+        raise ValueError(f"unknown type {type!r}")
+
+    if type == "class":
+        out_fields = "pred_class string"
+    elif type == "response" and fam == "multinomial":
+        out_fields = ", ".join(f"pred_{t} double" for t in range(m + 1))
+    else:
+        out_fields = ", ".join(f"pred_{t} double" for t in range(m))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", " + out_fields
+
+    def op(batches):
+        for pdf in batches:
+            il = pdf[idx_col].to_numpy()
+            vl = pdf[val_col].to_numpy()
+            nrow = len(il)
+            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
+            if lens.sum():
+                fi = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
+                fv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
+            else:
+                fi = np.zeros(0, dtype=np.int64)
+                fv = np.zeros(0, dtype=np.float64)
+            rows = np.repeat(np.arange(nrow), lens)
+            Bf = B[1:] if intercept else B
+            lp = np.zeros((nrow, m))
+            for t in range(m):
+                lp[:, t] = np.bincount(rows, weights=fv * Bf[fi, t],
+                                       minlength=nrow)
+            if intercept:
+                lp += B[0][None, :]
+            out = pdf.copy()
+            if type == "link" or (type == "response" and fam == "gaussian"):
+                for t in range(m):
+                    out[f"pred_{t}"] = lp[:, t]
+            elif type == "response" and fam == "binomial":
+                out["pred_0"] = 1.0 / (1.0 + np.exp(-np.clip(lp[:, 0], -700, 700)))
+            elif type == "response" and fam == "poisson":
+                out["pred_0"] = np.exp(np.clip(lp[:, 0], -700, 700))
+            elif type == "response":  # multinomial
+                full = np.hstack([lp, np.zeros((nrow, 1))])
+                full -= full.max(axis=1, keepdims=True)
+                e = np.exp(full)
+                probs = e / e.sum(axis=1, keepdims=True)
+                for t in range(m + 1):
+                    out[f"pred_{t}"] = probs[:, t]
+            elif fam == "binomial":  # class
+                out["pred_class"] = np.where(lp[:, 0] > 0, names[1], names[0])
+            else:  # multinomial class
+                full = np.hstack([lp, np.zeros((nrow, 1))])
+                out["pred_class"] = [names[i] for i in np.argmax(full, axis=1)]
+            yield out
+
+    return df.mapInPandas(op, schema)
 
 
 def _predict_spark(fit: OwlFit, df: DataFrame, feature_cols, sigma, type, path_idx):

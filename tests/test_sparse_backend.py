@@ -184,3 +184,26 @@ def test_sparse_cv_runs(spark, half_dense):
                               sparse_features=("idx", "val"), sparse_p=20)
     assert "mse" in trained.optima
     assert np.isfinite(trained.optima["mse"]["mean"])
+
+
+def test_sparse_predict_matches_numpy(spark, half_dense):
+    from golem_spark.predict import predict
+
+    X, y = half_dense
+    df = _sparse_frames(spark, X, y)
+    fit = owl(df=df, sparse_features=("idx", "val"), sparse_p=20,
+              label_col="label", family="gaussian", n_sigma=4)
+    out = predict(fit, df=df, sparse_features=("idx", "val"),
+                  path_idx=fit.n_sigma - 1, type="response")
+    got = {round(r["label"], 9): r["pred_0"] for r in out.collect()}
+    expect = predict(fit, X, path_idx=fit.n_sigma - 1, type="response")[:, 0]
+    for yi, pi in zip(y, expect):
+        assert abs(got[round(float(yi), 9)] - pi) < 1e-9
+
+    yb = np.where(X @ np.linspace(-1, 1, 20) > 0, "b", "a")
+    dfb = _sparse_frames(spark, X, yb)
+    fitb = owl(df=dfb, sparse_features=("idx", "val"), sparse_p=20,
+               label_col="label", family="binomial", n_sigma=4)
+    cls = predict(fitb, df=dfb, sparse_features=("idx", "val"),
+                  path_idx=fitb.n_sigma - 1, type="class")
+    assert set(r["pred_class"] for r in cls.collect()) <= {"a", "b"}
