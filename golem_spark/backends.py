@@ -548,6 +548,19 @@ class SparkBackend:
         self.df.unpersist()
 
 
+def _flatten_lists(arrs, dtype) -> np.ndarray:
+    """Concatenate a pandas object column of per-row sequences. Arrow
+    delivers ndarray elements, which concatenate C-speed; generic
+    sequences fall back to a per-row conversion."""
+    seq = list(arrs)
+    if not seq:
+        return np.zeros(0, dtype=dtype)
+    if isinstance(seq[0], np.ndarray):
+        return np.concatenate(seq).astype(dtype, copy=False)
+    out = [np.asarray(v, dtype=dtype) for v in seq]
+    return np.concatenate(out) if out else np.zeros(0, dtype=dtype)
+
+
 def _collect_partials(df: DataFrame, out_len: int) -> np.ndarray:
     """Sum array<double> partial rows on the driver WITHOUT collect()'s
     per-element Python float materialization: Arrow transfer keeps the
@@ -777,12 +790,8 @@ class SparseArrowBackend(ArrowSparkBackend):
             vl = pdf[val_col].to_numpy()
             nrow = len(il)
             lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            if lens.sum():
-                flat_idx = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
-                flat_val = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
-            else:
-                flat_idx = np.zeros(0, dtype=np.int64)
-                flat_val = np.zeros(0, dtype=np.float64)
+            flat_idx = _flatten_lists(il, np.int64)
+            flat_val = _flatten_lists(vl, np.float64)
             rows = np.repeat(np.arange(nrow), lens)
             flat_val = flat_val * inv_scale[flat_idx]
             if col_map is not None:
@@ -1039,12 +1048,8 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             vl = pdf[val_col].to_numpy()
             nrow = len(il)
             lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            if lens.sum():
-                fi = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
-                fv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
-            else:
-                fi = np.zeros(0, dtype=np.int64)
-                fv = np.zeros(0, dtype=np.float64)
+            fi = _flatten_lists(il, np.int64)
+            fv = _flatten_lists(vl, np.float64)
             bad = float(((fi < 0) | (fi >= p)).sum())
             fi2 = np.clip(fi, 0, p - 1)
             sums = np.bincount(fi2, weights=fv, minlength=p)

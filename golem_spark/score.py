@@ -169,16 +169,14 @@ def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
 
     def op(batches):
         for pdf in batches:
+            from golem_spark.backends import _flatten_lists as _fl
+
             il = pdf[idx_col].to_numpy()
             vl = pdf[val_col].to_numpy()
             nrow = len(il)
             lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            if lens.sum():
-                fi = np.concatenate([np.asarray(v, dtype=np.int64) for v in il])
-                fv = np.concatenate([np.asarray(v, dtype=np.float64) for v in vl])
-            else:
-                fi = np.zeros(0, dtype=np.int64)
-                fv = np.zeros(0, dtype=np.float64)
+            fi = _fl(il, np.int64)
+            fv = _fl(vl, np.float64)
             rows = np.repeat(np.arange(nrow), lens)
             lab = pdf[label_col].to_numpy()
             # lp: (nrow, m, K) via CSR matvec against the whole cube

@@ -24,6 +24,9 @@ def get_spark(app_name: str = "golem_spark", shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # larger Arrow batches amortize per-batch Python overhead in the
+        # mapInPandas partial-reduction passes (default 10k)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
