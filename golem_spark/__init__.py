@@ -25,7 +25,9 @@ from golem_spark.version import __version__
 from golem_spark.path import owl, OwlFit
 from golem_spark.predict import coef_at, predict
 from golem_spark.score import score, deviance
-from golem_spark.cv import train_owl, TrainedOwl
+from golem_spark.cv import train_owl, train_owl_spark, TrainedOwl
+from golem_spark.vectors import (columns_to_vector, vector_to_columns,
+                                 vector_to_sparse_arrays)
 
 __all__ = [
     "__version__",
@@ -36,5 +38,9 @@ __all__ = [
     "score",
     "deviance",
     "train_owl",
+    "train_owl_spark",
     "TrainedOwl",
+    "columns_to_vector",
+    "vector_to_columns",
+    "vector_to_sparse_arrays",
 ]

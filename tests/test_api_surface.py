@@ -113,6 +113,13 @@ def test_input_assertions():
         owl(x, y, lam=np.array([1.0]))              # wrong length
     with pytest.raises(ValueError):
         owl(x, y, family="nope")
+    # multi-column responses: only gaussian supports the multi-task
+    # role; the others reject cleanly instead of silently reshaping
+    ym = np.column_stack([y, y])
+    with pytest.raises(ValueError, match="one-dimensional"):
+        owl(x, np.abs(ym), family="poisson")
+    with pytest.raises(ValueError, match="one-dimensional"):
+        owl(x, (ym > 0).astype(float), family="binomial")
 
 
 # -- diagnostics (test-diagnostics.R:1-9) -----------------------------------
