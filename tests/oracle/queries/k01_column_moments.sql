@@ -1,4 +1,3 @@
--- DuckDB oracle for k01_column_moments (frozen; see __spark_entry__.py)
 SELECT ROUND(AVG(l_quantity), 6) AS mean_qty,
            ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
            ROUND(MIN(l_quantity), 6) AS min_qty,

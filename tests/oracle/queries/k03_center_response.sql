@@ -1,4 +1,3 @@
--- DuckDB oracle for k03_center_response (frozen; see __spark_entry__.py)
 SELECT l_orderkey, l_linenumber,
            ROUND(l_quantity - (SELECT AVG(l_quantity) FROM lineitem), 6) AS yc
     FROM lineitem

@@ -1,4 +1,3 @@
--- DuckDB oracle for k05_sigmoid_response (frozen; see __spark_entry__.py)
 SELECT l_orderkey, l_linenumber,
            ROUND(1 / (1 + EXP(-(0.1 * l_quantity - 2.0 * l_discount + 0.5 * l_tax))), 6) AS prob
     FROM lineitem

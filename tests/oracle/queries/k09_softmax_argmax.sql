@@ -1,4 +1,3 @@
--- DuckDB oracle for k09_softmax_argmax (frozen; see __spark_entry__.py)
 SELECT l_orderkey, l_linenumber,
            ROUND(EXP(lp1 - m) / (EXP(lp1 - m) + EXP(lp2 - m) + EXP(lp3 - m)), 6) AS p1,
            ROUND(EXP(lp2 - m) / (EXP(lp1 - m) + EXP(lp2 - m) + EXP(lp3 - m)), 6) AS p2,

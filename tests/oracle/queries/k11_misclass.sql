@@ -1,4 +1,3 @@
--- DuckDB oracle for k11_misclass (frozen; see __spark_entry__.py)
 SELECT ROUND(AVG(CASE WHEN (o_totalprice > 150000) <> (o_orderpriority = '1-URGENT')
                           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS misclass
     FROM orders

@@ -1,4 +1,3 @@
--- DuckDB oracle for k12_rank_auc (frozen; see __spark_entry__.py)
 SELECT ROUND((SUM(CASE WHEN pos = 1 THEN CAST(r AS DOUBLE) ELSE 0.0 END)
                   - (SUM(pos) * (SUM(pos) + 1)) / 2.0)
                  / (SUM(pos) * (COUNT(*) - SUM(pos))), 6) AS auc

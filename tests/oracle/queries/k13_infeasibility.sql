@@ -1,4 +1,3 @@
--- DuckDB oracle for k13_infeasibility (frozen; see __spark_entry__.py)
 SELECT ROUND(GREATEST(MAX(cum), 0.0) / 1000, 6) AS infeas_k
     FROM (
       SELECT SUM(g - 50.0) OVER (ORDER BY g DESC, l_partkey

@@ -1,4 +1,3 @@
--- DuckDB oracle for k14_strong_rule_prefix (frozen; see __spark_entry__.py)
 SELECT CAST(COALESCE(MAX(rn), 0) AS BIGINT) AS prefix_k
     FROM (
       SELECT ROW_NUMBER() OVER (ORDER BY g DESC, l_partkey) AS rn,

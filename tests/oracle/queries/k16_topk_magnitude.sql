@@ -1,4 +1,3 @@
--- DuckDB oracle for k16_topk_magnitude (frozen; see __spark_entry__.py)
 SELECT l_partkey, ROUND(g / 1000, 6) AS g_k
     FROM (
       SELECT l_partkey, SUM(l_extendedprice * l_discount) AS g

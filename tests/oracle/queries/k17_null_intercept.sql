@@ -1,4 +1,3 @@
--- DuckDB oracle for k17_null_intercept (frozen; see __spark_entry__.py)
 SELECT ROUND(LN(p / (1 - p)), 6) AS b0
     FROM (
       SELECT LEAST(GREATEST(AVG(CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)

@@ -1,4 +1,3 @@
--- DuckDB oracle for k18_grouped_agg (frozen; see __spark_entry__.py)
 SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(l_quantity) / 1000, 6) AS sum_qty_k,

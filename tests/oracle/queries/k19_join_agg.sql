@@ -1,4 +1,3 @@
--- DuckDB oracle for k19_join_agg (frozen; see __spark_entry__.py)
 SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(o_totalprice) / 1000000, 4) AS rev_mm

@@ -1,4 +1,3 @@
--- DuckDB oracle for k20_events_scoring (frozen; see __spark_entry__.py)
 SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(AVG(1 / (1 + EXP(-(0.01 * value - 1.0)))), 6) AS avg_score,

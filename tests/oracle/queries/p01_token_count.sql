@@ -1,4 +1,3 @@
--- DuckDB oracle for p01_token_count (frozen; see __spark_entry__.py)
 SELECT doc_id,
            len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
            length(text)::BIGINT AS n_chars_calc,

@@ -1,4 +1,3 @@
--- DuckDB oracle for p02_quality_score (frozen; see __spark_entry__.py)
 WITH q AS (
       SELECT doc_id,
              len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_tok,

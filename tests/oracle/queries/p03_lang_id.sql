@@ -1,4 +1,3 @@
--- DuckDB oracle for p03_lang_id (frozen; see __spark_entry__.py)
 WITH h AS (SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['der','die','und','das','ist'], x)))::BIGINT AS h_de, len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['the','and','of','to','a'], x)))::BIGINT AS h_en, len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['el','la','los','que','de'], x)))::BIGINT AS h_es, len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['le','la','et','les','des'], x)))::BIGINT AS h_fr, len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['de','le','shi','bu','wo'], x)))::BIGINT AS h_zh FROM documents)
     SELECT doc_id,
            CASE

@@ -1,4 +1,3 @@
--- DuckDB oracle for p04_fingerprint (frozen; see __spark_entry__.py)
 WITH w AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       FROM documents)

@@ -1,4 +1,3 @@
--- DuckDB oracle for p05_exact_dedup (frozen; see __spark_entry__.py)
 SELECT md5(text) AS text_hash,
            COUNT(*)::BIGINT AS n_dups,
            MIN(doc_id) AS min_doc_id

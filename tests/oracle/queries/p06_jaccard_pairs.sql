@@ -1,4 +1,3 @@
--- DuckDB oracle for p06_jaccard_pairs (frozen; see __spark_entry__.py)
 WITH d AS (
       SELECT doc_id, lang, (n_chars // 100) AS len_bucket,
              list_distinct(string_split_regex(trim(text), '\s+')) AS toks

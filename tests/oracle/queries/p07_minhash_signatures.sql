@@ -1,4 +1,3 @@
--- DuckDB oracle for p07_minhash_signatures (frozen; see __spark_entry__.py)
 WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok FROM documents)
     SELECT doc_id,

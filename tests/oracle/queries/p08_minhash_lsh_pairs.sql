@@ -1,4 +1,3 @@
--- DuckDB oracle for p08_minhash_lsh_pairs (frozen; see __spark_entry__.py)
 WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok FROM documents),
     sig0 AS (

@@ -1,4 +1,3 @@
--- DuckDB oracle for p10_cosine_topk (frozen; see __spark_entry__.py)
 WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
       FROM embeddings WHERE vec_id = 0),

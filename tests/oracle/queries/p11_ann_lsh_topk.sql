@@ -1,4 +1,3 @@
--- DuckDB oracle for p11_ann_lsh_topk (frozen; see __spark_entry__.py)
 WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
       FROM embeddings),

@@ -1,4 +1,3 @@
--- DuckDB oracle for p12_embedding_near_dup (frozen; see __spark_entry__.py)
 WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
       FROM embeddings),

@@ -1,4 +1,3 @@
--- DuckDB oracle for p13_sessionize (frozen; see __spark_entry__.py)
 WITH e AS (
       SELECT user_id, epoch_ms(ts) AS ts_ms,
              LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev

@@ -1,4 +1,3 @@
--- DuckDB oracle for p14_topk_per_group (frozen; see __spark_entry__.py)
 WITH r AS (
       SELECT (o_custkey % 10)::BIGINT AS cust_bucket, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey % 10

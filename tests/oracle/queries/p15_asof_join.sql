@@ -1,4 +1,3 @@
--- DuckDB oracle for p15_asof_join (frozen; see __spark_entry__.py)
 WITH ev AS (
       SELECT event_id, user_id,
              (DATE '1997-06-01' + INTERVAL ((event_id % 365)::INT) DAY)::DATE AS event_date
