@@ -138,6 +138,9 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         p_feat = sparse_p
         m = backend.m
     elif df is not None:
+        if feature_cols is None:
+            raise ValueError("df mode needs feature_cols (dense) or "
+                             "sparse_features=(idx_col, val_col) + sparse_p")
         if center is None:
             center = True
         backend, meta = build_spark_backend(df, feature_cols, label_col, family,

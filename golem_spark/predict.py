@@ -50,7 +50,8 @@ def _interpolation_weights(path_sigma: np.ndarray, want: np.ndarray):
 
 def coef_at(fit: OwlFit, sigma=None, simplify: bool = True, *,
             exact: bool = False, x=None, y=None,
-            df=None, feature_cols=None, label_col=None) -> np.ndarray:
+            df=None, feature_cols=None, label_col=None,
+            sparse_features=None, sparse_p=None) -> np.ndarray:
     """Coefficients at the requested sigma value(s) (R/coef.R:23-54).
 
     Off-path sigmas are linearly interpolated between adjacent path
@@ -76,7 +77,8 @@ def coef_at(fit: OwlFit, sigma=None, simplify: bool = True, *,
         opts.setdefault("family", fit.family)
         opts.setdefault("intercept", fit.intercept)
         refit = owl(x, y, df=df, feature_cols=feature_cols,
-                    label_col=label_col, sigma=want, **opts)
+                    label_col=label_col, sparse_features=sparse_features,
+                    sparse_p=sparse_p, sigma=want, **opts)
         out = refit.coefficients
         return out[:, :, 0] if (simplify and out.shape[2] == 1) else out
 
