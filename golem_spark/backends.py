@@ -944,13 +944,42 @@ class SparseArrowBackend(ArrowSparkBackend):
 
     def eval_hess(self, beta: np.ndarray):
         fam = self.family.name
-        if fam == "multinomial":
-            raise NotImplementedError(
-                "sparse multinomial uses the Bohning bound (no per-pass Hessian)")
         b = np.ascontiguousarray(beta, dtype=np.float64)
         intercept, m, p_feat, p_total = (self.intercept, self.m, self.p_feat,
                                          self.p_total)
         lpf, xtgf, accum = self._lp, self._xtg, self._accum_gram
+
+        if fam == "multinomial":
+            # exact block softmax Hessian (the caller gates on small
+            # p*m): m(m+1)/2 weighted-Gram blocks per batch
+            pm = p_total * m
+
+            def batch(nrow, rows, cols, vals, Y):
+                lp = lpf(nrow, rows, cols, vals, b, intercept)
+                primal, dual, g = _family_numpy(fam, Y, lp)
+                grad = xtgf(p_feat, rows, cols, vals, g, intercept)
+                lp_max = np.maximum(np.max(lp, axis=1, keepdims=True), 0.0)
+                e = np.exp(lp - lp_max)
+                denom = np.exp(-lp_max[:, 0]) + e.sum(axis=1)
+                P = e / denom[:, None]
+                H = np.zeros((pm, pm))
+                for k in range(m):
+                    for l in range(k, m):
+                        w = P[:, k] * ((1.0 if k == l else 0.0) - P[:, l])
+                        blk = np.zeros((p_total, p_total))
+                        accum(blk, nrow, rows, cols, vals, w, intercept)
+                        H[k * p_total:(k + 1) * p_total,
+                          l * p_total:(l + 1) * p_total] = blk
+                        if l != k:
+                            H[l * p_total:(l + 1) * p_total,
+                              k * p_total:(k + 1) * p_total] = blk
+                return np.concatenate([[primal, dual],
+                                       grad.ravel(order="F"), H.ravel()])
+
+            out = self._partial_reduce(batch, 2 + pm + pm * pm)
+            grad = out[2:2 + pm].reshape((p_total, m), order="F")
+            H = out[2 + pm:].reshape((pm, pm))
+            return float(out[0]), float(out[1]), grad, H
 
         def batch(nrow, rows, cols, vals, Y):
             lp = lpf(nrow, rows, cols, vals, b, intercept)

@@ -45,13 +45,17 @@ def test_sparse_equals_dense_gaussian(spark, half_dense):
 
 
 @pytest.mark.parametrize("family,response", [("binomial", "binomial"),
-                                             ("poisson", "poisson")])
+                                             ("poisson", "poisson"),
+                                             ("multinomial", "multinomial")])
 def test_sparse_equals_dense_spark(spark, family, response):
     """Same solver (prox-Newton) on both representations: tight match."""
     x, y, _ = random_problem(n=250, p=12, density=0.5, response=response,
+                             n_targets=2 if family == "multinomial" else 1,
                              seed=72)
     if family == "binomial":
         y = np.where(y > 0, "b", "a")
+    elif family == "multinomial":
+        y = np.asarray([str(v) for v in y])
     dfs = _sparse_frames(spark, x, y)
     dfd, feats = _dense_frame(spark, x, y)
     fs = owl(df=dfs, sparse_features=("idx", "val"), sparse_p=12,
@@ -207,3 +211,36 @@ def test_sparse_predict_matches_numpy(spark, half_dense):
     cls = predict(fitb, df=dfb, sparse_features=("idx", "val"),
                   path_idx=fitb.n_sigma - 1, type="class")
     assert set(r["pred_class"] for r in cls.collect()) <= {"a", "b"}
+
+
+def test_sparse_scoring_poisson_multinomial(spark):
+    from golem_spark.score import score
+
+    x, yp, _ = random_problem(n=200, p=8, density=0.6, response="poisson",
+                              seed=75)
+    dfp = _sparse_frames(spark, x, yp.astype(float))
+    fitp = owl(df=dfp, sparse_features=("idx", "val"), sparse_p=8,
+               label_col="label", family="poisson", n_sigma=3)
+    for measure in ("mse", "mae"):
+        s = score(fitp, df=dfp, sparse_features=("idx", "val"),
+                  label_col="label", measure=measure)
+        np.testing.assert_allclose(s, score(fitp, x, yp, measure=measure),
+                                   rtol=1e-9, atol=1e-12)
+
+    xm, ym, _ = random_problem(n=240, p=6, density=0.6,
+                               response="multinomial", n_targets=2, seed=76)
+    dfm = _sparse_frames(spark, xm, [str(v) for v in ym])
+    fitm = owl(df=dfm, sparse_features=("idx", "val"), sparse_p=6,
+               label_col="label", family="multinomial", n_sigma=3)
+    for measure in ("mse", "deviance", "misclass"):
+        s = score(fitm, df=dfm, sparse_features=("idx", "val"),
+                  label_col="label", measure=measure)
+        np.testing.assert_allclose(
+            s, score(fitm, xm, [str(v) for v in ym], measure=measure),
+            rtol=1e-9, atol=1e-12)
+    # sparse predict classes agree with numpy predict
+    from golem_spark.predict import predict
+
+    cls = predict(fitm, df=dfm, sparse_features=("idx", "val"),
+                  path_idx=fitm.n_sigma - 1, type="class")
+    assert set(r["pred_class"] for r in cls.collect()) <= set(fitm.class_names)
