@@ -561,6 +561,22 @@ def _flatten_lists(arrs, dtype) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros(0, dtype=dtype)
 
 
+def _csr_batch(pdf, idx_col: str, val_col: str):
+    """Shared CSR row-building for every sparse Arrow closure:
+    (nrow, lens, rows, flat_idx, flat_val). Null array cells are
+    rejected (the dense path rejects null features the same way)."""
+    il = pdf[idx_col].to_numpy()
+    vl = pdf[val_col].to_numpy()
+    nrow = len(il)
+    if any(v is None for v in il) or any(v is None for v in vl):
+        raise ValueError(f"missing values in columns: ['{idx_col}', '{val_col}']")
+    lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
+    flat_idx = _flatten_lists(il, np.int64)
+    flat_val = _flatten_lists(vl, np.float64)
+    rows = np.repeat(np.arange(nrow), lens)
+    return nrow, lens, rows, flat_idx, flat_val
+
+
 def _collect_partials(df: DataFrame, out_len: int) -> np.ndarray:
     """Sum array<double> partial rows on the driver WITHOUT collect()'s
     per-element Python float materialization: Arrow transfer keeps the
@@ -576,6 +592,7 @@ def _collect_partials(df: DataFrame, out_len: int) -> np.ndarray:
                 total += flat.reshape(-1, out_len).sum(axis=0)
         return total
     except Exception:
+        total = np.zeros(out_len)  # discard any partially-summed chunks
         for r in df.collect():
             total += np.asarray(r["part"])
         return total
@@ -786,13 +803,7 @@ class SparseArrowBackend(ArrowSparkBackend):
             col_map[self.col_sel] = np.arange(self.col_sel.size)
 
         def csr(pdf):
-            il = pdf[idx_col].to_numpy()
-            vl = pdf[val_col].to_numpy()
-            nrow = len(il)
-            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            flat_idx = _flatten_lists(il, np.int64)
-            flat_val = _flatten_lists(vl, np.float64)
-            rows = np.repeat(np.arange(nrow), lens)
+            nrow, lens, rows, flat_idx, flat_val = _csr_batch(pdf, idx_col, val_col)
             flat_val = flat_val * inv_scale[flat_idx]
             if col_map is not None:
                 remap = col_map[flat_idx]
@@ -1073,30 +1084,29 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
 
     def statop(batches):
         for pdf in batches:
-            il = pdf[idx_col].to_numpy()
-            vl = pdf[val_col].to_numpy()
-            nrow = len(il)
-            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            fi = _flatten_lists(il, np.int64)
-            fv = _flatten_lists(vl, np.float64)
+            nrow, lens, rows, fi, fv = _csr_batch(pdf, idx_col, val_col)
             bad = float(((fi < 0) | (fi >= p)).sum())
             fi2 = np.clip(fi, 0, p - 1)
             sums = np.bincount(fi2, weights=fv, minlength=p)
             sqs = np.bincount(fi2, weights=fv * fv, minlength=p)
             ysums = np.zeros(len(label_cols))
             ymin = np.inf
+            ynull = 0.0
             if need_y_stats and nrow:
                 for j, c in enumerate(label_cols):
                     col = pd.to_numeric(pdf[c], errors="coerce").to_numpy(np.float64)
+                    ynull += float(np.isnan(col).sum())
                     ysums[j] = np.nansum(col)
-                    if j == 0:
+                    if j == 0 and not np.all(np.isnan(col)):
                         ymin = float(np.nanmin(col))
+            elif nrow:
+                ynull = float(sum(int(pdf[c].isna().sum()) for c in label_cols))
             yield pd.DataFrame({"part": [np.concatenate(
-                [[float(nrow), bad], sums, sqs, ysums, [ymin]]).tolist()]})
+                [[float(nrow), bad, ynull], sums, sqs, ysums, [ymin]]).tolist()]})
 
     parts = df.mapInPandas(statop, "part array<double>").collect()
     nlab = len(label_cols)
-    tot = np.zeros(2 + 2 * p + nlab + 1)
+    tot = np.zeros(3 + 2 * p + nlab + 1)
     ymin = np.inf
     for r in parts:
         arr = np.asarray(r["part"])
@@ -1106,9 +1116,11 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     n = int(tot[0])
     if tot[1] > 0:
         raise ValueError(f"{int(tot[1])} feature indices outside [0, {p})")
-    sums = tot[2:2 + p]
-    sqs = tot[2 + p:2 + 2 * p]
-    ysums = tot[2 + 2 * p:2 + 2 * p + nlab]
+    if tot[2] > 0:
+        raise ValueError(f"missing values in columns: {label_cols}")
+    sums = tot[3:3 + p]
+    sqs = tot[3 + p:3 + 2 * p]
+    ysums = tot[3 + 2 * p:3 + 2 * p + nlab]
 
     if scale == "l2":
         x_scale = _apply_scale_guard(np.sqrt(sqs))

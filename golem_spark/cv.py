@@ -143,6 +143,10 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
             raise ValueError(f"measures {bad} not applicable to family {family!r}")
         measures = want
     if sparse_features is not None and "auc" in measures:
+        if measure is not None:
+            # explicitly requested: fail fast, BEFORE any cluster work
+            raise ValueError("auc is not available for sparse-features CV; "
+                             "request a different measure")
         measures = [m for m in measures if m != "auc"]
 
     fit_kw = (dict(sparse_features=sparse_features, sparse_p=sparse_p)

@@ -351,6 +351,11 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                 key = (sub_idx.tobytes(),
                        float(lam_k.max()) if lam_k.size else 0.0)
                 s_cache = pn_caches.setdefault(key, {})
+                # entries hold dense (p*m)^2 inverses; lam changes at
+                # every path point so old keys never recur — keep only
+                # the most recent few (KKT re-entries reuse the newest)
+                while len(pn_caches) > 4:
+                    pn_caches.pop(next(iter(pn_caches)))
                 if (gram_s is not None and sub_idx.size > 48
                         and "rho" not in s_cache):
                     # power-iteration eig estimate of the strategy's

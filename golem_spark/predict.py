@@ -197,16 +197,10 @@ def _predict_sparse(fit: OwlFit, df: DataFrame, sparse_features, sigma,
                        for f in df.schema.fields) + ", " + out_fields
 
     def op(batches):
-        for pdf in batches:
-            from golem_spark.backends import _flatten_lists as _fl
+        from golem_spark.backends import _csr_batch
 
-            il = pdf[idx_col].to_numpy()
-            vl = pdf[val_col].to_numpy()
-            nrow = len(il)
-            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            fi = _fl(il, np.int64)
-            fv = _fl(vl, np.float64)
-            rows = np.repeat(np.arange(nrow), lens)
+        for pdf in batches:
+            nrow, lens, rows, fi, fv = _csr_batch(pdf, idx_col, val_col)
             Bf = B[1:] if intercept else B
             lp = np.zeros((nrow, m))
             for t in range(m):

@@ -166,35 +166,35 @@ def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
     intercept = fit.intercept
     idx_col, val_col = sparse_features
     class_names = fit.class_names
+    label_cols = [label_col] if isinstance(label_col, str) else list(label_col)
+    if fam == "gaussian" and m > 1 and len(label_cols) != m:
+        raise ValueError(f"multi-target gaussian scoring needs {m} label "
+                         f"columns, got {len(label_cols)}")
 
     def op(batches):
-        for pdf in batches:
-            from golem_spark.backends import _flatten_lists as _fl
+        from golem_spark.backends import _csr_batch
 
-            il = pdf[idx_col].to_numpy()
-            vl = pdf[val_col].to_numpy()
-            nrow = len(il)
-            lens = np.fromiter((len(v) for v in il), dtype=np.int64, count=nrow)
-            fi = _fl(il, np.int64)
-            fv = _fl(vl, np.float64)
-            rows = np.repeat(np.arange(nrow), lens)
-            lab = pdf[label_col].to_numpy()
-            # lp: (nrow, m, K) via CSR matvec against the whole cube
+        for pdf in batches:
+            nrow, lens, rows, fi, fv = _csr_batch(pdf, idx_col, val_col)
+            lab = pdf[label_cols[0]].to_numpy()
+            # lp: (nrow, m, K) — one O(nnz) bincount per (target, path
+            # point), never an (nnz, m, K) temporary
             Bf = B[1:] if intercept else B
-            lp = np.zeros((nrow, m, K))
-            contrib = fv[:, None, None] * Bf[fi]  # (nnz, m, K)
-            np.add.at(lp, rows, contrib)
+            lp = np.empty((nrow, m, K))
+            for t in range(m):
+                for k in range(K):
+                    lp[:, t, k] = np.bincount(rows, weights=fv * Bf[fi, t, k],
+                                              minlength=nrow)
             if intercept:
                 lp += B[0][None, :, :]
             part = np.zeros(K + 1)
             part[K] = float(nrow)
             if fam in ("gaussian", "poisson"):
-                yv = lab.astype(np.float64)
-                pred = np.exp(np.clip(lp[:, 0, :], -700, 700)) \
-                    if fam == "poisson" else lp[:, 0, :]
-                d = pred - yv[:, None]
-                part[:K] = (np.sum(d * d, axis=0) if measure == "mse"
-                            else np.sum(np.abs(d), axis=0))
+                Yt = pdf[label_cols].to_numpy(dtype=np.float64)  # (nrow, m)
+                pred = np.exp(np.clip(lp, -700, 700)) if fam == "poisson" else lp
+                d = pred - Yt[:, :, None]
+                part[:K] = (np.sum(d * d, axis=(0, 1)) if measure == "mse"
+                            else np.sum(np.abs(d), axis=(0, 1))) / m
             elif fam == "binomial":
                 y01 = np.asarray([0.0 if str(v) == str(class_names[0]) else 1.0
                                   for v in lab])
@@ -236,7 +236,7 @@ def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
             yield pd.DataFrame({"part": [part]})
 
     out = _collect_partials(
-        df.select(idx_col, val_col, label_col).mapInPandas(
+        df.select(idx_col, val_col, *label_cols).mapInPandas(
             op, "part array<double>"), K + 1)
     n = max(out[K], 1.0)
     return out[:K] / n

@@ -244,3 +244,32 @@ def test_sparse_scoring_poisson_multinomial(spark):
     cls = predict(fitm, df=dfm, sparse_features=("idx", "val"),
                   path_idx=fitm.n_sigma - 1, type="class")
     assert set(r["pred_class"] for r in cls.collect()) <= set(fitm.class_names)
+
+
+def test_sparse_multitarget_scoring_and_null_labels(spark):
+    from golem_spark.score import score
+
+    x, y, _ = random_problem(n=150, p=6, n_targets=2, density=0.6, seed=77)
+    n = x.shape[0]
+    idx = [list(np.flatnonzero(x[i]).astype(int)) for i in range(n)]
+    val = [[float(v) for v in x[i, np.flatnonzero(x[i])]] for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "idx": idx, "val": val, "ya": y[:, 0], "yb": y[:, 1]}))
+    fit = owl(df=df, sparse_features=("idx", "val"), sparse_p=6,
+              label_col=["ya", "yb"], family="gaussian", n_sigma=4)
+    s_sparse = score(fit, df=df, sparse_features=("idx", "val"),
+                     label_col=["ya", "yb"], measure="mse")
+    s_np = score(fit, x, y, measure="mse")
+    np.testing.assert_allclose(s_sparse, s_np, rtol=1e-9, atol=1e-12)
+    # single label col for a multi-target fit is an error, not target 0
+    with pytest.raises(ValueError, match="label"):
+        score(fit, df=df, sparse_features=("idx", "val"),
+              label_col="ya", measure="mse")
+
+    # null labels are rejected like the dense path
+    dfn = spark.createDataFrame(pd.DataFrame({
+        "idx": [[0], [1]], "val": [[1.0], [1.0]],
+        "label": [1.0, None]}))
+    with pytest.raises(Exception, match="missing values"):
+        owl(df=dfn, sparse_features=("idx", "val"), sparse_p=3,
+            label_col="label", family="gaussian")
