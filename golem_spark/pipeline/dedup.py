@@ -71,8 +71,15 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
 
+    from golem_spark.pipeline.similarity import _swap_cache
+
+    # tokenize ONCE: the slim (doc_id, tok) frame feeds the frequency
+    # aggregation, the ranked prefix, AND the verification sets below.
+    # Without the persist the corpus is re-tokenized+exploded ~4x in one
+    # lineage (measured 3.6x wall-clock at sf0.1) — pure waste at scale.
     toks_arr = F.array_distinct(tokens_col(text_col))
-    toks = df.select("doc_id", F.explode(toks_arr).alias("tok"))
+    toks = _swap_cache(
+        "jaccard_toks", df.select("doc_id", F.explode(toks_arr).alias("tok")))
     tok_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
 
     # slim (doc_id, tok) rows through the frequency join + windows; the
@@ -85,9 +92,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
               .withColumn("n_toks", F.count(F.lit(1)).over(w_cnt)))
     prefix_len = (F.col("n_toks")
                   - F.ceil(F.lit(float(threshold)) * F.col("n_toks")) + 1)
-    prefix = (ranked.filter(F.col("rn") <= prefix_len)
-              .select("doc_id", "tok", "n_toks")
-              .join(df.select("doc_id", *_block_key()), "doc_id"))
+    # the prefix frame is the self-joined candidate source (read twice);
+    # persist it so the freq-join + double window run once, not twice
+    prefix = _swap_cache("jaccard_prefix", (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "tok", "n_toks")
+        .join(df.select("doc_id", *_block_key()), "doc_id")))
 
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -102,9 +112,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
 
-    # verify candidates with the exact Jaccard (token arrays only
-    # materialize against the small candidate set)
-    sets = df.select("doc_id", toks_arr.alias("toks"))
+    # verify candidates with the exact Jaccard; the token arrays are
+    # regrouped from the SAME persisted (doc_id, tok) frame, not
+    # re-tokenized from the raw text (array_intersect/union only use set
+    # sizes, so the collect_set ordering is irrelevant)
+    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
     jac = (F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).cast("double")
            / F.size(F.array_union(F.col("sa.toks"), F.col("sb.toks"))).cast("double"))
     return (cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
