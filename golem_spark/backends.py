@@ -577,6 +577,30 @@ def _csr_batch(pdf, idx_col: str, val_col: str):
     return nrow, lens, rows, flat_idx, flat_val
 
 
+def _bounded_partials_src(df: DataFrame, out_len: int,
+                          cached_n_parts: list) -> DataFrame:
+    """Cap the bytes of partial rows a reduction pass sends the driver.
+
+    A Gram partial is out_len = p_total^2 doubles (~5 MB at p=807); with
+    31 partitions the driver would ingest ~160 MB of task results, which
+    the py4j collect path handles badly (measured 7-52 s, high variance,
+    vs 1.4-3 s after coalescing to ~40 MB). Coalesce is a narrow
+    dependency, so the map work itself runs in the merged tasks — fine
+    here because per-batch CPU is small next to the transfer. At real
+    cluster scale (1000 executors) the equivalent fix is a two-stage
+    tree reduce (full-parallel map, then a repartition-sum stage);
+    locally the extra shuffle measured slower than coalesce, so we keep
+    the simple form and bound ingress to ~40 MB."""
+    part_bytes = out_len * 8
+    if part_bytes <= (1 << 20):
+        return df
+    if not cached_n_parts:
+        cached_n_parts.append(df.rdd.getNumPartitions())
+    n_in = cached_n_parts[0]
+    fanin = max(1, min(n_in, (40 << 20) // part_bytes))
+    return df.coalesce(fanin) if fanin < n_in else df
+
+
 def _collect_partials(df: DataFrame, out_len: int) -> np.ndarray:
     """Sum array<double> partial rows on the driver WITHOUT collect()'s
     per-element Python float materialization: Arrow transfer keeps the
@@ -621,7 +645,10 @@ class ArrowSparkBackend(SparkBackend):
                 Y = pdf[y_cols].to_numpy(dtype=np.float64)
                 yield pd.DataFrame({"part": [build_batch_fn(X, Y)]})
 
-        return _collect_partials(self.df.mapInPandas(op, "part array<double>"),
+        if not hasattr(self, "_n_parts_cache"):
+            self._n_parts_cache = []
+        src = _bounded_partials_src(self.df, out_len, self._n_parts_cache)
+        return _collect_partials(src.mapInPandas(op, "part array<double>"),
                                  out_len)
 
     def eval(self, beta: np.ndarray):
@@ -815,15 +842,56 @@ class SparseArrowBackend(ArrowSparkBackend):
         return csr
 
     def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
-        import pandas as pd
+        """mapInArrow partial reduction: the (indices, values) list
+        columns are consumed as raw Arrow buffers — values + offsets of
+        the ListArray, zero-copy — instead of pandas object columns of
+        600k per-row ndarrays (whose list()+concatenate dominated the
+        pass CPU; measured ~2x faster per pass at sf0.1)."""
+        import pyarrow as pa
 
-        csr = self._csr_closure()
+        idx_col, val_col, y_cols = self.idx_col, self.val_col, list(self.y_cols)
+        inv_scale = self.inv_scale_full
+        col_map = None
+        if self.col_sel is not None:
+            col_map = np.full(self.p_orig, -1, dtype=np.int64)
+            col_map[self.col_sel] = np.arange(self.col_sel.size)
 
         def op(batches):
-            for pdf in batches:
-                yield pd.DataFrame({"part": [build_batch_fn(*csr(pdf))]})
+            for rb in batches:
+                nrow = rb.num_rows
+                ia = rb.column(rb.schema.get_field_index(idx_col))
+                va = rb.column(rb.schema.get_field_index(val_col))
+                if (ia.null_count or va.null_count
+                        or ia.values.null_count or va.values.null_count):
+                    raise ValueError(
+                        f"missing values in columns: ['{idx_col}', '{val_col}']")
+                # .values ignores the slice offset; .offsets are absolute
+                # into it, so index values by [offsets[0], offsets[-1])
+                ioff = ia.offsets.to_numpy()
+                voff = va.offsets.to_numpy()
+                cols = ia.values.to_numpy(zero_copy_only=False)[
+                    ioff[0]:ioff[-1]].astype(np.int64, copy=False)
+                flat_val = va.values.to_numpy(zero_copy_only=False)[
+                    voff[0]:voff[-1]].astype(np.float64, copy=False)
+                rows = np.repeat(np.arange(nrow), np.diff(ioff))
+                vals = flat_val * inv_scale[cols]
+                if col_map is not None:
+                    remap = col_map[cols]
+                    keep = remap >= 0
+                    rows, cols, vals = rows[keep], remap[keep], vals[keep]
+                Y = np.column_stack([
+                    rb.column(rb.schema.get_field_index(c)).to_numpy(
+                        zero_copy_only=False) for c in y_cols]
+                ).astype(np.float64, copy=False)
+                part = np.asarray(build_batch_fn(nrow, rows, cols, vals, Y),
+                                  dtype=np.float64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([part], type=pa.list_(pa.float64()))], ["part"])
 
-        return _collect_partials(self.df.mapInPandas(op, "part array<double>"),
+        if not hasattr(self, "_n_parts_cache"):
+            self._n_parts_cache = []
+        src = _bounded_partials_src(self.df, out_len, self._n_parts_cache)
+        return _collect_partials(src.mapInArrow(op, "part array<double>"),
                                  out_len)
 
     @staticmethod
@@ -906,7 +974,13 @@ class SparseArrowBackend(ArrowSparkBackend):
             ib = so + k % Lr
             pw = (vs[ia] * vs[ib] if w is None
                   else vs[ia] * vs[ib] * np.repeat(w, L2))
-            np.add.at(H, (cs[ia] + off, cs[ib] + off), pw)
+            # scatter-add via bincount on the flattened (row, col) code:
+            # an order of magnitude faster than np.add.at's per-element
+            # ufunc loop (the Gram pass dropped ~14s -> ~3s at sf0.1)
+            ncol = H.shape[0]
+            H += np.bincount((cs[ia] + off) * ncol + (cs[ib] + off),
+                             weights=pw, minlength=ncol * ncol
+                             ).reshape(ncol, ncol)
         if intercept:
             cw = vs if w is None else vs * w[rs]
             csum = np.bincount(cs, weights=cw, minlength=H.shape[0] - 1)
@@ -1082,7 +1156,11 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     # (numeric-label families only), out-of-range index checks
     need_y_stats = family_name in ("gaussian", "poisson")
 
+    is_poisson = family_name == "poisson"
+
     def statop(batches):
+        import math as _math
+
         for pdf in batches:
             nrow, lens, rows, fi, fv = _csr_batch(pdf, idx_col, val_col)
             bad = float(((fi < 0) | (fi >= p)).sum())
@@ -1092,6 +1170,7 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             ysums = np.zeros(len(label_cols))
             ymin = np.inf
             ynull = 0.0
+            lgsum = 0.0
             if need_y_stats and nrow:
                 for j, c in enumerate(label_cols):
                     col = pd.to_numeric(pdf[c], errors="coerce").to_numpy(np.float64)
@@ -1099,20 +1178,29 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
                     ysums[j] = np.nansum(col)
                     if j == 0 and not np.all(np.isnan(col)):
                         ymin = float(np.nanmin(col))
+                    if is_poisson and j == 0:
+                        # SUM(lgamma(y+1)) folded into the same pass —
+                        # never a groupBy(label) histogram (whose
+                        # distinct count is unbounded for double labels)
+                        ok = ~np.isnan(col) & (col >= 0)
+                        lgsum = float(sum(_math.lgamma(v + 1.0)
+                                          for v in col[ok]))
             elif nrow:
                 ynull = float(sum(int(pdf[c].isna().sum()) for c in label_cols))
             yield pd.DataFrame({"part": [np.concatenate(
-                [[float(nrow), bad, ynull], sums, sqs, ysums, [ymin]]).tolist()]})
+                [[float(nrow), bad, ynull], sums, sqs, ysums,
+                 [lgsum, ymin]]).tolist()]})
 
     parts = df.mapInPandas(statop, "part array<double>").collect()
     nlab = len(label_cols)
-    tot = np.zeros(3 + 2 * p + nlab + 1)
+    tot = np.zeros(3 + 2 * p + nlab + 2)
     ymin = np.inf
     for r in parts:
         arr = np.asarray(r["part"])
         ymin = min(ymin, arr[-1])
         arr[-1] = 0.0
         tot += arr
+    lgamma_sum = float(tot[-2])
     n = int(tot[0])
     if tot[1] > 0:
         raise ValueError(f"{int(tot[1])} feature indices outside [0, {p})")
@@ -1180,12 +1268,6 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
                               n // 20_000 + 1))
     if std_df.rdd.getNumPartitions() != target_parts:
         std_df = std_df.repartition(target_parts)
-
-    lgamma_sum = 0.0
-    if family_name == "poisson":
-        hist = std_df.groupBy("__y0").count().collect()
-        lgamma_sum = float(sum(r["count"] * math.lgamma(r["__y0"] + 1.0)
-                               for r in hist))
 
     backend = SparseArrowBackend(std_df, idx_col, val_col, y_cols, fam,
                                  intercept, n, p, inv_scale, lgamma_sum)

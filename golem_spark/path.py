@@ -348,6 +348,15 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                        or (family == "multinomial" and sub_idx.size * m > 60))
             s_cache = None
             if fixed_h:
+                # keyed on (subset, lambda): although the fixed Hessian
+                # itself is lambda-independent, the ADMM step size rho
+                # follows lam_max (rho ~ eig^(1/3) lam^(2/3)); an A/B
+                # with a subset-only key that pinned rho to the first
+                # path point made the wide binomial query 3.5x SLOWER —
+                # stale rho degrades the inner subproblem solutions and
+                # the outer loop pays in extra distributed passes. The
+                # per-point rebuild is one O(p^3) inverse (~30 ms at
+                # p=807), noise next to a single data pass.
                 key = (sub_idx.tobytes(),
                        float(lam_k.max()) if lam_k.size else 0.0)
                 s_cache = pn_caches.setdefault(key, {})

@@ -71,7 +71,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
 
-    from golem_spark.pipeline.similarity import _swap_cache
+    from golem_spark.pipeline._cache import _swap_cache
 
     # tokenize ONCE: the slim (doc_id, tok) frame feeds the frequency
     # aggregation, the ranked prefix, AND the verification sets below.

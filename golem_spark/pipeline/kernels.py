@@ -375,7 +375,10 @@ _add(
 # -- relational operators (operators/relational.py) -------------------------
 
 def _sessionize_query(t):
-    ev = t["events"].withColumn("ts_ms", F.unix_millis(F.col("ts")))
+    # ts is TIMESTAMP_NTZ (parquet timestamp[us]); session tz is UTC so
+    # the cast to TIMESTAMP is identity and matches DuckDB's epoch_ms
+    ev = t["events"].withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
     sess = relational.sessionize(ev, "user_id", "ts_ms", gap=600_000)
     return (sess.groupBy("user_id")
             .agg((F.max("session_id") + 1).alias("n_sessions"),

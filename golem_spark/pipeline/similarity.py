@@ -76,28 +76,7 @@ def lsh_signature(vec_col, n_planes: int = 6):
     return sig
 
 
-# One live cached frame per (operator slot, thread): a fresh call
-# unpersists the previous call's frame (blocking=False, so an old
-# returned DataFrame simply recomputes if re-executed). Bounds executor
-# cache growth across repeated pipeline calls without asking callers to
-# manage lifetimes. Keys include the calling thread id so concurrent
-# pipeline calls (e.g. from the FAIR-pool CV thread pattern) never
-# unpersist each other's live frame mid-job; the dict itself is
-# lock-guarded. Growth stays bounded by the thread-pool size.
-import threading
-
-_CACHE_LOCK = threading.Lock()
-_LIVE_CACHES: dict[tuple[str, int], DataFrame] = {}
-
-
-def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
-    key = (slot, threading.get_ident())
-    with _CACHE_LOCK:
-        prev = _LIVE_CACHES.get(key)
-        if prev is not None:
-            prev.unpersist()
-        _LIVE_CACHES[key] = df.persist()
-    return df
+from golem_spark.pipeline._cache import _swap_cache
 
 
 def _with_sig_norm(df: DataFrame, vec_col: str, id_col: str,

@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (session conf)
+    T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us]
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),

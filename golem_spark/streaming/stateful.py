@@ -40,7 +40,12 @@ def _update_user_state(key, pdfs: Iterable[pd.DataFrame],
         sum_value += float(pdf["value"].sum())
         sum_score += float((1.0 / (1.0 + (-( _B1 * pdf["value"] + _B0)).apply(math.exp))).sum())
         if len(pdf):
-            last_ts = max(last_ts, int(pdf["ts"].max()))
+            ts = pdf["ts"]
+            # native timestamp batches arrive as datetime64 — keep the
+            # state long-typed as epoch micros
+            if ts.dtype.kind == "M":
+                ts = ts.astype("datetime64[us]").astype("int64")
+            last_ts = max(last_ts, int(ts.max()))
     state.update((n, sum_value, sum_score, last_ts))
     yield pd.DataFrame({
         "user_id": [user_id],

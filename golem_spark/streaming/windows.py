@@ -14,9 +14,12 @@ from golem_spark.streaming.scoring import EVENTS_SCHEMA, score_expr
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # ts arrives as nanos-as-long (session conf); rebuild micros
-    return df.withColumn("event_time",
-                         F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # ts is a native timestamp (parquet timestamp[us]); if a legacy
+    # source delivers nanos-as-long instead, rebuild micros from it
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("event_time",
+                             F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_stats(df: DataFrame, window: str = "1 hour",

@@ -201,3 +201,28 @@ def test_slope_estimator_in_pipeline(spark):
     assert np.isfinite(preds).all()
     slope_model = model.stages[0]
     assert slope_model.coefficients().shape[0] == 5
+
+
+def test_freeze_guard_refuses_on_failing_stat_oracles(monkeypatch):
+    """tools/freeze_glm.py must not refreeze goldens when the
+    independent statistical oracles fail (a regressed solver could
+    otherwise freeze its own wrong output as the 'oracle')."""
+    import subprocess
+    import sys
+    import types
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    import freeze_glm
+
+    importlib.reload(freeze_glm)
+
+    def fake_run(*a, **k):
+        return types.SimpleNamespace(returncode=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(SystemExit, match="refusing"):
+        freeze_glm.run_stat_oracles()

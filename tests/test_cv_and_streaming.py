@@ -88,7 +88,8 @@ def test_stateful_stream_matches_batch(spark):
                  F.count(F.lit(1)).alias("n_events"),
                  F.sum("value").alias("sum_value"),
                  F.avg(score).alias("avg_score"),
-                 F.max("ts").alias("last_ts")).collect()}
+                 F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                 .alias("last_ts")).collect()}  # state keeps epoch micros
     assert set(streamed) == set(batch) and len(batch) > 0
     for uid in batch:
         assert streamed[uid]["n_events"] == batch[uid]["n_events"]

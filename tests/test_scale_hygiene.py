@@ -73,3 +73,33 @@ def test_pipeline_cache_growth_is_bounded(spark):
         embedding_near_dup_pairs(emb, threshold=0.99).count()
     n_cached = jsc.getPersistentRDDs().size()
     assert n_cached <= 2, f"cache leak: {n_cached} persisted RDDs"
+
+
+def test_pipeline_cache_sweeps_dead_threads(spark):
+    """Frames persisted from short-lived worker threads (the per-call
+    ThreadPoolExecutor pattern in cv.py) must be swept once their thread
+    exits — otherwise each pool creation pins frames until SparkContext
+    shutdown."""
+    import threading
+
+    from golem_spark.pipeline import _cache
+    from golem_spark.session import load_tables
+    from golem_spark.pipeline.similarity import ann_lsh_topk
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+
+    def _work():
+        ann_lsh_topk(emb, query_ids=(0,), k=3).count()
+
+    for _ in range(3):
+        t = threading.Thread(target=_work)
+        t.start()
+        t.join()
+
+    dead_keys = [k for k in _cache._LIVE_CACHES
+                 if k[1] not in {t.ident for t in threading.enumerate()}]
+    # entries from the dead threads linger until the next swap...
+    _work()  # ...which runs on this (live) thread and sweeps them
+    live = {t.ident for t in threading.enumerate()}
+    assert all(k[1] in live for k in _cache._LIVE_CACHES), \
+        f"dead-thread cache entries not swept: {dead_keys}"
