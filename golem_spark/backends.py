@@ -1283,6 +1283,149 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     return backend, meta
 
 
+class LocalSparseBackend(SparseArrowBackend):
+    """Driver-local sparse input: the reference's in-memory dgCMatrix
+    mode (R/owl.R:353-357) without a scipy dependency. Runs the SAME
+    pure-numpy CSR kernels as the distributed sparse backend — every
+    eval/gram/Hessian method is inherited from SparseArrowBackend
+    unchanged; only the batch plumbing differs (`_partial_reduce` feeds
+    each kernel the in-memory COO arrays as a single batch)."""
+
+    def __init__(self, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                 Y: np.ndarray, family: Family, intercept: bool, n: int,
+                 p_feat: int, inv_scale: np.ndarray, lgamma_sum: float = 0.0,
+                 col_sel: np.ndarray | None = None):
+        # no DataFrame / no persist: plain arrays instead of self.df
+        self._rows = np.ascontiguousarray(rows, dtype=np.int64)
+        self._cols = np.ascontiguousarray(cols, dtype=np.int64)
+        self._vals = np.ascontiguousarray(vals, dtype=np.float64)
+        self._Y = np.ascontiguousarray(Y, dtype=np.float64)
+        self.family = family
+        self.intercept = intercept
+        self.n = n
+        self.m = Y.shape[1]
+        self._lgamma_sum = lgamma_sum
+        self.inv_scale_full = np.ascontiguousarray(inv_scale, dtype=np.float64)
+        self.col_sel = None if col_sel is None else np.asarray(col_sel, dtype=np.int64)
+        self.p_feat = p_feat if self.col_sel is None else int(self.col_sel.size)
+        self.p_total = self.p_feat + (1 if intercept else 0)
+        self.p_orig = p_feat
+        self.feat_cols = [f"s{j}" for j in range(self.p_feat)]
+
+    def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
+        rows, cols = self._rows, self._cols
+        vals = self._vals * self.inv_scale_full[cols]
+        if self.col_sel is not None:
+            col_map = np.full(self.p_orig, -1, dtype=np.int64)
+            col_map[self.col_sel] = np.arange(self.col_sel.size)
+            remap = col_map[cols]
+            keep = remap >= 0
+            rows, cols, vals = rows[keep], remap[keep], vals[keep]
+        return np.asarray(build_batch_fn(self.n, rows, cols, vals, self._Y),
+                          dtype=np.float64)
+
+    def subset(self, cols: np.ndarray) -> "LocalSparseBackend":
+        cols = np.asarray(cols)
+        if self.intercept:
+            assert cols[0] == 0, "active set must contain the intercept"
+            feat_ids = cols[1:] - 1
+        else:
+            feat_ids = cols
+        base_sel = (feat_ids if self.col_sel is None
+                    else self.col_sel[feat_ids])
+        return LocalSparseBackend(
+            self._rows, self._cols, self._vals, self._Y, self.family,
+            self.intercept, self.n, self.p_orig, self.inv_scale_full,
+            self._lgamma_sum, col_sel=base_sel)
+
+    def null_intercepts(self) -> np.ndarray:
+        mu = self._Y.mean(axis=0)
+        fam = self.family.name
+        if fam == "binomial":
+            mu01 = np.clip(0.5 * mu + 0.5, 1e-9, 1 - 1e-9)
+            return np.log(mu01 / (1 - mu01))
+        if fam == "poisson":
+            return np.log(np.maximum(mu, 1e-300))
+        if fam == "multinomial":
+            log_mu = np.log(np.maximum(mu, 1e-300))
+            return log_mu - np.sum(log_mu + math.log(max(1 - np.sum(mu), 1e-300))) / (self.m + 1)
+        return mu
+
+    def unpersist(self):
+        pass
+
+
+def build_local_sparse_backend(x, y, family_name: str, p: int, *,
+                               intercept: bool = True, center: bool = False,
+                               scale: str = "l2"):
+    """Assemble a LocalSparseBackend from an in-memory sparse matrix
+    given as an iterable of per-row ``(indices, values)`` pairs (the
+    same shape as one row of the distributed sparse-features frame).
+    Validation, scaling and response encoding mirror
+    :func:`build_sparse_backend` exactly."""
+    import math
+
+    if center:
+        raise ValueError("centering would destroy sparsity in x (predictors)")
+    if scale not in ("l2", "sd", "none"):
+        raise ValueError("sparse mode supports scale in ('l2','sd','none')")
+    fam = get_family(family_name)
+
+    idx_parts, val_parts, lens = [], [], []
+    for pair in x:
+        idx, vals = pair
+        idx = np.asarray(idx, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        if idx.shape != vals.shape or idx.ndim != 1:
+            raise ValueError("each sparse row must be a 1-d (indices, values) "
+                             "pair of equal length")
+        idx_parts.append(idx)
+        val_parts.append(vals)
+        lens.append(idx.size)
+    n = len(lens)
+    if n == 0:
+        raise ValueError("empty sparse input")
+    cols = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int64)
+    vals = np.concatenate(val_parts) if val_parts else np.zeros(0)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if cols.size and (cols.min() < 0 or cols.max() >= p):
+        bad = int(((cols < 0) | (cols >= p)).sum())
+        raise ValueError(f"{bad} feature indices outside [0, {p})")
+    if not np.all(np.isfinite(vals)):
+        raise ValueError("missing or non-finite values in x")
+
+    if scale == "l2":
+        x_scale = _apply_scale_guard(
+            np.sqrt(np.bincount(cols, weights=vals * vals, minlength=p)))
+    elif scale == "sd":
+        sums = np.bincount(cols, weights=vals, minlength=p)
+        sqs = np.bincount(cols, weights=vals * vals, minlength=p)
+        x_scale = _apply_scale_guard(
+            np.sqrt(np.maximum(sqs - sums ** 2 / max(n, 1), 0.0)
+                    / max(n - 1, 1)))
+    else:
+        x_scale = np.ones(p)
+
+    resp = fam.preprocess_response(y)
+    Y = resp["y"]
+    lgamma_sum = 0.0
+    if family_name == "poisson":
+        lgamma_sum = float(sum(math.lgamma(v + 1.0) for v in Y[:, 0]))
+
+    backend = LocalSparseBackend(rows, cols, vals, Y, fam, intercept, n, p,
+                                 1.0 / x_scale, lgamma_sum)
+    meta = {
+        "x_center": np.zeros(p),
+        "x_scale": x_scale,
+        "y_center": resp["y_center"],
+        "y_scale": resp["y_scale"],
+        "class_names": resp["class_names"],
+        "n_targets": resp["n_targets"],
+        "feature_names": [f"V{j+1}" for j in range(p)],
+    }
+    return backend, meta
+
+
 def _family_numpy(fam: str, Y: np.ndarray, lp: np.ndarray,
                   need_dual: bool = True, need_grad: bool = True):
     """Self-contained family math for executor-side closures (kept free

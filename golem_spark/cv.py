@@ -41,6 +41,7 @@ class TrainedOwl:
     measure: list[str]
     fit: OwlFit                          # refit on the full data at best q
     data: list[dict] = field(default_factory=list)
+    cell_fits: dict = field(default_factory=dict)  # (q, fold, rep) -> OwlFit (opt-in)
 
     def __repr__(self) -> str:
         lines = ["TrainedOwl:"]
@@ -88,6 +89,10 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
     cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
              for fold in range(number)]
 
+    # cell fits always reuse the full fit's sigma grid — drop a
+    # user-pinned sigma so it isn't passed twice
+    cell_kwargs = {k: v for k, v in owl_kwargs.items() if k != "sigma"}
+
     def run_cell(cell):
         qv, fold, rep = cell
         folds = fold_ids(keys, number, rep)
@@ -95,7 +100,7 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
         test = ~train
         sig = full_fits[qv].sigma
         cell_fit = owl(x[train], y_arr[train], family=family, q=qv,
-                       sigma=sig, **owl_kwargs)
+                       sigma=sig, **cell_kwargs)
         out = {}
         for m in measures:
             out[m] = score(cell_fit, x[test], y_arr[test], measure=m)
@@ -111,13 +116,35 @@ def train_owl(x=None, y=None, *, q=(0.2,), number: int = 10, repeats: int = 1,
     return _aggregate_cv(results, full_fits, qs, measures, number * repeats)
 
 
+def fold_expr(key_col: str, number: int, rep: int = 0):
+    """Deterministic CV fold id as a column expression: the same Knuth
+    multiplicative hash as :func:`fold_ids` (kernel K15) — ((key + off)
+    * 2654435761) mod 2^32 mod number — but computed with every
+    intermediate < 2^63 so it is ANSI-mode safe (a raw 64-bit multiply
+    would rely on silent wraparound and throw under
+    spark.sql.ansi.enabled). Split the 32-bit operand into 16-bit
+    halves: k*C = k_hi*(C<<16) + k_lo*C (mod 2^32), each term < 2^48."""
+    from pyspark.sql import functions as F
+
+    C = 2654435761
+    M32 = 4294967296
+    c16 = (C << 16) % M32
+    k32 = F.pmod(F.pmod(F.col(key_col).cast("long"), F.lit(M32))
+                 + F.lit(rep * 1_000_003), F.lit(M32))
+    k_lo = F.pmod(k32, F.lit(65536))
+    k_hi = F.floor(k32 / F.lit(65536.0)).cast("long")
+    h32 = F.pmod(k_hi * F.lit(c16) + k_lo * F.lit(C), F.lit(M32))
+    return F.pmod(h32, F.lit(number))
+
+
 def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     number: int = 5, repeats: int = 1,
                     measure: str | list[str] | None = None,
                     family: str = "gaussian", n_sigma: int = 50,
                     max_workers: int = 2,
                     sparse_features: tuple[str, str] | None = None,
-                    sparse_p: int | None = None, **owl_kwargs) -> TrainedOwl:
+                    sparse_p: int | None = None,
+                    keep_cell_fits: bool = False, **owl_kwargs) -> TrainedOwl:
     """Distributed repeated k-fold CV: folds are a deterministic Knuth
     hash of ``key_col`` (kernel K15) computed as a column expression —
     no shuffle, no sampling; each grid cell is a filtered-DataFrame fit.
@@ -130,8 +157,6 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
     backend (feature_cols is ignored); held-out scoring evaluates the
     whole path in one Arrow pass per cell.
     """
-    from pyspark.sql import functions as F
-
     from golem_spark.score import score as _score
 
     qs = [float(v) for v in np.atleast_1d(q)]
@@ -156,34 +181,21 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                          **fit_kw, **owl_kwargs)
                  for qv in qs}
 
-    def fold_col(rep: int):
-        # same hash as fold_ids(): ((key + off) * 2654435761) mod 2^32
-        # mod k — but computed with every intermediate < 2^63 so it is
-        # ANSI-mode safe (a raw 64-bit multiply would rely on silent
-        # wraparound and throw under spark.sql.ansi.enabled). Split the
-        # 32-bit operand into 16-bit halves: k*C = k_hi*(C<<16) + k_lo*C
-        # (mod 2^32), each term < 2^48.
-        C = 2654435761
-        M32 = 4294967296
-        c16 = (C << 16) % M32
-        k32 = F.pmod(F.pmod(F.col(key_col).cast("long"), F.lit(M32))
-                     + F.lit(rep * 1_000_003), F.lit(M32))
-        k_lo = F.pmod(k32, F.lit(65536))
-        k_hi = F.floor(k32 / F.lit(65536.0)).cast("long")
-        h32 = F.pmod(k_hi * F.lit(c16) + k_lo * F.lit(C), F.lit(M32))
-        return F.pmod(h32, F.lit(number))
-
     cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
              for fold in range(number)]
 
+    # cell fits always reuse the full fit's sigma grid — drop a
+    # user-pinned sigma so it isn't passed twice
+    cell_kwargs = {k: v for k, v in owl_kwargs.items() if k != "sigma"}
+
     def run_cell(cell):
         qv, fold, rep = cell
-        fc = fold_col(rep)
+        fc = fold_expr(key_col, number, rep)
         train = df.filter(fc != fold)
         test = df.filter(fc == fold)
         sig = full_fits[qv].sigma
         cell_fit = owl(df=train, label_col=label_col,
-                       family=family, q=qv, sigma=sig, **fit_kw, **owl_kwargs)
+                       family=family, q=qv, sigma=sig, **fit_kw, **cell_kwargs)
         out = {}
         for m in measures:
             if sparse_features is not None:
@@ -193,15 +205,19 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
             else:
                 out[m] = _score(cell_fit, df=test, feature_cols=feature_cols,
                                 label_col=label_col, measure=m)
-        return cell, out
+        return cell, out, cell_fit
 
     if max_workers > 1:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            results = list(pool.map(run_cell, cells))
+            raw = list(pool.map(run_cell, cells))
     else:
-        results = [run_cell(c) for c in cells]
+        raw = [run_cell(c) for c in cells]
+    results = [(cell, out) for cell, out, _ in raw]
 
-    return _aggregate_cv(results, full_fits, qs, measures, number * repeats)
+    trained = _aggregate_cv(results, full_fits, qs, measures, number * repeats)
+    if keep_cell_fits:
+        trained.cell_fits = {cell: fit for cell, _, fit in raw}
+    return trained
 
 
 def _aggregate_cv(results, full_fits, qs, measures, n_cells) -> TrainedOwl:

@@ -23,7 +23,8 @@ from typing import Any
 
 import numpy as np
 
-from golem_spark.backends import (LocalBackend, SparkBackend,
+from golem_spark.backends import (LocalBackend, LocalSparseBackend,
+                                  SparkBackend, build_local_sparse_backend,
                                   build_spark_backend, build_sparse_backend,
                                   standardize_local)
 from golem_spark.families import get_family
@@ -113,8 +114,13 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         diagnostics: bool = False) -> OwlFit:
     """Fit a full regularization path of sorted-L1 penalized GLMs.
 
-    Three input modes:
-    - local: ``owl(x, y, ...)`` with numpy arrays (n×p features, n response)
+    Four input modes:
+    - local dense: ``owl(x, y, ...)`` with numpy arrays (n×p features)
+    - local sparse: ``owl(x, y, sparse_p=<dimension>, ...)`` with ``x``
+      an iterable of per-row ``(indices, values)`` pairs — the
+      reference's in-memory dgCMatrix mode (R/owl.R:353-357), run
+      through the same pure-numpy CSR kernels as the distributed
+      sparse backend (no scipy); centering is rejected.
     - distributed dense: ``owl(df=frame, feature_cols=[...], label_col=...)``
     - distributed sparse: ``owl(df=frame, sparse_features=("idx_col",
       "val_col"), sparse_p=<dimension>, label_col=...)`` — per-row
@@ -147,6 +153,16 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                                             intercept=intercept, center=center, scale=scale)
         n = backend.n
         p_feat = len(feature_cols)
+        m = backend.m
+    elif sparse_p is not None:
+        # local sparse: x is an iterable of per-row (indices, values)
+        if center is None:
+            center = False
+        backend, meta = build_local_sparse_backend(
+            x, y, family, sparse_p, intercept=intercept, center=center,
+            scale=scale)
+        n = backend.n
+        p_feat = sparse_p
         m = backend.m
     else:
         center = True if center is None else center
@@ -589,6 +605,8 @@ def _spark_primal_at_zero(backend) -> float:
 def _yty(backend) -> float:
     if isinstance(backend, LocalBackend):
         return float(np.sum(backend.y * backend.y))
+    if isinstance(backend, LocalSparseBackend):
+        return float(np.sum(backend._Y * backend._Y))
     from pyspark.sql import functions as F
 
     aggs = [F.sum(F.col(c) * F.col(c)).alias(f"s{k}") for k, c in enumerate(backend.y_cols)]
