@@ -540,8 +540,9 @@ class SparkBackend:
         if fam == "poisson":
             return np.log(np.maximum(mu, 1e-300))
         if fam == "multinomial":
-            log_mu = np.log(np.maximum(mu, 1e-300))
-            return log_mu - np.sum(log_mu + math.log(max(1 - np.sum(mu), 1e-300))) / (self.m + 1)
+            # implicit-reference parameterization: b_k = log(mu_k/mu_ref)
+            return (np.log(np.maximum(mu, 1e-300))
+                    - math.log(max(1 - float(np.sum(mu)), 1e-300)))
         return mu
 
     def unpersist(self):
@@ -1159,10 +1160,27 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     is_poisson = family_name == "poisson"
 
     def statop(batches):
+        # zero-copy Arrow path (same buffer plumbing as
+        # SparseArrowBackend._partial_reduce): the list columns are read
+        # as flat values + offsets, never as pandas object columns
         import math as _math
 
-        for pdf in batches:
-            nrow, lens, rows, fi, fv = _csr_batch(pdf, idx_col, val_col)
+        import pyarrow as pa
+
+        for rb in batches:
+            nrow = rb.num_rows
+            ia = rb.column(rb.schema.get_field_index(idx_col))
+            va = rb.column(rb.schema.get_field_index(val_col))
+            if (ia.null_count or va.null_count
+                    or ia.values.null_count or va.values.null_count):
+                raise ValueError(
+                    f"missing values in columns: ['{idx_col}', '{val_col}']")
+            ioff = ia.offsets.to_numpy()
+            voff = va.offsets.to_numpy()
+            fi = ia.values.to_numpy(zero_copy_only=False)[
+                ioff[0]:ioff[-1]].astype(np.int64, copy=False)
+            fv = va.values.to_numpy(zero_copy_only=False)[
+                voff[0]:voff[-1]].astype(np.float64, copy=False)
             bad = float(((fi < 0) | (fi >= p)).sum())
             fi2 = np.clip(fi, 0, p - 1)
             sums = np.bincount(fi2, weights=fv, minlength=p)
@@ -1173,7 +1191,8 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             lgsum = 0.0
             if need_y_stats and nrow:
                 for j, c in enumerate(label_cols):
-                    col = pd.to_numeric(pdf[c], errors="coerce").to_numpy(np.float64)
+                    col = rb.column(rb.schema.get_field_index(c)).to_numpy(
+                        zero_copy_only=False).astype(np.float64, copy=False)
                     ynull += float(np.isnan(col).sum())
                     ysums[j] = np.nansum(col)
                     if j == 0 and not np.all(np.isnan(col)):
@@ -1181,17 +1200,26 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
                     if is_poisson and j == 0:
                         # SUM(lgamma(y+1)) folded into the same pass —
                         # never a groupBy(label) histogram (whose
-                        # distinct count is unbounded for double labels)
+                        # distinct count is unbounded for double labels).
+                        # lgamma over the UNIQUE values only: count-data
+                        # labels have few distincts, and the worst case
+                        # (all-distinct doubles) just degrades to the
+                        # per-element cost.
                         ok = ~np.isnan(col) & (col >= 0)
-                        lgsum = float(sum(_math.lgamma(v + 1.0)
-                                          for v in col[ok]))
+                        uq, inv = np.unique(col[ok], return_inverse=True)
+                        lg = np.array([_math.lgamma(u + 1.0) for u in uq])
+                        lgsum = float(lg[inv].sum()) if uq.size else 0.0
             elif nrow:
-                ynull = float(sum(int(pdf[c].isna().sum()) for c in label_cols))
-            yield pd.DataFrame({"part": [np.concatenate(
-                [[float(nrow), bad, ynull], sums, sqs, ysums,
-                 [lgsum, ymin]]).tolist()]})
+                ynull = float(sum(
+                    rb.column(rb.schema.get_field_index(c)).null_count
+                    for c in label_cols))
+            part = np.concatenate([[float(nrow), bad, ynull], sums, sqs,
+                                   ysums, [lgsum, ymin]])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([part], type=pa.list_(pa.float64()))], ["part"])
 
-    parts = df.mapInPandas(statop, "part array<double>").collect()
+    parts = df.select(idx_col, val_col, *label_cols).mapInArrow(
+        statop, "part array<double>").collect()
     nlab = len(label_cols)
     tot = np.zeros(3 + 2 * p + nlab + 2)
     ymin = np.inf
@@ -1347,8 +1375,9 @@ class LocalSparseBackend(SparseArrowBackend):
         if fam == "poisson":
             return np.log(np.maximum(mu, 1e-300))
         if fam == "multinomial":
-            log_mu = np.log(np.maximum(mu, 1e-300))
-            return log_mu - np.sum(log_mu + math.log(max(1 - np.sum(mu), 1e-300))) / (self.m + 1)
+            # implicit-reference parameterization: b_k = log(mu_k/mu_ref)
+            return (np.log(np.maximum(mu, 1e-300))
+                    - math.log(max(1 - float(np.sum(mu)), 1e-300)))
         return mu
 
     def unpersist(self):

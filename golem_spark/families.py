@@ -191,10 +191,11 @@ class Multinomial(Family):
         return trunc_exp(lp - self._lse(lp)) - y
 
     def fit_null_model(self, y):
-        m = y.shape[1]
+        # implicit-reference parameterization (the model's lp has m =
+        # n_classes - 1 columns with the reference logit fixed at 0):
+        # the null optimum is b_k = log(mu_k / mu_ref)
         mu = np.mean(y, axis=0)
-        log_mu = trunc_log(mu)
-        return log_mu - np.sum(log_mu + trunc_log(1 - np.sum(mu))) / (m + 1)
+        return trunc_log(mu) - trunc_log(max(1.0 - float(np.sum(mu)), 1e-300))
 
     def preprocess_response(self, y):
         y = np.asarray(y).ravel()

@@ -291,6 +291,23 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     # -- path loop (src/owl.cpp:146-364) ------------------------------------
     betas = np.zeros((p_total, m, n_sig))
     beta_prev = np.zeros((p_total, m))
+    if intercept and not use_admm:
+        # start the path at the NULL MODEL rather than beta=0: the
+        # intercept row is unpenalized, so (null intercept, 0) is the
+        # exact sigma_max solution, and for poisson with ybar >> 1 the
+        # intercept alone otherwise absorbs several cold-start
+        # prox-Newton iterations (each one distributed pass). Costs one
+        # tiny column-pruned agg (free on local backends). DELIBERATE
+        # deviation from the reference at the sigma_max path point: the
+        # reference's FISTA stops at beta=0 there because its duality
+        # gap |f-G| vanishes at any constant linear predictor with
+        # c=0 (family.h:141-156) — the emitted intercept 0 is an
+        # artifact, not the optimum; we emit the true intercept-only
+        # optimum (where the same gap is LEGITIMATELY zero). Interior
+        # path points converge to identical solutions either way.
+        # (ADMM gaussian is untouched: y is centered, the null
+        # intercept is exactly 0 already.)
+        beta_prev[0, :] = backend.null_intercepts()
     passes = np.zeros(n_sig, dtype=np.int64)
     n_unique = np.zeros(n_sig, dtype=np.int64)
     deviances: list[float] = []

@@ -102,21 +102,36 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     a = prefix.alias("a")
     b = prefix.alias("b")
     t_lit = F.lit(float(threshold))
-    cand = (a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
-                          F.col("a.lang") == F.col("b.lang"),
-                          F.col("a.len_bucket") == F.col("b.len_bucket"),
-                          F.col("a.doc_id") < F.col("b.doc_id"),
-                          F.col("a.n_toks") >= t_lit * F.col("b.n_toks"),
-                          F.col("b.n_toks") >= t_lit * F.col("a.n_toks")])
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    # candidates are read three times below (two doc-id projections +
+    # the verify join): persist — the prefix filter bounds their count,
+    # so the cached frame is small by construction
+    cand = _swap_cache("jaccard_cand", (
+        a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.lang") == F.col("b.lang"),
+                      F.col("a.len_bucket") == F.col("b.len_bucket"),
+                      F.col("a.doc_id") < F.col("b.doc_id"),
+                      F.col("a.n_toks") >= t_lit * F.col("b.n_toks"),
+                      F.col("b.n_toks") >= t_lit * F.col("a.n_toks")])
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()))
 
-    # verify candidates with the exact Jaccard; the token arrays are
-    # regrouped from the SAME persisted (doc_id, tok) frame, not
-    # re-tokenized from the raw text (array_intersect/union only use set
-    # sizes, so the collect_set ordering is irrelevant)
-    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    # verify candidates with the exact Jaccard. Token sets come from
+    # re-tokenizing ONLY the documents that appear in a candidate pair
+    # (a semi-join on the candidate doc ids): the prefix filter bounds
+    # candidates far below the corpus, so this map-only re-tokenize of
+    # the survivors is much cheaper than shuffling the full exploded
+    # token frame through a groupBy/collect_set — the distinction that
+    # matters at 100 TB, where the exploded frame is the largest
+    # intermediate in the query.
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    # persisted: the frame feeds BOTH sides of the verify join below —
+    # without the persist the candidate join + tokenize runs twice
+    sets = _swap_cache("jaccard_sets", (
+        df.join(cand_docs, "doc_id")
+        .select("doc_id", toks_arr.alias("toks"))))
     jac = (F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).cast("double")
            / F.size(F.array_union(F.col("sa.toks"), F.col("sb.toks"))).cast("double"))
     return (cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -115,36 +115,62 @@ def fista(backend, beta: np.ndarray, lam: np.ndarray, *,
                         grad=final_grad)
 
 
+def _power_eig_max(G: np.ndarray, iters: int = 16) -> float:
+    """Deterministic power-iteration estimate of the top eigenvalue of a
+    PSD matrix — a dozen O(p^2) matmuls instead of O(p^3) eigvalsh."""
+    v = np.ones(G.shape[0])
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        w = G @ v
+        nw = float(np.linalg.norm(w))
+        if nw <= 0.0:
+            return 0.0
+        v = w / nw
+    return float(v @ (G @ v))
+
+
 def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
                     lam: np.ndarray, pen0: int, *, max_iter: int = 5000,
                     tol: float = 1e-8, alpha: float = 1.5,
-                    cache: dict | None = None) -> np.ndarray:
+                    cache: dict | None = None,
+                    fixed_h: bool = True) -> np.ndarray:
     """Driver-local ADMM on the quadratic model
         min_d  0.5 <d, H d> + <lin, d> + J(beta0 + d; lam)
     with ``H`` the explicit (p*m, p*m) column-major-flattened quadratic
     operator. The (H + rho I) inverse is computed ONCE (and reused
     across calls via ``cache`` when the majorization strategy keeps H
     fixed, e.g. gaussian / Bohning bounds), so every iteration is one
-    O((p*m)^2) matmul — never an O(p^3) re-solve. Returns d."""
+    O((p*m)^2) matmul — never an O(p^3) re-solve. Returns d.
+
+    ``fixed_h=False`` (local-Hessian strategies: H changes every call):
+    the factorization is rebuilt, but the splitting state (z, u) and
+    the rho scale still warm-start from ``cache`` — successive outer
+    iterations' subproblems are close, so the inner loop converges in
+    a handful of iterations instead of hundreds."""
     p, m = beta0.shape
     pm = p * m
     b0 = beta0.ravel(order="F")
     q0 = H @ b0 - lin.ravel(order="F")
-    if cache is not None and "Hinv" in cache:
+    if cache is not None and fixed_h and "Hinv" in cache:
         rho = cache["rho"]
         Hinv = cache["Hinv"]
     else:
         if cache is not None and "rho" in cache:
             rho = cache["rho"]  # preseeded (full-Gram eigenvalue bound)
         else:
-            eig_max = float(np.linalg.eigvalsh(H).max()) if pm > 1 else float(H[0, 0])
+            # power iteration: the rho heuristic only needs the top
+            # eigenvalue's scale, never the full O(p^3) spectrum
+            eig_max = _power_eig_max(H) if pm > 1 else float(H[0, 0])
             rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) \
                 if lam.size and lam.max() > 0 else max(eig_max, 1.0)
             rho = max(rho, 1e-12)
         Hinv = np.linalg.inv(H + rho * np.eye(pm))
         if cache is not None:
-            cache["rho"] = rho
-            cache["Hinv"] = Hinv
+            if fixed_h:
+                cache["rho"] = rho
+                cache["Hinv"] = Hinv
+            else:
+                cache.setdefault("rho", rho)
     # warm-start the splitting state across outer iterations (cache'd
     # fixed-H strategies only): successive subproblems differ only in
     # the linear term, so the previous (z, u) is near-optimal
@@ -187,7 +213,8 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
                 rho = rho_new
                 Hinv = np.linalg.inv(H + rho * np.eye(pm))
                 cache["rho"] = rho
-                cache["Hinv"] = Hinv
+                if fixed_h:
+                    cache["Hinv"] = Hinv
                 cache["n_rho"] = cache.get("n_rho", 0) + 1
     if adaptive:
         cache["z"] = z.copy()
@@ -309,7 +336,8 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
             Hmat = 0.5 * np.kron(B, gram)
 
         d = _prox_quadratic(Hmat, grad, beta, lam, pen0,
-                            cache=None if local_hessian else fixed_h_cache)
+                            cache=fixed_h_cache,
+                            fixed_h=not local_hessian)
 
         if local_hessian:
             # the local quadratic is not a global bound: step-halving

@@ -48,8 +48,12 @@ def test_local_sparse_equals_dense(family, response):
         y = np.where(y > 0, "b", "a")
     elif family == "multinomial":
         y = np.asarray([str(v) for v in y])
-    fs = owl(_to_pairs(x), y, sparse_p=12, family=family, n_sigma=4)
-    fd = owl(x, y, family=family, n_sigma=4, center=False, scale="l2")
+    # tight tolerances: prox-Newton (sparse) and FISTA (dense) must meet
+    # at the same optimum once both duality gaps are driven down
+    fs = owl(_to_pairs(x), y, sparse_p=12, family=family, n_sigma=4,
+             tol_rel_gap=1e-9, tol_infeas=1e-6)
+    fd = owl(x, y, family=family, n_sigma=4, center=False, scale="l2",
+             tol_rel_gap=1e-9, tol_infeas=1e-6)
     K = min(fs.n_sigma, fd.n_sigma)
     np.testing.assert_allclose(fs.coefficients[:, :, :K],
                                fd.coefficients[:, :, :K],
