@@ -241,3 +241,67 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, n_bits: int = 16,
                     ham.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def dup_components(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate PAIRS: (doc_id, rep)
+    where rep is the smallest doc_id in the document's component — the
+    canonical representative a dedup pipeline keeps.
+
+    Iterative min-label propagation WITH pointer jumping: every round a
+    node adopts the minimum of (its label, its neighbors' labels, its
+    label's label). The neighbor term is one join + one groupBy (two
+    shuffles) over the EDGE frame only — never an all-pairs product —
+    and the pointer-jump term is a self-join of the tiny label frame,
+    which halves the remaining path to the component minimum each
+    round: O(log diameter) rounds instead of O(diameter), the bound
+    that matters for the chain-shaped components transitive LSH
+    matching produces. Labels are monotone non-increasing, so
+    convergence is a single sum aggregate (no extra join).
+
+    Raises if max_iter rounds don't converge (honest failure beats a
+    silently wrong partition).
+    """
+    from golem_spark.pipeline._cache import _swap_cache
+
+    pairs = _swap_cache("cc_pairs", pairs.select(a_col, b_col))
+    edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+             .union(pairs.select(F.col(b_col).alias("x"),
+                                 F.col(a_col).alias("y")))
+             .distinct())
+    edges = _swap_cache("cc_edges", edges)
+    # localCheckpoint (eager) rather than persist: each round's plan
+    # references the previous labels frame THREE times (self, neighbor
+    # join, pointer jump), so without lineage TRUNCATION the logical
+    # plan grows 3^round and Catalyst analysis, not the data, becomes
+    # the bottleneck. On a cluster with executor churn, substitute
+    # reliable checkpoint(dir) — same shape, durable storage.
+    labels = (edges.select("x").distinct()
+              .select("x", F.col("x").alias("lbl"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
+    for _ in range(max_iter):
+        nb_min = (edges.join(labels.select(F.col("x").alias("y"),
+                                           F.col("lbl").alias("nlbl")), "y")
+                  .groupBy("x").agg(F.min("nlbl").alias("nb")))
+        jump = (labels.select("x", F.col("lbl").alias("j"))
+                .join(labels.select(F.col("x").alias("j"),
+                                    F.col("lbl").alias("jlbl")), "j")
+                .select("x", "jlbl"))
+        labels = (labels.join(nb_min, "x", "left")
+                  .join(jump, "x", "left")
+                  .select("x", F.least(
+                      F.col("lbl"), F.coalesce("nb", "lbl"),
+                      F.coalesce("jlbl", "lbl")).alias("lbl"))
+                  .localCheckpoint(eager=True))
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:  # labels only decrease: fixed point
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(f"dup_components did not converge in {max_iter} "
+                           "rounds; use star-contraction for this graph")
+    return labels.select(F.col("x").alias("doc_id"), F.col("lbl").alias("rep"))

@@ -187,11 +187,9 @@ _BAND_SELECTS_DUCK = "\n      UNION ALL\n".join(
     f"concat_ws('_', mh{b * dedup.ROWS_PER_BAND}::VARCHAR, mh{b * dedup.ROWS_PER_BAND + 1}::VARCHAR) AS bkey FROM sig"
     for b in range(dedup.N_BANDS))
 
-_add(
-    "p08_minhash_lsh_pairs",
-    lambda t: dedup.minhash_lsh_pairs(t["documents"]).orderBy("doc_a", "doc_b"),
-    f"""
-    WITH toks AS (
+# the MinHash band CTE chain + pair select, shared by p08 (the pairs
+# themselves) and p18 (connected components over those pairs)
+_MINHASH_PAIR_CTES = f"""toks AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
     sig0 AS (
       SELECT doc_id,
@@ -202,13 +200,43 @@ _add(
       FROM sig0 JOIN documents d USING (doc_id)),
     bands AS (
 {_BAND_SELECTS_DUCK}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared_bands
+    )"""
+
+_MINHASH_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared_bands
     FROM bands a JOIN bands b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    GROUP BY a.doc_id, b.doc_id"""
+
+_add(
+    "p08_minhash_lsh_pairs",
+    lambda t: dedup.minhash_lsh_pairs(t["documents"]).orderBy("doc_a", "doc_b"),
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    {_MINHASH_PAIRS_SELECT}
     ORDER BY doc_a, doc_b
+    """,
+)
+
+_add(
+    "p18_dedup_components",
+    lambda t: dedup.dup_components(dedup.minhash_lsh_pairs(t["documents"]))
+    .orderBy("doc_id"),
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs),
+    reach AS (
+      SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM edges) t
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.y)
+    SELECT node AS doc_id, MIN(r)::BIGINT AS rep
+    FROM reach GROUP BY node ORDER BY doc_id
     """,
 )
 

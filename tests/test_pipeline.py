@@ -172,3 +172,36 @@ def test_ivf_kmeans_seeds_beat_first_n_on_clustered_data(spark):
     df.unpersist()
     assert r_kmeans > r_first, (r_kmeans, r_first)
     assert r_kmeans >= 0.95
+
+
+def test_dup_components_chain_and_cliques(spark):
+    """Pointer-jumping min-label propagation: a 40-node chain (worst
+    case for plain propagation) and two separate cliques resolve to
+    per-component minima in O(log n) rounds."""
+    import pandas as pd
+
+    from golem_spark.pipeline.dedup import dup_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # one long chain
+    cliq1 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    cliq2 = [(200, 201), (201, 202), (200, 202)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + cliq1 + cliq2, columns=["doc_a", "doc_b"]))
+    out = {r["doc_id"]: r["rep"] for r in dup_components(pairs).collect()}
+    assert all(out[i] == 100 for i in range(100, 141))
+    assert all(out[i] == 10 for i in range(10, 14))
+    assert all(out[i] == 200 for i in (200, 201, 202))
+
+
+def test_dup_components_nonconvergence_raises(spark):
+    import pandas as pd
+
+    import pytest
+
+    from golem_spark.pipeline.dedup import dup_components
+
+    chain = [(i, i + 1) for i in range(1000, 1064)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(pairs, max_iter=2)
