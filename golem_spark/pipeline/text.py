@@ -107,3 +107,43 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     fp = F.aggregate(term, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(2147483648)
     return df.withColumn("fingerprint", fp)
+
+
+def tfidf_vectors(df: DataFrame, text_col: str = "text",
+                  min_df: int = 2) -> DataFrame:
+    """Per-document TF-IDF as SPARSE (indices, values) arrays — the
+    bridge from the text pipeline into the sparse GLM backend: the
+    output feeds ``owl(df=..., sparse_features=("idx", "val"),
+    sparse_p=<vocab size>)`` directly.
+
+    Vocabulary = tokens appearing in >= min_df documents, term ids
+    assigned by (document frequency DESC, token) — deterministic across
+    engines. Weight = tf * (ln((N+1)/(df+1)) + 1) (smoothed idf).
+
+    Scale notes: tf and df are plain groupBy aggregates (map-side
+    combinable); the ROW_NUMBER vocabulary ordering is a
+    single-partition window over the VOCAB frame only (bounded —
+    millions of terms, not corpus-sized); per-doc arrays are built with
+    collect_list + array_sort, never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    vocab = (dfreq.filter(F.col("df") >= min_df)
+             .withColumn("term_idx",
+                         F.row_number().over(
+                             Window.orderBy(F.desc("df"), "tok")) - 1))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    cells = (tf.join(vocab, "tok")
+             .select("doc_id", "term_idx",
+                     (F.col("tf") * idf).alias("w")))
+    pairs = (cells.groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("term_idx", "w"))).alias("cells")))
+    return pairs.select(
+        "doc_id",
+        F.transform("cells", lambda c: c["term_idx"]).alias("idx"),
+        F.transform("cells", lambda c: F.round(c["w"], 6)).alias("val"))

@@ -205,3 +205,25 @@ def test_dup_components_nonconvergence_raises(spark):
         pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_components(pairs, max_iter=2)
+
+
+def test_tfidf_feeds_sparse_owl(spark):
+    """The tf-idf (idx, val) arrays drive a sparse GLM fit end-to-end:
+    documents -> tfidf_vectors -> owl(sparse_features=...) — the
+    text-pipeline-to-model bridge."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from golem_spark.path import owl
+    from golem_spark.pipeline.text import tfidf_vectors
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    vec = tfidf_vectors(docs)
+    p = int(vec.select(F.explode("idx").alias("i")).agg(F.max("i")).collect()[0][0]) + 1
+    data = vec.join(docs.select("doc_id", F.length("text").alias("label")), "doc_id")
+    fit = owl(df=data, sparse_features=("idx", "val"), sparse_p=p,
+              label_col="label", family="gaussian", n_sigma=3)
+    assert fit.coefficients.shape[0] == p + 1
+    assert np.isfinite(fit.deviance_ratio).all()
+    assert fit.deviance_ratio[-1] > 0  # tf-idf explains some length variance
