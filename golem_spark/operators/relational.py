@@ -86,3 +86,42 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
                              F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
     return (out.filter(F.col("__side") == 1)
             .drop("__ts", "__side", *[f"__r_{c}" for c in right_cols]))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    md5int(key || seed) / 2^60 < fraction. Reproducible across runs,
+    engines, and partitionings (unlike df.sample, whose outcome depends
+    on partition layout), so training subsets are stable under
+    repartition/rerun — the property a 100 TB pipeline needs for
+    resumable jobs. Pure column expression; the filter pushes down to
+    the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
+                                             F.lit(str(seed)))), 1, 15),
+               16, 10).cast("long")
+    return df.filter(h < F.lit(int(fraction * (1 << 60))))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           fractions: dict, seed: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language-balanced
+    subsetting): ``fractions`` maps stratum value -> keep fraction;
+    unlisted strata are dropped. Same md5 keep-rule as hash_sample, so
+    the union of strata equals running hash_sample per stratum."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
+                                             F.lit(str(seed)))), 1, 15),
+               16, 10).cast("long")
+    thresh = None
+    for val, frac in sorted(fractions.items()):
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+        cond = F.col(stratum_col) == val
+        lit = F.lit(int(float(frac) * (1 << 60)))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    # unlisted strata: threshold NULL -> comparison NULL -> row dropped
+    return df.filter(h < thresh)

@@ -530,3 +530,35 @@ _add(
     ORDER BY e.event_id
     """,
 )
+
+# -- deterministic sampling -------------------------------------------------
+
+_add(
+    "p20_hash_sample",
+    lambda t: (relational.hash_sample(t["documents"], "doc_id", 0.25, seed=7)
+               .select("doc_id", "lang").orderBy("doc_id")),
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_MD5INT.format(x="concat(doc_id::VARCHAR, '_7')")}
+          < CAST(0.25 * 1152921504606846976 AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p21_stratified_sample",
+    lambda t: (relational.stratified_hash_sample(
+        t["documents"], "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.1}, seed=7)
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+               .orderBy("lang")),
+    f"""
+    SELECT lang, COUNT(*)::BIGINT AS n_kept FROM documents
+    WHERE {_DUCK_MD5INT.format(x="concat(doc_id::VARCHAR, '_7')")}
+          < CASE lang WHEN 'en' THEN CAST(0.5  * 1152921504606846976 AS BIGINT)
+                      WHEN 'de' THEN CAST(0.25 * 1152921504606846976 AS BIGINT)
+                      WHEN 'fr' THEN CAST(0.1  * 1152921504606846976 AS BIGINT)
+                      END
+    GROUP BY lang ORDER BY lang
+    """,
+)

@@ -120,3 +120,20 @@ def test_streaming_equals_batch(spark):
         assert streamed[et]["n"] == batch[et]["n"]
         assert abs(streamed[et]["avg_score"] - batch[et]["avg_score"]) < 1e-9
         assert abs(streamed[et]["sum_value"] - batch[et]["sum_value"]) < 1e-6
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Streaming exact dedup (per-hash state, append on first sight)
+    reproduces the batch groupBy(md5).min(doc_id) keep set."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.dedup import run_streaming_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {r["text_hash"]: r["doc_id"]
+                for r in run_streaming_dedup(spark, f"{sf_dir}/documents.parquet").collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["text_hash"]: r["doc_id"]
+             for r in docs.groupBy(F.md5("text").alias("text_hash"))
+             .agg(F.min("doc_id").alias("doc_id")).collect()}
+    assert streamed == batch and len(batch) > 0

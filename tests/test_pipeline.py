@@ -227,3 +227,42 @@ def test_tfidf_feeds_sparse_owl(spark):
     assert fit.coefficients.shape[0] == p + 1
     assert np.isfinite(fit.deviance_ratio).all()
     assert fit.deviance_ratio[-1] > 0  # tf-idf explains some length variance
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Same rows kept across reruns AND across repartitionings — the
+    reproducibility property df.sample lacks."""
+    from golem_spark.pipeline.text import tokens_col  # noqa: F401
+    from golem_spark.operators.relational import hash_sample
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    a = sorted(r["doc_id"] for r in
+               hash_sample(docs, "doc_id", 0.3, seed=1).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(docs.repartition(7), "doc_id", 0.3, seed=1)
+               .select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    c = sorted(r["doc_id"] for r in
+               hash_sample(docs, "doc_id", 0.3, seed=2).select("doc_id").collect())
+    assert a != c  # seed changes the subset
+
+
+def test_stratified_hash_sample_matches_per_stratum(spark):
+    """Union of per-stratum hash samples == stratified sample; unlisted
+    strata dropped."""
+    from golem_spark.operators.relational import (hash_sample,
+                                                  stratified_hash_sample)
+    from golem_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    frac = {"en": 0.5, "de": 0.2}
+    strat = stratified_hash_sample(docs, "doc_id", "lang", frac, seed=3)
+    got = sorted(r["doc_id"] for r in strat.select("doc_id").collect())
+    want = []
+    for lang, fr in frac.items():
+        sub = hash_sample(docs.filter(F.col("lang") == lang), "doc_id", fr, seed=3)
+        want += [r["doc_id"] for r in sub.select("doc_id").collect()]
+    assert got == sorted(want)
+    assert strat.filter(~F.col("lang").isin(*frac)).count() == 0
