@@ -277,6 +277,14 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     # plan grows 3^round and Catalyst analysis, not the data, becomes
     # the bottleneck. On a cluster with executor churn, substitute
     # reliable checkpoint(dir) — same shape, durable storage.
+    # Checkpoint blocks are freed by Spark's ContextCleaner once the
+    # DataFrame is unreferenced (there is no public eager-release API
+    # for localCheckpoint storage): each round drops its reference to
+    # the predecessor immediately, and the surviving fixed point is
+    # parked in _CC_FINAL so the NEXT call drops it — so only O(1)
+    # label snapshots are ever reachable, and the cleaner reclaims the
+    # rest between jobs (asserted growth-bounded in
+    # test_pipeline_cache_growth_is_bounded).
     labels = (edges.select("x").distinct()
               .select("x", F.col("x").alias("lbl"))
               .localCheckpoint(eager=True))
@@ -295,7 +303,7 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                   .select("x", F.least(
                       F.col("lbl"), F.coalesce("nb", "lbl"),
                       F.coalesce("jlbl", "lbl")).alias("lbl"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=True))  # drops the prev reference
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease: fixed point
             converged = True
@@ -304,4 +312,15 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     if not converged:
         raise RuntimeError(f"dup_components did not converge in {max_iter} "
                            "rounds; use star-contraction for this graph")
+    import threading
+
+    live = {t.ident for t in threading.enumerate()}
+    for k in [k for k in _CC_FINAL if k not in live]:
+        _CC_FINAL.pop(k)  # dead-thread snapshots: let the cleaner reclaim
+    _CC_FINAL[threading.get_ident()] = labels
     return labels.select(F.col("x").alias("doc_id"), F.col("lbl").alias("rep"))
+
+
+# final label snapshots per thread, released by the next call (the
+# checkpoint blocks back the RETURNED frame, so they must outlive it)
+_CC_FINAL: dict = {}

@@ -67,12 +67,20 @@ def test_pipeline_cache_growth_is_bounded(spark):
 
     emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
     jsc = spark.sparkContext._jsc.sc()
+    # one warm-up round establishes the operators' steady-state cache
+    # slots; other operators run earlier in the session may hold their
+    # own bounded slots, so assert NO GROWTH rather than a global count
+    ann_lsh_topk(emb, query_ids=(0,), k=3).count()
+    ann_ivf_topk(emb, query_ids=(0,), k=3, n_seeds=4).count()
+    embedding_near_dup_pairs(emb, threshold=0.99).count()
+    steady = jsc.getPersistentRDDs().size()
     for _ in range(3):
         ann_lsh_topk(emb, query_ids=(0,), k=3).count()
         ann_ivf_topk(emb, query_ids=(0,), k=3, n_seeds=4).count()
         embedding_near_dup_pairs(emb, threshold=0.99).count()
     n_cached = jsc.getPersistentRDDs().size()
-    assert n_cached <= 2, f"cache leak: {n_cached} persisted RDDs"
+    assert n_cached <= steady, \
+        f"cache leak: {steady} -> {n_cached} persisted RDDs"
 
 
 def test_pipeline_cache_sweeps_dead_threads(spark):
