@@ -95,8 +95,11 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     engines, and partitionings (unlike df.sample, whose outcome depends
     on partition layout), so training subsets are stable under
     repartition/rerun — the property a 100 TB pipeline needs for
-    resumable jobs. Pure column expression; the filter pushes down to
-    the scan."""
+    resumable jobs. Pure column expression: the filter runs inside the
+    scan's whole-stage-codegen stage (no shuffle, no UDF) — the md5
+    itself cannot become a parquet PushedFilter, so every row is read
+    once and dropped immediately, which is the floor for content-hash
+    sampling."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
