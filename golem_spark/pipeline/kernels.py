@@ -334,6 +334,30 @@ _add(
     """,
 )
 
+_add(
+    "p22_knn_join",
+    lambda t: similarity.knn_join(t["embeddings"], query_ids=(0, 1, 2), k=5),
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(ev, qv)
+                   / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, cos FROM ranked WHERE rk <= 5
+    ORDER BY query_id, cos DESC, vec_id
+    """,
+)
+
 _PLANE_DUCK = ("list_transform(range(0, 64), d -> CASE WHEN (d * 2654435761 + {j} * 40503) % 97 < 48 "
                "THEN 1.0 ELSE -1.0 END)")
 _SIG_DUCK = " + ".join(

@@ -245,3 +245,38 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.round(cos, 6).alias("cos")))
+
+
+def knn_join(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """EXACT batch k-NN join: for every query id, the top-k cosine
+    neighbors over the whole corpus — the ground-truth baseline the
+    ANN operators (ann_lsh_topk / ann_ivf_topk) approximate, and the
+    recall denominator in their tests.
+
+    Plan shape at scale: the |Q| query vectors broadcast (bounded —
+    this is a per-batch query set, not a second corpus); each corpus
+    partition scores |Q| cosines per row map-side, and per-query top-k
+    resolves with a rank window whose partition key is the query id —
+    AQE turns that into WindowGroupLimit pushdown (partial top-k before
+    the shuffle), so the shuffle carries O(|Q| * k * partitions) rows,
+    never the corpus. For an all-pairs (corpus x corpus) join, use the
+    bucketed ANN operators instead — exact all-pairs at 100 TB is the
+    thing this module exists to avoid."""
+    from pyspark.sql import Window
+
+    e = _as_double(F.col(vec_col))
+    qs = (df.filter(F.col(id_col).isin(list(query_ids)))
+          .select(F.col(id_col).alias("query_id"),
+                  _as_double(F.col(vec_col)).alias("qv"))
+          .withColumn("qnrm", _norm(F.col("qv"))))
+    scored = (df.crossJoin(F.broadcast(qs))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col),
+                      F.round(_dot(e, F.col("qv"))
+                              / (_norm(e) * F.col("qnrm")), 6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk")
+            .orderBy("query_id", F.col("cos").desc(), F.col(id_col)))

@@ -266,3 +266,34 @@ def test_stratified_hash_sample_matches_per_stratum(spark):
         want += [r["doc_id"] for r in sub.select("doc_id").collect()]
     assert got == sorted(want)
     assert strat.filter(~F.col("lang").isin(*frac)).count() == 0
+
+
+def test_knn_join_is_exact_ground_truth(spark):
+    """knn_join equals per-query cosine_topk (the exact baseline the
+    ANN operators approximate), in one batched plan."""
+    from golem_spark.pipeline import similarity as sim
+    from golem_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    qids = (0, 1, 2)
+    k = 5
+    batched = {}
+    for r in sim.knn_join(emb, query_ids=qids, k=k).collect():
+        batched.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for q in qids:
+        single = [(r["vec_id"], r["cos"])
+                  for r in sim.cosine_topk(emb, query_vec_id=q, k=k).collect()]
+        assert batched[q] == single
+
+
+def test_knn_join_plan_gate(spark):
+    """Broadcast query side + partial top-k (WindowGroupLimit) before
+    the per-query shuffle — the shuffle never carries the corpus."""
+    from golem_spark.pipeline import similarity as sim
+    from golem_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    plan = (sim.knn_join(emb, query_ids=(0, 1, 2), k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
