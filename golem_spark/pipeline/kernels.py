@@ -127,6 +127,21 @@ _add(
 )
 
 _add(
+    "p23_normalize_text",
+    lambda t: (text.normalize_text(t["documents"])
+               .select("doc_id", "text_norm", F.md5("text_norm").alias("norm_hash"))
+               .orderBy("doc_id")),
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS text_norm,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_add(
     "p19_tfidf_vectors",
     lambda t: (text.tfidf_vectors(t["documents"])
                .select("doc_id", F.posexplode(F.arrays_zip("idx", "val")))

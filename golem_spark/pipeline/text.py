@@ -147,3 +147,14 @@ def tfidf_vectors(df: DataFrame, text_col: str = "text",
         "doc_id",
         F.transform("cells", lambda c: c["term_idx"]).alias("idx"),
         F.transform("cells", lambda c: F.round(c["w"], 6)).alias("val"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard cleaning-normalization column: lowercase, strip
+    punctuation, collapse runs of whitespace, trim. Pure column
+    expressions (whole-stage codegen) — the canonical pre-dedup
+    normalization so near-identical documents hash identically."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[.,!?;:'\"()\[\]{}]", ""),
+        r"\s+", " "))
+    return df.withColumn("text_norm", norm)
