@@ -324,3 +324,87 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
 # final label snapshots per thread, released by the next call (the
 # checkpoint blocks back the RETURNED frame, so they must outlive it)
 _CC_FINAL: dict = {}
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame | None = None,
+                    text_col: str = "text") -> DataFrame:
+    """END-TO-END near-dedup decision list: which document of each
+    near-duplicate component to KEEP. Output (doc_id, rep, quality,
+    keep) for every document that belongs to a component; documents in
+    no component are implicitly kept (not emitted — at corpus scale the
+    non-duplicate majority should never flow through this operator).
+
+    Representative selection: highest ``quality`` (pipeline/text.py
+    heuristics) wins, ties broken by smallest doc_id — the standard
+    "keep the best copy" policy rather than blind keep-first. The
+    per-component argmax is a map-side-combinable max(struct) aggregate
+    on the component id (no window over the corpus).
+
+    ``pairs`` defaults to MinHash-LSH candidates; pass any
+    (doc_a, doc_b) frame (simhash_pairs, ngram_jaccard_pairs,
+    embedding near-dups joined back to doc ids) to change the
+    near-dup definition."""
+    from golem_spark.pipeline.text import quality_score
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col)
+    comp = dup_components(pairs)
+    q = quality_score(df, text_col).select("doc_id", "quality")
+    withq = comp.join(q, "doc_id")
+    # keep_id per rep: max(struct(quality, -doc_id)) = best quality,
+    # then smallest doc_id — one combinable aggregate
+    best = (withq.groupBy("rep")
+            .agg(F.max(F.struct(F.col("quality"),
+                                (-F.col("doc_id")).alias("nid"))).alias("b"))
+            .select("rep", (-F.col("b.nid")).alias("keep_id")))
+    return (withq.join(best, "rep")
+            .select("doc_id", "rep", "quality",
+                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+
+
+def contamination_check(corpus: DataFrame, probe: DataFrame,
+                        n: int = 3, min_overlap: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose n-gram
+    overlap with any PROBE document (eval/test set) exceeds
+    ``min_overlap``. Output (doc_id, probe_id, overlap) where overlap =
+    |corpus-doc n-grams  ∩ probe n-grams| / |probe n-grams|, computed
+    over distinct word n-grams.
+
+    Scale shape: the probe side is an eval suite — thousands of
+    documents, not a corpus — so its exploded n-gram frame BROADCASTS;
+    the corpus is touched by exactly one scan + explode, the join is
+    map-side, and the (doc, probe) overlap counts reduce with a
+    combinable groupBy. Nothing shuffles at corpus scale."""
+    def grams_frame(d: DataFrame, id_alias: str):
+        grams = _ngrams_concat(tokens_col(text_col), n)
+        return d.select(F.col("doc_id").alias(id_alias),
+                        F.explode(grams).alias("gram"))
+
+    corpus_grams = grams_frame(corpus, "doc_id")
+    probe_grams = grams_frame(probe, "probe_id")
+    probe_sizes = probe_grams.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_probe_grams"))
+    hits = (corpus_grams
+            .join(F.broadcast(probe_grams), "gram")
+            .filter(F.col("doc_id") != F.col("probe_id"))
+            .groupBy("doc_id", "probe_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    overlap = (F.col("n_hits").cast("double")
+               / F.col("n_probe_grams").cast("double"))
+    return (hits.join(F.broadcast(probe_sizes), "probe_id")
+            .filter(overlap >= min_overlap)
+            .select("doc_id", "probe_id", F.round(overlap, 6).alias("overlap")))
+
+
+def _ngrams_concat(toks, n: int):
+    """Distinct word n-grams of an array column as space-joined strings."""
+    sz = F.size(toks)
+    cnt = F.greatest(sz - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), cnt)
+
+    def make(i):
+        return F.array_join(F.slice(toks, i, n), " ")
+
+    return F.array_distinct(F.when(cnt > 0, F.transform(idx, make))
+                            .otherwise(F.array().cast("array<string>")))

@@ -328,6 +328,193 @@ _add(
     """,
 )
 
+_add(
+    "p24_repetition_stats",
+    lambda t: (text.repetition_stats(t["documents"])
+               .select("doc_id", "dup_token_frac", "dup_bigram_frac",
+                       "top_bigram_frac")
+               .orderBy("doc_id")),
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM w)
+    SELECT doc_id,
+           ROUND((len(toks) - len(list_distinct(toks)))::DOUBLE
+                 / greatest(len(toks), 1), 6) AS dup_token_frac,
+           ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
+                 / greatest(len(grams), 1), 6) AS dup_bigram_frac,
+           ROUND(COALESCE(list_max(list_transform(list_distinct(grams),
+                     x -> len(list_filter(grams, b -> b = x))))::DOUBLE, 0.0)
+                 / greatest(len(grams), 1), 6) AS top_bigram_frac
+    FROM g ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p27_bigram_vocab",
+    lambda t: text.bigram_vocab(t["documents"], top_k=100),
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM w)
+    SELECT bigram, COUNT(*)::BIGINT AS n
+    FROM g GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 100
+    """,
+)
+
+_add(
+    "p28_inverted_index",
+    lambda t: text.inverted_index(t["documents"], max_postings=20)
+    .orderBy("tok"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    d AS (
+      SELECT tok, COUNT(*)::BIGINT AS df FROM toks GROUP BY tok),
+    p AS (
+      SELECT tok,
+             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20),
+                             ',') AS postings
+      FROM toks GROUP BY tok)
+    SELECT tok, df, postings FROM d JOIN p USING (tok) ORDER BY tok
+    """,
+)
+
+_PLANE_DUCK = ("list_transform(range(0, 64), d -> CASE WHEN (d * 2654435761 + {j} * 40503) % 97 < 48 "
+               "THEN 1.0 ELSE -1.0 END)")
+
+# quality formula shared with p02 (documents CTE form), reused by the
+# p25 representative-selection oracle
+_QUALITY_CTE = """q AS (
+      SELECT doc_id,
+             ROUND(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+                   + (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                  / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.3
+                   + least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x)))
+                           / greatest(len(string_split_regex(trim(text), '\\s+')), 1.0) * 5.0, 1.0) * 0.3,
+                   6) AS quality
+      FROM documents)"""
+
+_add(
+    "p25_dedup_keep",
+    lambda t: dedup.dedup_keep_list(t["documents"]).orderBy("doc_id"),
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs),
+    reach AS (
+      SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM edges) t
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.y),
+    comp AS (
+      SELECT node AS doc_id, MIN(r)::BIGINT AS rep FROM reach GROUP BY node),
+    {_QUALITY_CTE},
+    wq AS (
+      SELECT c.doc_id, c.rep, q.quality FROM comp c JOIN q USING (doc_id)),
+    best AS (
+      SELECT rep, doc_id AS keep_id FROM (
+        SELECT rep, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY rep
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM wq) WHERE rn = 1)
+    SELECT wq.doc_id, wq.rep, wq.quality,
+           (wq.doc_id = best.keep_id) AS keep
+    FROM wq JOIN best USING (rep)
+    ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p26_contamination",
+    lambda t: dedup.contamination_check(
+        t["documents"],
+        t["documents"].filter(F.col("doc_id") % 13 == 0),
+        n=3, min_overlap=0.3)
+    .orderBy("doc_id", "probe_id"),
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+      FROM tok),
+    probe AS (
+      SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 13 = 0),
+    psize AS (
+      SELECT probe_id, COUNT(*)::DOUBLE AS n_probe FROM probe GROUP BY probe_id),
+    hits AS (
+      SELECT g.doc_id, p.probe_id, COUNT(*)::DOUBLE AS n_hits
+      FROM g JOIN probe p USING (gram)
+      WHERE g.doc_id <> p.probe_id
+      GROUP BY 1, 2)
+    SELECT doc_id, probe_id, ROUND(n_hits / n_probe, 6) AS overlap
+    FROM hits JOIN psize USING (probe_id)
+    WHERE n_hits / n_probe >= 0.3
+    ORDER BY doc_id, probe_id
+    """,
+)
+
+_add(
+    "p29_embed_quantize",
+    lambda t: similarity.quantize_embeddings(t["embeddings"]).orderBy("vec_id"),
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, ev,
+             greatest(list_max(list_transform(ev, x -> abs(x))) / 127.0,
+                      1e-12) AS scale
+      FROM e),
+    q AS (
+      SELECT vec_id, scale, ev,
+             list_transform(ev, x -> floor(x / scale + 0.5)::BIGINT) AS qs
+      FROM s)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           list_sum(list_transform(qs, x -> abs(x)))::BIGINT AS q_l1,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(ev) + 1),
+                     i -> (ev[i] - qs[i] * scale) * (ev[i] - qs[i] * scale)))
+                 / len(ev)), 6) AS rmse
+    FROM q ORDER BY vec_id
+    """,
+)
+
+_add(
+    "p30_srp_project",
+    lambda t: (similarity.srp_project(t["embeddings"], out_dim=16)
+               .select("vec_id", F.col("dim").cast("long").alias("dim"), "proj")
+               .orderBy("vec_id", "dim")),
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings)
+    SELECT vec_id, j::BIGINT AS dim,
+           ROUND(list_dot_product(ev, {_PLANE_DUCK.format(j='j')}), 6) AS proj
+    FROM e, range(0, 16) t(j)
+    ORDER BY vec_id, dim
+    """,
+)
+
 # -- similarity search ------------------------------------------------------
 
 _add(
@@ -373,8 +560,6 @@ _add(
     """,
 )
 
-_PLANE_DUCK = ("list_transform(range(0, 64), d -> CASE WHEN (d * 2654435761 + {j} * 40503) % 97 < 48 "
-               "THEN 1.0 ELSE -1.0 END)")
 _SIG_DUCK = " + ".join(
     f"CASE WHEN list_dot_product(ev, {_PLANE_DUCK.format(j=j)}) > 0 THEN {2 ** j} ELSE 0 END"
     for j in range(6))

@@ -247,6 +247,59 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.round(cos, 6).alias("cos")))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    4x-storage-compression step before an ANN index is built at corpus
+    scale. Per vector: scale = max|x| / 127, q_i = floor(x_i/scale + .5)
+    in [-127, 127]. Output (vec_id, scale, q_l1, rmse):
+
+    - ``q_l1``: sum |q_i| — an exact-integer checksum of the codes,
+    - ``rmse``: reconstruction error of q_i * scale vs x.
+
+    Pure per-row array expressions (floor(+0.5) instead of round so
+    Spark and DuckDB tie-break .5 identically); zero shuffle."""
+    e = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(e, F.abs))
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-12))
+    q = F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    recon_sq = F.zip_with(e, q, lambda x, qi: (x - qi.cast("double") * scale)
+                          * (x - qi.cast("double") * scale))
+    mse = (F.aggregate(recon_sq, F.lit(0.0), lambda acc, x: acc + x)
+           / F.size(e).cast("double"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.round(F.sqrt(mse), 6).alias("rmse"))
+
+
+def srp_project(df: DataFrame, out_dim: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Signed-random-projection dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic ±1 hyperplanes (the same
+    integer-formula planes the LSH bucketing uses, so no stored
+    projection matrix and both engines agree exactly). Output one row
+    per (vec_id, dim) with the projected coordinate.
+
+    Johnson–Lindenstrauss-style compression for shipping a 100 TB
+    embedding column through downstream clustering at out_dim/d the
+    bytes; per-row expressions only, zero shuffle."""
+    e = _as_double(F.col(vec_col))
+
+    def _weighted(j):
+        return lambda v, d: v * _plane_sign(d, j)
+
+    projs = []
+    for j in range(out_dim):
+        projs.append(F.round(F.aggregate(
+            F.zip_with(e, F.sequence(F.lit(0), F.size(e) - 1), _weighted(j)),
+            F.lit(0.0), lambda acc, x: acc + x), 6))
+    return df.select(F.col(id_col),
+                     F.posexplode(F.array(*projs)).alias("dim", "proj"))
+
+
 def knn_join(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """EXACT batch k-NN join: for every query id, the top-k cosine

@@ -149,6 +149,87 @@ def tfidf_vectors(df: DataFrame, text_col: str = "text",
         F.transform("cells", lambda c: F.round(c["w"], 6)).alias("val"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_token_frac``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total),
+    - ``dup_bigram_frac``: same over word bigrams,
+    - ``top_bigram_frac``: occurrence share of the most frequent bigram.
+
+    High values flag boilerplate/spam for corpus filtering. All pure
+    array expressions over one row — embarrassingly parallel, zero
+    shuffle, scales linearly with the corpus. The per-doc top-bigram
+    scan is O(distinct x total) on the (short) document, not the
+    corpus."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    nb = F.size(grams)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g))))
+    return (df
+            .withColumn("dup_token_frac",
+                        F.round((n - F.size(F.array_distinct(toks))).cast("double")
+                                / F.greatest(n, F.lit(1)).cast("double"), 6))
+            .withColumn("dup_bigram_frac",
+                        F.round((nb - F.size(F.array_distinct(grams))).cast("double")
+                                / F.greatest(nb, F.lit(1)).cast("double"), 6))
+            .withColumn("top_bigram_frac",
+                        F.round(F.coalesce(top_cnt.cast("double"), F.lit(0.0))
+                                / F.greatest(nb, F.lit(1)).cast("double"), 6)))
+
+
+def bigram_vocab(df: DataFrame, top_k: int = 100,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word bigrams by occurrence count — the
+    vocabulary-mining substrate (BPE-merge candidates, collocation
+    stats). Output (bigram, n), ordered by (n desc, bigram).
+
+    One explode + one map-side-combinable groupBy; the final top-k is a
+    TakeOrdered over the aggregated vocabulary (bigram-cardinality
+    sized, not corpus sized)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return (df.select(F.explode(grams).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "bigram")
+            .limit(top_k))
+
+
+def inverted_index(df: DataFrame, max_postings: int = 20,
+                   text_col: str = "text") -> DataFrame:
+    """Token -> (document frequency, capped posting list) inverted
+    index. Output (tok, df, postings) with postings the first
+    ``max_postings`` doc_ids ascending, comma-joined.
+
+    Scale shape: df counts are a plain map-side-combinable aggregate;
+    the posting list is capped BEFORE collection by a rank window
+    partitioned on the token, so a stopword's corpus-sized posting list
+    never materializes anywhere — the collect_list only ever sees
+    <= max_postings rows per token."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id",
+                     F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    capped = (toks.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= max_postings))
+    postings = (capped.groupBy("tok")
+                .agg(F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+                     .alias("postings")))
+    return dfreq.join(postings, "tok").select("tok", "df", "postings")
+
+
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard cleaning-normalization column: lowercase, strip
     punctuation, collapse runs of whitespace, trim. Pure column

@@ -1,6 +1,6 @@
 SELECT * FROM (
-(WITH ym AS (SELECT AVG(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END) AS mu FROM lineitem),
-g AS (SELECT ABS((SUM(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
+(WITH ym AS (SELECT AVG((CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END)) AS mu0 FROM lineitem),
+g AS (SELECT ABS((SUM((CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
 r AS (SELECT ROW_NUMBER() OVER (ORDER BY gv DESC) AS rn,
              SUM(gv) OVER (ORDER BY gv DESC ROWS UNBOUNDED PRECEDING) AS cg
       FROM g)

