@@ -1218,8 +1218,15 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             yield pa.RecordBatch.from_arrays(
                 [pa.array([part], type=pa.list_(pa.float64()))], ["part"])
 
-    parts = df.select(idx_col, val_col, *label_cols).mapInArrow(
-        statop, "part array<double>").collect()
+    # the slim (idx, val, labels) projection is read by the stats pass,
+    # the class-discovery distinct (binomial/multinomial), and the
+    # encoded-frame materialization below: persist it so the source is
+    # scanned ONCE, not three times (at 100 TB each extra scan is a full
+    # corpus read; locally this halved wide-fit build time). Released
+    # before returning — the backend keeps only the repartitioned
+    # encoded frame.
+    proj = df.select(idx_col, val_col, *label_cols).persist()
+    parts = proj.mapInArrow(statop, "part array<double>").collect()
     nlab = len(label_cols)
     tot = np.zeros(3 + 2 * p + nlab + 2)
     ymin = np.inf
@@ -1252,7 +1259,7 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     n_targets = 1
     y_center = np.zeros(1)
     y_scale = np.ones(1)
-    enc = df
+    enc = proj
     if family_name == "gaussian":
         n_targets = len(label_cols)
         y_center = ysums / max(n, 1)
@@ -1263,21 +1270,21 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
         y_cols = [f"__y{k}" for k in range(n_targets)]
     elif family_name == "binomial":
         classes = [r[0] for r in
-                   df.select(label_col).distinct().orderBy(label_col).collect()]
+                   proj.select(label_col).distinct().orderBy(label_col).collect()]
         if len(classes) != 2:
             raise ValueError(f"binomial response needs exactly 2 classes, got {len(classes)}")
         class_names = [str(c) for c in classes]
-        enc = df.withColumn("__y0", F.when(F.col(label_col) == classes[0], -1.0)
-                            .otherwise(1.0))
+        enc = proj.withColumn("__y0", F.when(F.col(label_col) == classes[0], -1.0)
+                              .otherwise(1.0))
         y_cols = ["__y0"]
     elif family_name == "poisson":
         if ymin < 0:
             raise ValueError("cannot have negative responses in poisson model")
-        enc = df.withColumn("__y0", F.col(label_col).cast("double"))
+        enc = proj.withColumn("__y0", F.col(label_col).cast("double"))
         y_cols = ["__y0"]
     elif family_name == "multinomial":
         classes = [r[0] for r in
-                   df.select(label_col).distinct().orderBy(label_col).collect()]
+                   proj.select(label_col).distinct().orderBy(label_col).collect()]
         if len(classes) == 2:
             raise ValueError("only two classes in response; use family='binomial'")
         class_names = [str(c) for c in classes]
@@ -1299,6 +1306,10 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
 
     backend = SparseArrowBackend(std_df, idx_col, val_col, y_cols, fam,
                                  intercept, n, p, inv_scale, lgamma_sum)
+    # materialize the backend's persisted frame FROM the proj cache (a
+    # cache-local shuffle, not a second source scan), then release proj
+    backend.df.count()
+    proj.unpersist()
     meta = {
         "x_center": np.zeros(p),
         "x_scale": x_scale,
