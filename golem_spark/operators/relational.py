@@ -128,3 +128,56 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
         thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
     # unlisted strata: threshold NULL -> comparison NULL -> row dropped
     return df.filter(h < thresh)
+
+
+def pack_sequences(df: DataFrame, count_col: str, order_col: str,
+                   capacity: int, n_buckets: int = 64) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents are laid out
+    in ``order_col`` order, token counts accumulate, and each document
+    is assigned to the context-window bin
+    ``floor(exclusive_prefix_sum / capacity)`` — the standard GPT-style
+    pretraining packing (a document may straddle its bin boundary; the
+    boundary tokens spill into the next window downstream).
+
+    Adds ``cum_before`` (exclusive prefix sum of ``count_col``) and
+    ``bin_id``.
+
+    Scale shape: a naive ``Window.orderBy(order_col)`` global cumsum
+    collapses the corpus onto ONE task. Instead this runs the classic
+    two-phase distributed prefix sum: (1) bucket rows by range on
+    ``order_col`` (one cheap min/max agg to bound the key space), cumsum
+    WITHIN each bucket (parallel, partitionBy window); (2) aggregate one
+    total per bucket, exclusive-scan the bucket totals on the driver
+    (n_buckets values), and broadcast-join the offsets back. Wall-clock
+    is one shuffle on the bucket key + one tiny agg, independent of
+    corpus size per task.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return (df.withColumn("cum_before", F.lit(0).cast("long"))
+                .withColumn("bin_id", F.lit(0).cast("long")))
+    span = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+    bucket = ((F.col(order_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
+    b = df.withColumn("__bkt", bucket)
+    w = (Window.partitionBy("__bkt").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    within = b.withColumn(
+        "__cum_in",
+        F.sum(F.col(count_col)).over(w) - F.col(count_col))
+    totals = (b.groupBy("__bkt").agg(F.sum(count_col).alias("__tot"))
+              .orderBy("__bkt").collect())
+    offset, offsets = 0, {}
+    for row in totals:
+        offsets[row["__bkt"]] = offset
+        offset += int(row["__tot"])
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__bkt")]
+    return (within
+            .withColumn("cum_before",
+                        (F.col("__cum_in") + off_expr).cast("long"))
+            .withColumn("bin_id",
+                        F.floor(F.col("cum_before") / F.lit(capacity))
+                        .cast("long"))
+            .drop("__bkt", "__cum_in"))

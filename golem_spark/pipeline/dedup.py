@@ -408,3 +408,37 @@ def _ngrams_concat(toks, n: int):
 
     return F.array_distinct(F.when(cnt > 0, F.transform(idx, make))
                             .otherwise(F.array().cast("array<string>")))
+
+
+def dup_ngram_fraction(df: DataFrame, n: int = 5,
+                       text_col: str = "text") -> DataFrame:
+    """Per-document corpus-duplication signal: the fraction of a
+    document's distinct word n-grams that also occur in at least one
+    OTHER document — the cheap membership version of substring dedup
+    (a high fraction marks boilerplate/mirrored text for removal even
+    when no single pair crosses a Jaccard threshold).
+
+    Plan: one exploded distinct-(doc, gram) frame feeds BOTH the
+    gram document-frequency aggregate and the per-doc join back —
+    persisted for the query's lifetime so the corpus tokenizes once.
+    Both aggregates are map-side combinable; the join shuffles on the
+    gram key (bounded buckets — no gram explodes quadratically).
+    Output: (doc_id, n_grams, n_shared, dup_frac).
+    """
+    from golem_spark.pipeline._cache import _swap_cache
+
+    grams = df.select(
+        "doc_id",
+        F.explode(_ngrams_concat(tokens_col(text_col), n)).alias("gram"))
+    grams = _swap_cache("dup_ngram_grams", grams)
+    gram_df = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gdf"))
+    return (grams.join(gram_df, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0))
+                 .alias("n_shared"))
+            .select("doc_id", "n_grams", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.greatest(F.col("n_grams"), F.lit(1))
+                            .cast("double"), 6).alias("dup_frac")))

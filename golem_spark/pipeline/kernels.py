@@ -786,3 +786,144 @@ _add(
     GROUP BY lang ORDER BY lang
     """,
 )
+
+# -- sketches / packing / semi-structured (round-4 additions) ---------------
+
+from golem_spark.pipeline import sketch  # noqa: E402
+
+_add(
+    "p31_kmv_distinct",
+    lambda t: sketch.kmv_distinct(t["lineitem"], "l_partkey", k=64),
+    sketch.kmv_distinct_sql("lineitem", "l_partkey", 64, 0),
+)
+
+_add(
+    "p32_cms_token_freq",
+    lambda t: sketch.cms_token_freq(t["documents"]),
+    sketch.cms_token_freq_sql(),
+)
+
+_add(
+    "p33_lm_score",
+    lambda t: (text.lm_score(t["documents"])
+               .select("doc_id", "lm_logprob", "n_tokens")
+               .orderBy("doc_id")),
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT tok, COUNT(*)::DOUBLE AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*)::DOUBLE AS total FROM toks)
+    SELECT doc_id,
+           ROUND(AVG(LN(cnt / total)), 6) AS lm_logprob,
+           COUNT(*)::BIGINT AS n_tokens
+    FROM toks JOIN counts USING (tok), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p34_chunk_tokens",
+    lambda t: (text.chunk_tokens(t["documents"], chunk_size=32, overlap=8)
+               .orderBy("doc_id", "chunk_id")),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) AS n_chunks
+      FROM w),
+    u AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           len(list_slice(toks, chunk_id * 24 + 1,
+                          least(chunk_id * 24 + 32, n)))::BIGINT AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                                          least(chunk_id * 24 + 32, n)), ' '))
+             AS chunk_hash
+    FROM u ORDER BY doc_id, chunk_id
+    """,
+)
+
+_add(
+    "p35_pack_sequences",
+    lambda t: (relational.pack_sequences(
+        text.token_count(t["documents"]), "n_tokens", "doc_id",
+        capacity=2048)
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .orderBy("bin_id")),
+    """
+    WITH tc AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) AS cum_before
+      FROM tc)
+    SELECT CAST(floor(cum_before / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1 ORDER BY bin_id
+    """,
+)
+
+_add(
+    "p36_dup_ngram_fraction",
+    lambda t: (dedup.dup_ngram_fraction(t["documents"], n=5)
+               .orderBy("doc_id")),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+      FROM w),
+    gdf AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS gdf FROM g GROUP BY gram)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           ROUND(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / greatest(COUNT(*), 1)::DOUBLE, 6) AS dup_frac
+    FROM g JOIN gdf USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p37_json_extract",
+    lambda t: (t["events"]
+               .select("event_type", "value",
+                       F.get_json_object("props", "$.k").cast("long")
+                       .alias("k"))
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg(F.col("k").cast("double")), 6)
+                    .alias("avg_k"),
+                    F.round(F.sum(F.col("value") * F.col("k")), 4)
+                    .alias("sum_vk"))
+               .orderBy("event_type")),
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(k::DOUBLE), 6) AS avg_k,
+           ROUND(SUM(value * k), 4) AS sum_vk
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)

@@ -239,3 +239,65 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[.,!?;:'\"()\[\]{}]", ""),
         r"\s+", " "))
     return df.withColumn("text_norm", norm)
+
+
+def lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean
+    log-probability of the document's tokens under the corpus unigram
+    distribution, avg_i ln(count(tok_i) / total_tokens) — the cheap
+    stand-in for CCNet-style LM-perplexity quality filtering (documents
+    made of globally-rare tokens score low; stopword soup scores high).
+
+    Two map-side-combinable aggregates (corpus token counts, per-doc
+    join + avg); the token-keyed join shuffles the exploded token
+    stream once — same shape and cost as TF-IDF. Adds ``lm_logprob``
+    (rounded) and keeps ``n_tokens``.
+    """
+    from golem_spark.pipeline._cache import _swap_cache
+
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    # the exploded token frame feeds the vocabulary count, the total,
+    # and the join back — persist it so the corpus tokenizes once
+    toks = _swap_cache("lm_score_toks", toks)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    scored = (toks.join(counts, "tok")
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(F.log(F.col("cnt").cast("double")
+                                       / F.lit(float(total)))), 6)
+                   .alias("lm_logprob"),
+                   F.count(F.lit(1)).alias("n_tokens")))
+    return scored
+
+
+def chunk_tokens(df: DataFrame, chunk_size: int = 32, overlap: int = 8,
+                 text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the retrieval/context-window chunking operator (stride =
+    chunk_size - overlap; the final partial window is kept).
+
+    Output: (doc_id, chunk_id, chunk_tokens, chunk_hash). Pure per-row
+    array expressions (sequence + slice inside whole-stage codegen):
+    zero shuffle, scales linearly, and the explode multiplies rows by
+    ~n_tokens/stride — bounded and predictable.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # number of windows starting at 1, 1+stride, ... that still contain
+    # at least one NEW token: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)).cast("double")
+                      / F.lit(float(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("ctoks")))
+    out = (df.select("doc_id", F.explode(chunks).alias("c"))
+           .select("doc_id",
+                   F.col("c.chunk_id").alias("chunk_id"),
+                   F.size("c.ctoks").cast("long").alias("chunk_tokens"),
+                   F.md5(F.array_join("c.ctoks", " ")).alias("chunk_hash")))
+    return out
