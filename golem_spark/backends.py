@@ -298,10 +298,24 @@ class SparkBackend:
                                  self._lgamma_sum, persist=False)
 
     def eval_hess(self, beta: np.ndarray):
-        """(primal, dual, gradient, hessian) in ONE aggregation pass —
-        the prox-Newton hot loop. hessian is X' diag(w) X for binomial/
+        """(primal, dual, gradient, hessian) in ONE data pass — the
+        prox-Newton hot loop. hessian is X' diag(w) X for binomial/
         poisson, the exact block Hessian for multinomial (caller gates
-        on m*p), flattened column-major blocks."""
+        on m*p).
+
+        Always runs as an Arrow partial reduction (mapInPandas), not a
+        Catalyst aggregation-expression list: the expression form bakes
+        beta in as literals, so EVERY iteration generates fresh codegen
+        source and pays a ~0.5-0.7 s Janino compile before touching data
+        (measured: fresh-beta pass 1.1 s vs 0.35 s via Arrow on the same
+        cached frame; same-beta expression passes are fast because the
+        code cache hits). The Arrow plan is beta-independent — the JVM
+        side is a generic PythonMapInPandas node — so iteration N reuses
+        iteration 1's plan. The expression form is kept as
+        _eval_hess_expr for cross-checking."""
+        return self._arrow_view().eval_hess(beta)
+
+    def _eval_hess_expr(self, beta: np.ndarray):
         if self.p_total > self._QUAD_EXPR_MAX_P and self.family.name != "multinomial":
             return self._arrow_view().eval_hess(beta)
         fam = self.family.name
@@ -690,8 +704,50 @@ class ArrowSparkBackend(SparkBackend):
         m = self.m
         p_total = self.p_total
         if fam == "multinomial":
-            raise NotImplementedError(
-                "wide-p multinomial uses the Bohning bound (no per-pass Hessian)")
+            # exact block softmax Hessian (narrow fits; wide multinomial
+            # uses the Bohning bound and never calls this): block (k,l)
+            # is X' diag(P_k (delta_kl - P_l)) X over the m-1 modeled
+            # classes, P from the max-shifted softmax with the implicit
+            # reference class
+            n_blk = m * (m + 1) // 2
+
+            def mbatch(X, Y):
+                lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b
+                primal, dual, g = _family_numpy(fam, Y, lp)
+                grad = X.T @ g
+                if intercept:
+                    grad = np.vstack([g.sum(axis=0), grad])
+                lp_max = np.maximum(np.max(lp, axis=1, keepdims=True), 0.0)
+                e = np.exp(np.clip(lp - lp_max, -700, 700))
+                denom = np.exp(-lp_max[:, 0]) + e.sum(axis=1)
+                P = e / denom[:, None]
+                Xi = (np.hstack([np.ones((X.shape[0], 1)), X])
+                      if intercept else X)
+                blocks = []
+                for k in range(m):
+                    for l in range(k, m):
+                        w = P[:, k] * ((1.0 - P[:, l]) if k == l
+                                       else -P[:, l])
+                        blocks.append(((Xi * w[:, None]).T @ Xi).ravel())
+                return np.concatenate([[primal, dual],
+                                       grad.ravel(order="F"), *blocks])
+
+            out = self._partial_reduce(
+                mbatch, 2 + p_total * m + n_blk * p_total * p_total)
+            grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
+            H = np.zeros((p_total * m, p_total * m))
+            pos = 2 + p_total * m
+            for k in range(m):
+                for l in range(k, m):
+                    blk = out[pos:pos + p_total * p_total].reshape(
+                        (p_total, p_total))
+                    pos += p_total * p_total
+                    H[k * p_total:(k + 1) * p_total,
+                      l * p_total:(l + 1) * p_total] = blk
+                    if l != k:
+                        H[l * p_total:(l + 1) * p_total,
+                          k * p_total:(k + 1) * p_total] = blk
+            return float(out[0]), float(out[1]), grad, H
 
         def batch(X, Y):
             lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b

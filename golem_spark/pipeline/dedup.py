@@ -244,12 +244,22 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, n_bits: int = 16,
 
 
 def dup_components(pairs: DataFrame, a_col: str = "doc_a",
-                   b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                   b_col: str = "doc_b", max_iter: int = 25,
+                   driver_max_edges: int = 5_000_000) -> DataFrame:
     """Connected components over near-duplicate PAIRS: (doc_id, rep)
     where rep is the smallest doc_id in the document's component — the
     canonical representative a dedup pipeline keeps.
 
-    Iterative min-label propagation WITH pointer jumping: every round a
+    Two phases, chosen by edge count (the adaptive endgame GraphX /
+    GraphFrames use): candidate PAIRS are a tiny fraction of the corpus
+    by construction — LSH emits only bucket-collisions — so even on a
+    100 TB corpus the edge frame usually fits on the driver. When it
+    does (<= ``driver_max_edges``, ~16 B/edge -> default caps the
+    collect at ~100 MB), one collect + path-compressed union-find beats
+    dozens of distributed jobs whose inputs are kilobytes. Larger edge
+    sets take the distributed path:
+
+    iterative min-label propagation WITH pointer jumping: every round a
     node adopts the minimum of (its label, its neighbors' labels, its
     label's label). The neighbor term is one join + one groupBy (two
     shuffles) over the EDGE frame only — never an all-pairs product —
@@ -266,6 +276,8 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     from golem_spark.pipeline._cache import _swap_cache
 
     pairs = _swap_cache("cc_pairs", pairs.select(a_col, b_col))
+    if pairs.count() <= driver_max_edges:
+        return _dup_components_driver(pairs, a_col, b_col)
     edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
              .union(pairs.select(F.col(b_col).alias("x"),
                                  F.col(a_col).alias("y")))
@@ -324,6 +336,45 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
 # final label snapshots per thread, released by the next call (the
 # checkpoint blocks back the RETURNED frame, so they must outlive it)
 _CC_FINAL: dict = {}
+
+
+def _dup_components_driver(pairs: DataFrame, a_col: str,
+                           b_col: str) -> DataFrame:
+    """Driver-local union-find endgame for small edge sets (the
+    post-LSH common case). Identical output contract to the distributed
+    path: (doc_id, rep) with rep = min doc_id of the component."""
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    pdf = pairs.select(a_col, b_col).toPandas()  # Arrow transfer
+    setdefault = parent.setdefault
+    for a, b in zip(pdf[a_col].tolist(), pdf[b_col].tolist()):
+        setdefault(a, a)
+        setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: smaller id becomes the root, so the root IS
+            # the component minimum when ids are ordered
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    import pandas as pd
+
+    nodes = sorted(parent)
+    out = pd.DataFrame({"doc_id": nodes, "rep": [find(n) for n in nodes]})
+    spark = pairs.sparkSession
+    id_type = pairs.schema[a_col].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", id_type, False),
+                           T.StructField("rep", id_type, False)])
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_keep_list(df: DataFrame, pairs: DataFrame | None = None,

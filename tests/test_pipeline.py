@@ -187,10 +187,16 @@ def test_dup_components_chain_and_cliques(spark):
     cliq2 = [(200, 201), (201, 202), (200, 202)]
     pairs = spark.createDataFrame(
         pd.DataFrame(chain + cliq1 + cliq2, columns=["doc_a", "doc_b"]))
-    out = {r["doc_id"]: r["rep"] for r in dup_components(pairs).collect()}
+    # driver_max_edges=0 forces the distributed pointer-jumping path
+    out = {r["doc_id"]: r["rep"]
+           for r in dup_components(pairs, driver_max_edges=0).collect()}
     assert all(out[i] == 100 for i in range(100, 141))
     assert all(out[i] == 10 for i in range(10, 14))
     assert all(out[i] == 200 for i in (200, 201, 202))
+    # the driver union-find endgame (default for small edge sets)
+    # produces the identical labeling
+    out_drv = {r["doc_id"]: r["rep"] for r in dup_components(pairs).collect()}
+    assert out_drv == out
 
 
 def test_dup_components_nonconvergence_raises(spark):
@@ -204,7 +210,7 @@ def test_dup_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_components(pairs, max_iter=2)
+        dup_components(pairs, max_iter=2, driver_max_edges=0)
 
 
 def test_tfidf_feeds_sparse_owl(spark):

@@ -32,10 +32,27 @@ def test_arrow_backend_matches_expression_backend(spark):
     assert abs(d1 - d2) < 1e-6 * max(1, abs(d1))
     np.testing.assert_allclose(g1, g2, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(be_expr.gram(), be_arrow.gram(), rtol=1e-9, atol=1e-9)
-    ph1, dh1, gh1, H1 = be_expr.eval_hess(beta)
+    ph1, dh1, gh1, H1 = be_expr._eval_hess_expr(beta)
     ph2, dh2, gh2, H2 = be_arrow.eval_hess(beta)
     np.testing.assert_allclose(H1, H2, rtol=1e-9, atol=1e-9)
     be_expr.unpersist()
+
+
+def test_multinomial_hess_arrow_matches_expression(spark):
+    rng = np.random.RandomState(63)
+    x = rng.randn(200, 4)
+    y = rng.randint(0, 3, size=200)  # 3 classes
+    df, feats = _to_spark(spark, x, y)
+    be, _ = build_spark_backend(df, feats, "label", "multinomial")
+    m = be.m
+    beta = np.linspace(-0.3, 0.3, be.p_total * m).reshape(be.p_total, m)
+    p1, d1, g1, H1 = be._eval_hess_expr(beta)
+    p2, d2, g2, H2 = be.eval_hess(beta)  # Arrow route
+    assert abs(p1 - p2) < 1e-8 * max(1, abs(p1))
+    assert abs(d1 - d2) < 1e-6 * max(1, abs(d1))
+    np.testing.assert_allclose(g1, g2, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(H1, H2, rtol=1e-9, atol=1e-9)
+    be.unpersist()
 
 
 @pytest.mark.parametrize("family,response", [("gaussian", "gaussian"),
