@@ -130,6 +130,99 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
     return df.filter(h < thresh)
 
 
+def rollup_agg(df: DataFrame, group_cols: list[str], aggs: list,
+               all_label: str = "(all)") -> DataFrame:
+    """Hierarchical subtotals (GROUP BY ROLLUP): per-group rows plus
+    every prefix-level subtotal and the grand total.
+
+    Spark executes a rollup as ONE shuffle with grouping-set expansion
+    (an Expand node feeding a single partial+final HashAggregate) — not
+    a union of k separate aggregations — so the map-side combine is
+    shared across all levels. Rolled-up slots are relabeled
+    ``all_label`` using ``grouping()`` (NOT a null check, which would
+    mislabel genuine data NULLs), making the output join- and
+    hash-stable.
+    """
+    rolled = df.rollup(*group_cols).agg(
+        *aggs, *[F.grouping(c).alias(f"__g_{c}") for c in group_cols])
+    out = rolled
+    for c in group_cols:
+        out = out.withColumn(
+            c, F.when(F.col(f"__g_{c}") == 1, F.lit(all_label))
+                .otherwise(F.col(c).cast("string")))
+    return out.drop(*[f"__g_{c}" for c in group_cols])
+
+
+def running_totals(df: DataFrame, key_col: str, order_cols: list[str],
+                   value_col: str) -> DataFrame:
+    """Per-key running sum/count of ``value_col`` in ``order_cols``
+    order (ROWS UNBOUNDED PRECEDING). One shuffle on the key; each key's
+    scan is sequential within its task, so the float accumulation order
+    is deterministic (same left-to-right order any engine uses).
+    ``order_cols`` must be a total order per key (include a unique
+    tiebreaker) or the running values are ambiguous."""
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("run_n", F.count(F.lit(1)).over(w))
+            .withColumn("run_sum", F.sum(F.col(value_col)).over(w)))
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs: list[float]) -> DataFrame:
+    """EXACT per-group quantiles with percentile_disc semantics: for
+    each q, the smallest value whose cumulative distribution reaches q —
+    i.e. the element at position max(1, ceil(q*n)) in value order.
+
+    Sort-based: one shuffle on the group key, a per-group rank window,
+    then a rank-position filter — each group sorts in parallel with the
+    others and spills gracefully, so this stays exact at scale (the
+    failure mode is a single giant group; reach for an approx sketch
+    there). Ties in ``value`` are harmless: whichever duplicate takes
+    the selecting rank, the emitted VALUE is identical.
+
+    Returns (group_col, q, value) — one row per group per quantile.
+    """
+    if not qs or any(not 0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cw = Window.partitionBy(group_col)
+    qarr = F.array(*[F.lit(float(q)) for q in sorted(qs)])
+    ranked = (df.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(cw)))
+    hits = F.filter(
+        qarr,
+        lambda q: F.greatest(F.ceil(q * F.col("__n")), F.lit(1)) == F.col("__rn"))
+    return (ranked.withColumn("q", F.explode(hits))
+            .select(group_col, "q", F.col(value_col).alias("value")))
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 splits: list[tuple[str, float]] | None = None,
+                 seed: int = 0) -> DataFrame:
+    """Deterministic train/val/test assignment: the row's md5 bucket
+    u = md5int(key||seed)/2^60 in [0,1) picks the first split whose
+    cumulative weight exceeds u. Same content-hash rule as
+    ``hash_sample`` — assignment survives reruns, repartitions, and
+    engine changes, and new rows never reshuffle old ones (the property
+    a 100 TB corpus split must have; df.randomSplit has none of these).
+    Pure column expression, no shuffle. Adds a ``split`` column."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    weights = [float(w) for _, w in splits]
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("split weights must be >= 0 and sum to 1")
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
+                                             F.lit(str(seed)))), 1, 15),
+               16, 10).cast("long")
+    expr, cum = None, 0.0
+    for name, w in splits[:-1]:
+        cum += float(w)
+        cond = h < F.lit(int(cum * (1 << 60)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def pack_sequences(df: DataFrame, count_col: str, order_col: str,
                    capacity: int, n_buckets: int = 64) -> DataFrame:
     """Concatenate-then-chunk sequence packing: documents are laid out

@@ -493,3 +493,58 @@ def dup_ngram_fraction(df: DataFrame, n: int = 5,
                     F.round(F.col("n_shared").cast("double")
                             / F.greatest(F.col("n_grams"), F.lit(1))
                             .cast("double"), 6).alias("dup_frac")))
+
+
+def passage_scrub(df: DataFrame, n: int = 4, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Passage-level exact dedup (C4/RefinedWeb line-dedup analogue for
+    delimiter-free text): split each document into consecutive
+    ``n``-token passages, keep only the globally FIRST occurrence of
+    each distinct passage (ordered by (doc_id, pos)), drop every later
+    copy, and rebuild the cleaned document. The sub-passage tail
+    (len % n trailing tokens) is always kept.
+
+    Plan shape: one shuffle keyed on the passage string (the same
+    map-combinable shape as exact document dedup — boilerplate passages
+    hash to the same reducer at any corpus size), then a groupBy(doc)
+    rebuild. The rebuilt text is emitted as an md5 fingerprint plus
+    kept/total counts, so the result stays doc-sized.
+
+    Returns (doc_id, n_chunks, n_kept, clean_md5).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    n_full = F.floor(F.size("toks") / F.lit(n)).cast("int")
+    idx = F.when(n_full >= 1, F.sequence(F.lit(1), n_full)) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = (base
+              .select(id_col, F.explode(idx).alias("i"), "toks")
+              .select(id_col, (F.col("i") - 1).cast("long").alias("pos"),
+                      F.array_join(
+                          F.slice("toks", (F.col("i") - 1) * n + 1, F.lit(n)),
+                          " ").alias("chunk")))
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = (chunks.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    body = (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                         lambda x: x["chunk"]),
+                     " ").alias("__body")))
+    tail = F.when(
+        F.size("toks") - n_full * n > 0,
+        F.array_join(F.slice("toks", n_full * n + 1,
+                             F.size("toks") - n_full * n), " ")
+    ).otherwise(F.lit(""))
+    per_doc = base.select(id_col, n_full.cast("long").alias("n_chunks"),
+                          tail.alias("__tail"))
+    return (per_doc.join(body, on=id_col, how="left")
+            .select(id_col, "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    F.md5(F.trim(F.concat_ws(
+                        " ", F.coalesce("__body", F.lit("")), "__tail")))
+                    .alias("clean_md5")))

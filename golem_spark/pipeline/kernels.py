@@ -927,3 +927,221 @@ _add(
     FROM e GROUP BY event_type ORDER BY event_type
     """,
 )
+
+# -- relational OLAP breadth: rollup, running windows, exact quantiles ------
+
+def _rollup_query(t):
+    out = relational.rollup_agg(
+        t["lineitem"], ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("l_quantity") / 1000, 4).alias("sum_qty_k"),
+         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 / 1000000, 4).alias("rev_mm")])
+    return (out.select("l_returnflag", "l_linestatus", "n", "sum_qty_k",
+                       "rev_mm")
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_add(
+    "p38_rollup_metrics",
+    _rollup_query,
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+           ELSE l_returnflag END AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+           ELSE l_linestatus END AS l_linestatus,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_quantity) / 1000, 4) AS sum_qty_k,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) / 1000000, 4) AS rev_mm
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def _running_query(t):
+    run = relational.running_totals(
+        t["orders"], "o_custkey", ["o_orderdate", "o_orderkey"],
+        "o_totalprice")
+    return (run.select("o_custkey", "o_orderkey", "run_n",
+                       F.round("run_sum", 2).alias("run_sum"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+_add(
+    "p39_running_totals",
+    _running_query,
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS run_n,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS run_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+
+_QUANTILE_QS = [0.25, 0.5, 0.75, 0.9]
+
+_add(
+    "p40_group_quantiles",
+    lambda t: (relational.group_quantiles(t["events"], "event_type",
+                                          "value", _QUANTILE_QS)
+               .orderBy("event_type", "q")),
+    f"""
+    SELECT event_type, unnest({_QUANTILE_QS}) AS q,
+           unnest(percentile_disc({_QUANTILE_QS})
+                  WITHIN GROUP (ORDER BY value)) AS value
+    FROM events GROUP BY event_type
+    ORDER BY event_type, q
+    """,
+)
+
+
+_SPLIT_THRESH = {"train": int(0.8 * (1 << 60)), "val": int(0.9 * (1 << 60))}
+
+_add(
+    "p41_split_assign",
+    lambda t: (relational.split_assign(t["documents"], "doc_id",
+                                       [("train", 0.8), ("val", 0.1),
+                                        ("test", 0.1)], seed=7)
+               .select("doc_id", "split").orderBy("doc_id")),
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_7'")}
+                     < {_SPLIT_THRESH["train"]} THEN 'train'
+                WHEN {_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_7'")}
+                     < {_SPLIT_THRESH["val"]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+# -- vocabulary coverage + HLL sketch ---------------------------------------
+
+_add(
+    "p42_vocab_coverage",
+    lambda t: (text.vocab_coverage(t["documents"], top_k=100)
+               .orderBy("rank")),
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    c AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM c),
+    top AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt
+      FROM c)
+    SELECT rank::BIGINT AS rank, tok, cnt,
+           ROUND(cum_cnt / total, 6) AS cum_frac
+    FROM top, tot WHERE rank <= 100 ORDER BY rank
+    """,
+)
+
+_add(
+    "p43_hll_distinct",
+    lambda t: sketch.hll_distinct(t["lineitem"], "l_partkey", n_buckets=64),
+    sketch.hll_distinct_sql("lineitem", "l_partkey", 64, 0),
+)
+
+# -- passage-level exact dedup (C4-style) -----------------------------------
+
+_add(
+    "p44_passage_scrub",
+    lambda t: (dedup.passage_scrub(t["documents"], n=4)
+               .orderBy("doc_id")),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    ch AS (
+      SELECT doc_id, (i - 1)::BIGINT AS pos,
+             array_to_string(list_slice(toks, (i-1)*4 + 1, (i-1)*4 + 4), ' ')
+               AS chunk
+      FROM w, unnest(range(1, len(toks) // 4 + 1)) AS t(i)),
+    k AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch),
+    body AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1)
+               AS body
+      FROM k GROUP BY doc_id)
+    SELECT w.doc_id, (len(toks) // 4)::BIGINT AS n_chunks,
+           COALESCE(n_kept, 0) AS n_kept,
+           md5(trim(concat_ws(' ', COALESCE(body, ''),
+             CASE WHEN len(toks) % 4 > 0
+                  THEN array_to_string(list_slice(toks, (len(toks)//4)*4 + 1,
+                                                  len(toks)), ' ')
+                  ELSE '' END))) AS clean_md5
+    FROM w LEFT JOIN body ON w.doc_id = body.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+
+# -- embedding cluster statistics -------------------------------------------
+
+_add(
+    "p45_label_centroids",
+    lambda t: (similarity.label_centroids(t["embeddings"])
+               .orderBy("label")),
+    """
+    WITH ex AS (
+      SELECT label, vec_id, i::BIGINT AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    cent AS (
+      SELECT label, pos, ROUND(AVG(val), 6) AS cval
+      FROM ex GROUP BY label, pos),
+    pv AS (
+      SELECT ex.label, ex.vec_id,
+             SUM(val * cval) AS dot,
+             SQRT(SUM(val * val)) AS vnorm,
+             SQRT(SUM(cval * cval)) AS cnorm
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY ex.label, ex.vec_id)
+    SELECT label, COUNT(*)::BIGINT AS n_members,
+           ROUND(MAX(cnorm), 6) AS centroid_norm,
+           ROUND(AVG(ROUND(dot / (vnorm * cnorm), 6)), 6) AS avg_cos
+    FROM pv GROUP BY label ORDER BY label
+    """,
+)
+
+_add(
+    "p46_kmeans_step",
+    lambda t: (similarity.kmeans_step(t["embeddings"], k=8)
+               .orderBy("seed_id")),
+    """
+    WITH s AS (
+      SELECT vec_id AS seed_id,
+             list_transform(embedding, x -> x::DOUBLE) AS sv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    scored AS (
+      SELECT vec_id, seed_id,
+             ROUND(list_dot_product(ev, sv)
+                   / (sqrt(list_dot_product(ev, ev))
+                      * sqrt(list_dot_product(sv, sv))), 6) AS cos
+      FROM e, s),
+    best AS (
+      SELECT vec_id, seed_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, seed_id) AS rn
+      FROM scored)
+    SELECT seed_id, COUNT(*)::BIGINT AS n_assigned,
+           ROUND(AVG(cos), 6) AS mean_cos,
+           ROUND(SUM(1 - cos), 6) AS inertia
+    FROM best WHERE rn = 1
+    GROUP BY seed_id ORDER BY seed_id
+    """,
+)

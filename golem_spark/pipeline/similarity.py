@@ -333,3 +333,77 @@ def knn_join(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     return (scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk")
             .orderBy("query_id", F.col("cos").desc(), F.col(id_col)))
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-label centroid statistics: member count, centroid L2 norm,
+    and mean member-to-centroid cosine (cluster cohesion) — the standard
+    audit before using class labels as supervision or routing keys.
+
+    Plan shape: one posexplode -> (label, dim) groupBy for the
+    centroids (map-side combinable, output is labels x dims rows, model-
+    sized), then a (label, dim)-keyed join back to the exploded members
+    — co-partitioned on the same key, so the join adds no extra
+    shuffle of the corpus beyond the explode. Centroid components are
+    rounded to 6 decimals BEFORE the cosine pass so every downstream
+    number is independent of float accumulation order (the cross-engine
+    determinism contract of this module).
+
+    Returns (label, n_members, centroid_norm, avg_cos).
+    """
+    ex = (df.select(label_col, id_col,
+                    F.posexplode(_as_double(F.col(vec_col)))
+                    .alias("pos", "val")))
+    cent = (ex.groupBy(label_col, "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval")))
+    joined = ex.join(cent, on=[label_col, "pos"])
+    per_vec = (joined.groupBy(label_col, id_col)
+               .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"),
+                    F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
+                    F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm")))
+    cos = F.round(F.col("dot") / (F.col("vnorm") * F.col("cnorm")), 6)
+    return (per_vec
+            .select(label_col, cos.alias("cos"), "cnorm")
+            .groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.max("cnorm"), 6).alias("centroid_norm"),
+                 F.round(F.avg("cos"), 6).alias("avg_cos")))
+
+
+def kmeans_step(df: DataFrame, k: int = 8, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """One exact Lloyd iteration from deterministic seeds (the vectors
+    with ``id_col`` < k): assign every vector to its max-cosine seed
+    (ties -> lowest seed id), then report the new cluster stats. The
+    building block the IVF index trainer iterates; exposed standalone so
+    the assignment step itself is oracle-checkable.
+
+    Plan shape: broadcast the k seeds, map-side cosine + combinable
+    max(struct) argmax (no shuffle of the corpus), then one k-row
+    groupBy. Cosines are rounded to 6 decimals before the argmax so
+    assignment is independent of float accumulation order.
+
+    Returns (seed_id, n_assigned, mean_cos, inertia) where inertia =
+    sum(1 - cos) over members, rounded.
+    """
+    seeds = (df.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("seed_id"),
+                     _as_double(F.col(vec_col)).alias("sv")))
+    e = _as_double(F.col(vec_col))
+    scored = (df.crossJoin(F.broadcast(seeds))
+              .select(F.col(id_col),
+                      F.col("seed_id"),
+                      F.round(_dot(e, F.col("sv"))
+                              / (_norm(e) * _norm(F.col("sv"))), 6)
+                      .alias("cos")))
+    best = (scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("cos"), (-F.col("seed_id")).alias("ns"),
+                                F.col("seed_id"))).alias("b")))
+    assigned = best.select(id_col, F.col("b.seed_id").alias("seed_id"),
+                           F.col("b.cos").alias("cos"))
+    return (assigned.groupBy("seed_id")
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 F.round(F.avg("cos"), 6).alias("mean_cos"),
+                 F.round(F.sum(1 - F.col("cos")), 6).alias("inertia")))

@@ -169,3 +169,103 @@ def cms_token_freq_sql(depth: int = 3, width: int = 1024,
            (cms_count - true_count) AS overcount
     FROM est ORDER BY true_count DESC, tok
     """
+
+
+def hll_distinct(df: DataFrame, col: str, n_buckets: int = 64,
+                 seed: int = 0) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
+    fully deterministic, cross-engine-checkable register build.
+
+    Hash layout over the shared 60-bit md5 int: bucket = h & (m-1),
+    w = h >> log2(m) (a 54-bit remainder), rho = leading-zero rank =
+    55 - bitlength(w) (w = 0 -> 55). Registers M_j = max rho per
+    bucket — ONE map-side-combinable groupBy over at most m rows, the
+    cheapest possible shuffle shape; sketch union at 100 TB is the same
+    max-merge. The harmonic sum is accumulated as 2^(55-M_j) in exact
+    64-bit INTEGER arithmetic (sum order-independent, unlike float
+    2^-M_j), so the estimate is bit-identical in any engine.
+
+    Small-range correction: raw E <= 2.5m with V empty registers ->
+    LinearCounting m*ln(m/V).
+
+    Returns one row: (m, n_hit, sum_reg, inv_scaled, est_distinct,
+    exact_distinct, rel_err); exact_distinct is the self-audit column.
+    """
+    m = n_buckets
+    if m < 16 or m & (m - 1):
+        raise ValueError("n_buckets must be a power of two >= 16")
+    log2m = m.bit_length() - 1
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    h = _md5_int(F.concat_ws("_", F.col(col).cast("string"), F.lit(str(seed))))
+    w = F.shiftright(h, log2m)
+    rho = (F.when(w == 0, F.lit(55))
+           .otherwise(F.lit(55) - F.length(F.bin(w)))).cast("int")
+    regs = (df.select(h.bitwiseAND(m - 1).alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("reg")))
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum("reg").cast("long").alias("sum_reg"),
+        F.sum(F.expr("shiftleft(1L, 55 - reg)")).alias("inv_scaled"))
+    exact = df.select(F.countDistinct(F.col(col)).alias("exact_distinct"))
+    two55 = float(1 << 55)
+    est = sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(m).cast("long").alias("m"),
+        "n_hit", "sum_reg", "inv_scaled", "exact_distinct",
+        (F.col("inv_scaled").cast("double") / F.lit(two55)
+         + (F.lit(m) - F.col("n_hit")).cast("double")).alias("__inv"),
+        (F.lit(m) - F.col("n_hit")).cast("double").alias("__v"))
+    raw = F.lit(alpha * m * m) / F.col("__inv")
+    corrected = F.when((raw <= F.lit(2.5 * m)) & (F.col("__v") > 0),
+                       F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v"))
+                       ).otherwise(raw)
+    return est.select(
+        "m", "n_hit", "sum_reg", "inv_scaled",
+        F.round(corrected, 4).alias("est_distinct"),
+        "exact_distinct",
+        F.round((corrected - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 4).alias("rel_err"))
+
+
+def hll_distinct_sql(table_expr: str, col_expr: str, n_buckets: int = 64,
+                     seed: int = 0) -> str:
+    """DuckDB oracle for :func:`hll_distinct` (same hash, same integer
+    harmonic accumulation, same correction)."""
+    m = n_buckets
+    log2m = m.bit_length() - 1
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    h = (f"(('0x' || substr(md5(concat_ws('_', CAST({col_expr} AS VARCHAR), "
+         f"'{seed}')), 1, 15))::BIGINT)")
+    return f"""
+    WITH hashed AS (
+      SELECT {h} & {m - 1} AS bucket,
+             {h} >> {log2m} AS w
+      FROM {table_expr}),
+    regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN w = 0 THEN 55
+                 ELSE 55 - length(bin(w)) END)::INT AS reg
+      FROM hashed GROUP BY bucket),
+    sk AS (
+      SELECT COUNT(*)::BIGINT AS n_hit,
+             SUM(reg)::BIGINT AS sum_reg,
+             SUM((1::BIGINT << (55 - reg)))::BIGINT AS inv_scaled
+      FROM regs),
+    ex AS (SELECT COUNT(DISTINCT {col_expr})::BIGINT AS exact_distinct
+           FROM {table_expr}),
+    est AS (
+      SELECT {m}::BIGINT AS m, n_hit, sum_reg, inv_scaled, exact_distinct,
+             inv_scaled::DOUBLE / {float(1 << 55)}
+               + ({m} - n_hit)::DOUBLE AS inv_total,
+             ({m} - n_hit)::DOUBLE AS v
+      FROM sk, ex)
+    SELECT m, n_hit, sum_reg, inv_scaled,
+           ROUND(CASE WHEN {alpha * m * m} / inv_total <= {2.5 * m} AND v > 0
+                 THEN {float(m)} * ln({float(m)} / v)
+                 ELSE {alpha * m * m} / inv_total END, 4) AS est_distinct,
+           exact_distinct,
+           ROUND((CASE WHEN {alpha * m * m} / inv_total <= {2.5 * m} AND v > 0
+                  THEN {float(m)} * ln({float(m)} / v)
+                  ELSE {alpha * m * m} / inv_total END - exact_distinct)
+                 / exact_distinct, 4) AS rel_err
+    FROM est
+    """

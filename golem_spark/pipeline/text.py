@@ -301,3 +301,37 @@ def chunk_tokens(df: DataFrame, chunk_size: int = 32, overlap: int = 8,
                    F.size("c.ctoks").cast("long").alias("chunk_tokens"),
                    F.md5(F.array_join("c.ctoks", " ")).alias("chunk_hash")))
     return out
+
+
+def vocab_coverage(df: DataFrame, top_k: int = 100,
+                   text_col: str = "text") -> DataFrame:
+    """Zipf coverage curve: the cumulative fraction of all corpus token
+    occurrences covered by the ``top_k`` most frequent tokens — the
+    standard vocabulary-sizing diagnostic before committing a tokenizer
+    vocab.
+
+    Plan shape: one combinable token-count groupBy (map-side partials),
+    a TakeOrdered top-k (k rows per partition cross the shuffle), and a
+    1-row total broadcast. The cumulative window runs over the k-row
+    result only — driver-sized, so the unpartitioned window is safe by
+    construction, never over the corpus.
+
+    Returns (rank, tok, cnt, cum_frac) with deterministic
+    (cnt desc, tok asc) ordering.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens_col(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    order = [F.desc("cnt"), F.asc("tok")]
+    top = counts.orderBy(*order).limit(top_k)
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (top
+            .withColumn("rank", F.row_number().over(w_rank))
+            .withColumn("cum_cnt", F.sum("cnt").over(w_cum))
+            .crossJoin(F.broadcast(total))
+            .select("rank", "tok", "cnt",
+                    F.round(F.col("cum_cnt") / F.col("total"), 6)
+                    .alias("cum_frac")))

@@ -393,3 +393,69 @@ def test_srp_project_linearity(spark):
     assert len(p0) == 16 and len(p1) == 16
     for d in range(16):
         assert abs(p1[d] - 2 * p0[d]) < 1e-3     # projection is linear
+
+
+def test_rollup_agg_levels_and_grand_total(spark):
+    """Rollup emits per-group rows, per-prefix subtotals, and one grand
+    total; grouping() relabels subtotal slots without touching data."""
+    from golem_spark.operators.relational import rollup_agg
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 4.0)], ["a", "b", "v"])
+    out = rollup_agg(df, ["a", "b"], [F.sum("v").alias("s")])
+    rows = {(r["a"], r["b"]): r["s"] for r in out.collect()}
+    assert rows[("(all)", "(all)")] == 7.0
+    assert rows[("x", "(all)")] == 3.0
+    assert rows[("x", "p")] == 1.0
+    assert len(rows) == 6
+
+
+def test_running_totals_sequential(spark):
+    from golem_spark.operators.relational import running_totals
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 3.0), (1, 15, 1.0), (2, 5, 9.0)],
+        ["k", "t", "v"])
+    out = running_totals(df, "k", ["t"], "v")
+    got = {(r["k"], r["t"]): (r["run_n"], r["run_sum"]) for r in out.collect()}
+    assert got[(1, 10)] == (1, 2.0)
+    assert got[(1, 15)] == (2, 3.0)
+    assert got[(1, 20)] == (3, 6.0)
+    assert got[(2, 5)] == (1, 9.0)
+
+
+def test_group_quantiles_exact_positions(spark):
+    """percentile_disc semantics: element at max(1, ceil(q*n))."""
+    import pytest as _pytest
+
+    from golem_spark.operators.relational import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], ["grp", "v"])
+    out = group_quantiles(df, "grp", "v", [0.1, 0.25, 0.5, 0.91, 1.0])
+    got = {r["q"]: r["value"] for r in out.collect()}
+    assert got == {0.1: 1.0, 0.25: 3.0, 0.5: 5.0, 0.91: 10.0, 1.0: 10.0}
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "grp", "v", [0.0])
+
+
+def test_split_assign_deterministic_partition_invariant(spark):
+    import pytest as _pytest
+
+    from golem_spark.operators.relational import split_assign
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    a = sorted((r["doc_id"], r["split"])
+               for r in split_assign(docs, "doc_id", seed=7).collect())
+    b = sorted((r["doc_id"], r["split"])
+               for r in split_assign(docs.repartition(5), "doc_id",
+                                     seed=7).collect())
+    assert a == b
+    counts = {}
+    for _, s in a:
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    with _pytest.raises(ValueError):
+        split_assign(docs, "doc_id", [("a", 0.5), ("b", 0.6)])

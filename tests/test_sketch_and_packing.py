@@ -111,3 +111,76 @@ def test_json_extract_column(spark):
            .groupBy("event_type").agg(F.avg("k").alias("avg_k"))
            .orderBy("event_type").collect())
     assert out[0]["avg_k"] == 4.0 and out[1]["avg_k"] == 7.0
+
+
+def test_hll_distinct_estimate_reasonable(spark):
+    """HLL with m=64 has ~13% standard error; the self-audit column must
+    show the estimate lands near the exact count, and the register build
+    must be invariant to partitioning."""
+    import pytest as _pytest
+
+    from golem_spark.pipeline.sketch import hll_distinct
+    from golem_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+    row = hll_distinct(li, "l_partkey").first()
+    assert abs(row["rel_err"]) < 0.45
+    row2 = hll_distinct(li.repartition(7), "l_partkey").first()
+    assert row.asDict() == row2.asDict()
+    with _pytest.raises(ValueError):
+        hll_distinct(li, "l_partkey", n_buckets=48)
+
+
+def test_hll_linear_counting_small_range(spark):
+    """With far fewer distincts than 2.5m the LinearCounting branch must
+    engage and be near-exact."""
+    from golem_spark.pipeline.sketch import hll_distinct
+
+    df = spark.range(12).selectExpr("id % 5 AS v")
+    row = hll_distinct(df, "v").first()
+    assert row["exact_distinct"] == 5
+    assert abs(row["est_distinct"] - 5) < 2
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from golem_spark.pipeline.text import vocab_coverage
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    rows = vocab_coverage(docs, top_k=20).orderBy("rank").collect()
+    assert len(rows) == 20
+    fracs = [r["cum_frac"] for r in rows]
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+    assert 0 < fracs[-1] <= 1.0
+    cnts = [r["cnt"] for r in rows]
+    assert all(a >= b for a, b in zip(cnts, cnts[1:]))
+
+
+def test_passage_scrub_drops_repeats_keeps_tail(spark):
+    from golem_spark.pipeline.dedup import passage_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b c d x y"),        # chunk 'a b c d' first seen here
+         (2, "a b c d q r s t z")],  # repeated chunk dropped; own chunk + tail kept
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in passage_scrub(df, n=4).collect()}
+    assert rows[1]["n_chunks"] == 1 and rows[1]["n_kept"] == 1
+    assert rows[2]["n_chunks"] == 2 and rows[2]["n_kept"] == 1
+    import hashlib
+    assert rows[1]["clean_md5"] == hashlib.md5(b"a b c d x y").hexdigest()
+    assert rows[2]["clean_md5"] == hashlib.md5(b"q r s t z").hexdigest()
+
+
+def test_kmeans_step_partitions_all_vectors(spark):
+    from golem_spark.pipeline.similarity import kmeans_step, label_centroids
+    from golem_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    n = emb.count()
+    out = kmeans_step(emb, k=8).collect()
+    assert sum(r["n_assigned"] for r in out) == n
+    assert all(-1.0 <= r["mean_cos"] <= 1.0 for r in out)
+
+    cents = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert sum(r["n_members"] for r in cents.values()) == n
+    assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in cents.values())
