@@ -1269,10 +1269,22 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
                 ynull = float(sum(
                     rb.column(rb.schema.get_field_index(c)).null_count
                     for c in label_cols))
+            # classification families: batch-distinct label values ride
+            # along (a handful of strings), so class discovery costs no
+            # second job over the cached projection
+            labels: list[str] = []
+            if label_is_string and nrow:
+                import pyarrow.compute as pc
+
+                lcol = rb.column(rb.schema.get_field_index(label_cols[0]))
+                labels = sorted(v for v in pc.unique(lcol).to_pylist()
+                                if v is not None)
             part = np.concatenate([[float(nrow), bad, ynull], sums, sqs,
                                    ysums, [lgsum, ymin]])
             yield pa.RecordBatch.from_arrays(
-                [pa.array([part], type=pa.list_(pa.float64()))], ["part"])
+                [pa.array([part], type=pa.list_(pa.float64())),
+                 pa.array([labels], type=pa.list_(pa.string()))],
+                ["part", "labels"])
 
     # the slim (idx, val, labels) projection is read by the stats pass,
     # the class-discovery distinct (binomial/multinomial), and the
@@ -1282,7 +1294,14 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     # before returning — the backend keeps only the repartitioned
     # encoded frame.
     proj = df.select(idx_col, val_col, *label_cols).persist()
-    parts = proj.mapInArrow(statop, "part array<double>").collect()
+    # string classification labels: class discovery rides along in the
+    # stats pass (batch-distinct sets); other label types fall back to a
+    # distinct() job so class values keep their native type/ordering
+    label_is_string = (not need_y_stats
+                       and dict(proj.dtypes)[label_cols[0]] == "string")
+    parts = proj.mapInArrow(
+        statop, "part array<double>, labels array<string>").collect()
+    seen_labels = sorted({v for r in parts for v in (r["labels"] or [])})
     nlab = len(label_cols)
     tot = np.zeros(3 + 2 * p + nlab + 2)
     ymin = np.inf
@@ -1339,8 +1358,9 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
         enc = proj.withColumn("__y0", F.col(label_col).cast("double"))
         y_cols = ["__y0"]
     elif family_name == "multinomial":
-        classes = [r[0] for r in
-                   proj.select(label_col).distinct().orderBy(label_col).collect()]
+        classes = (seen_labels if label_is_string else
+                   [r[0] for r in proj.select(label_col).distinct()
+                    .orderBy(label_col).collect()])
         if len(classes) == 2:
             raise ValueError("only two classes in response; use family='binomial'")
         class_names = [str(c) for c in classes]
@@ -1758,11 +1778,29 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
 
     lgamma_sum = 0.0
     if family_name == "poisson":
-        # Spark SQL has no lgamma; sum(lgamma(y+1)) is a constant offset,
-        # computed exactly from the distinct-value histogram (count
-        # responses have few distinct values) — one aggregation pass.
-        hist = std_df.groupBy("__y0").count().collect()
-        lgamma_sum = float(sum(r["count"] * math.lgamma(r["__y0"] + 1.0) for r in hist))
+        # Spark SQL has no lgamma; sum(lgamma(y+1)) is a constant offset.
+        # One column-pruned Arrow partial per partition (ships a single
+        # double each) — bounded even for adversarial high-cardinality
+        # double labels, where a distinct-value histogram would collect
+        # n rows. Within each batch the unique-value table keeps the
+        # Python lgamma loop at O(distinct-per-batch).
+        def _lgsum(batches):
+            import pyarrow as pa
+
+            tot = 0.0
+            for b in batches:
+                vals = np.asarray(b.column(0).to_numpy(zero_copy_only=False),
+                                  dtype=np.float64)
+                if vals.size:
+                    u, counts = np.unique(vals, return_counts=True)
+                    tot += float(sum(c * math.lgamma(v + 1.0)
+                                     for v, c in zip(u, counts)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([tot], type=pa.float64())], ["s"])
+
+        parts = (std_df.select(F.col("__y0").cast("double").alias("y"))
+                 .mapInArrow(_lgsum, "s double").collect())
+        lgamma_sum = float(sum(r["s"] for r in parts))
 
     backend_cls = ArrowSparkBackend if wide else SparkBackend
     backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)

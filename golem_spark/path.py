@@ -31,7 +31,8 @@ from golem_spark.families import get_family
 from golem_spark.lambdas import lambda_sequence, sigma_grid
 from golem_spark.prox import sorted_l1_norm  # noqa: F401  (re-export convenience)
 from golem_spark.screening import kkt_check, set_diff, set_intersect, set_union, strong_set
-from golem_spark.solvers import SolverResult, admm_gaussian, fista, prox_newton
+from golem_spark.solvers import (SolverResult, admm_gaussian, fista,
+                                 pn_local_hessian, prox_newton)
 
 
 @dataclass
@@ -267,8 +268,8 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         yty = _yty(backend)
     elif use_prox_newton and p_total <= 2000 and (
             is_gaussian
-            or (family == "binomial" and p_total * m > 200)
-            or (family == "multinomial" and p_total * m > 60)):
+            or (family in ("binomial", "multinomial")
+                and not pn_local_hessian(family, p_total * m))):
         # the Gram is only consumed by the majorization strategies
         # (gaussian quadratic model, binomial/multinomial Bohning
         # bounds); narrow binomial and poisson refresh a local Hessian
@@ -365,9 +366,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         if use_prox_newton:
             if gram_full is not None:
                 gram_s = gram_full[np.ix_(sub_idx, sub_idx)]
-            elif (family == "poisson"
-                  or (family == "binomial" and sub_idx.size * m <= 200)
-                  or (family == "multinomial" and sub_idx.size * m <= 60)):
+            elif pn_local_hessian(family, sub_idx.size * m):
                 gram_s = None  # local-Hessian strategy: never consumed
             else:
                 gram_s = sub_backend.gram()
@@ -377,8 +376,9 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             # bound (eig of any principal submatrix <= eig of the full
             # Gram) — no O(p^3) eigvalsh per solve
             fixed_h = (family == "gaussian"
-                       or (family == "binomial" and sub_idx.size * m > 200)
-                       or (family == "multinomial" and sub_idx.size * m > 60))
+                       or (family in ("binomial", "multinomial")
+                           and not pn_local_hessian(family,
+                                                    sub_idx.size * m)))
             s_cache = None
             if fixed_h:
                 # keyed on (subset, lambda): although the fixed Hessian
@@ -431,9 +431,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             return None, None, gram_full @ b - xty_full, None
         fam_name = backend.family.name
         need_h = (use_prox_newton
-                  and (fam_name == "poisson"
-                       or (fam_name == "binomial" and p_total * m <= 200)
-                       or (fam_name == "multinomial" and p_total * m <= 60)))
+                  and pn_local_hessian(fam_name, p_total * m))
         if need_h:
             return backend.eval_hess(b)
         pr, du, g = backend.eval(b)

@@ -222,6 +222,25 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
     return z.reshape((p, m), order="F") - beta0
 
 
+# exact-local-Hessian vs fixed-majorization crossover, per family: use
+# the true weighted Hessian (near-quadratic outer convergence, but a
+# (p*m)^2 partial payload every pass) while p*m is below the limit;
+# above it, the fixed Bohning bound (one Gram pass for the whole fit,
+# p-vector gradient passes, linear rate). Module-level so the crossover
+# can be tuned/measured in one place (see tools/ab_wide_hessian.py).
+PN_LOCAL_H_LIMIT = {"binomial": 1000, "multinomial": 60}
+
+
+def pn_local_hessian(fam: str, pm: int) -> bool:
+    """True when prox_newton will use the exact local Hessian for this
+    family at p_total*m == pm (poisson always does; gaussian never)."""
+    if fam == "poisson":
+        return True
+    if fam in PN_LOCAL_H_LIMIT:
+        return pm <= PN_LOCAL_H_LIMIT[fam]
+    return False
+
+
 def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
                 gram: np.ndarray | None,
                 max_passes: int = 10**6, tol_rel_gap: float = 1e-5,
@@ -260,7 +279,7 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         # while the per-pass p^2 payload is affordable; above that, the
         # Bohning (1992) global bound H <= 0.25 X'X — ONE Gram pass for
         # the whole fit, p-vector gradients per iteration
-        local_hessian = beta.shape[0] * m <= 200
+        local_hessian = pn_local_hessian("binomial", beta.shape[0] * m)
         B = None
     elif fam == "poisson":
         # no global curvature bound exists: local weighted Gram,
@@ -272,7 +291,7 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         # else the Bohning (1992) global bound
         # H <= 0.5 (I - 11'/(m+1)) (x) X'X (guaranteed descent, 1 pass
         # per iteration, linear rate)
-        local_hessian = beta.shape[0] * m <= 60
+        local_hessian = pn_local_hessian("multinomial", beta.shape[0] * m)
         B = np.eye(m) - np.ones((m, m)) / (m + 1)
     else:
         raise ValueError(f"prox_newton does not handle family {fam!r}")
