@@ -172,6 +172,21 @@ def _curvature_weights(fam: str, y: np.ndarray, lp: np.ndarray) -> np.ndarray:
     raise ValueError(f"no scalar curvature weights for family {fam!r}")
 
 
+
+def _null_intercepts_from_mu(fam: str, mu: np.ndarray) -> np.ndarray:
+    """Closed-form intercept-only optimum from the response means."""
+    if fam == "binomial":
+        mu01 = np.clip(0.5 * mu + 0.5, 1e-9, 1 - 1e-9)
+        return np.log(mu01 / (1 - mu01))
+    if fam == "poisson":
+        return np.log(np.maximum(mu, 1e-300))
+    if fam == "multinomial":
+        # implicit-reference parameterization: b_k = log(mu_k/mu_ref)
+        return (np.log(np.maximum(mu, 1e-300))
+                - math.log(max(1 - float(np.sum(mu)), 1e-300)))
+    return mu
+
+
 class SparkBackend:
     """Distributed execution of the data-plane contract.
 
@@ -531,33 +546,40 @@ class SparkBackend:
         for k, yk in enumerate(yts):
             for j, c in enumerate(cols):
                 aggs.append(F.sum(c * yk).alias(f"__cy_{j}_{k}"))
-            if need_center:
-                aggs.append(F.sum(yk).alias(f"__y_{k}"))
+            # sum(yt) rides along unconditionally: besides the centered
+            # gradient forms it yields the response means, so
+            # null_intercepts() never needs its own pass
+            aggs.append(F.sum(yk).alias(f"__y_{k}"))
         if need_center:
             aggs += [F.sum(c).alias(f"__c_{j}") for j, c in enumerate(cols)]
         row = self.df.agg(*aggs).collect()[0]
         g = np.zeros((len(cols), len(yts)))
+        yt_mean = np.zeros(len(yts))
         for k in range(len(yts)):
-            mu = row[f"__y_{k}"] / self.n if need_center else 0.0
+            yt_mean[k] = row[f"__y_{k}"] / self.n
+            mu = yt_mean[k] if need_center else 0.0
             for j in range(len(cols)):
                 g[j, k] = row[f"__cy_{j}_{k}"] - (mu * row[f"__c_{j}"] if need_center else 0.0)
+        self._stash_null_mu(fam, yt_mean)
         return np.abs(g.ravel(order="F"))
 
-    def null_intercepts(self) -> np.ndarray:
-        means = self.df.agg(*[F.avg(F.col(c)).alias(f"m{k}")
-                              for k, c in enumerate(self.y_cols)]).collect()[0]
-        mu = np.array([means[f"m{k}"] for k in range(self.m)])
-        fam = self.family.name
+    def _stash_null_mu(self, fam: str, yt_mean: np.ndarray) -> None:
+        """Decode the gradient pass's transformed-response means back to
+        encoded-y means (binomial yt=(y+1)/2, poisson yt=1-y)."""
         if fam == "binomial":
-            mu01 = np.clip(0.5 * mu + 0.5, 1e-9, 1 - 1e-9)
-            return np.log(mu01 / (1 - mu01))
-        if fam == "poisson":
-            return np.log(np.maximum(mu, 1e-300))
-        if fam == "multinomial":
-            # implicit-reference parameterization: b_k = log(mu_k/mu_ref)
-            return (np.log(np.maximum(mu, 1e-300))
-                    - math.log(max(1 - float(np.sum(mu)), 1e-300)))
-        return mu
+            self._null_mu = 2.0 * yt_mean - 1.0
+        elif fam == "poisson":
+            self._null_mu = 1.0 - yt_mean
+        else:
+            self._null_mu = yt_mean.copy()
+
+    def null_intercepts(self) -> np.ndarray:
+        mu = getattr(self, "_null_mu", None)
+        if mu is None:  # lambda_max_gradient not called (e.g. user sigma_max)
+            means = self.df.agg(*[F.avg(F.col(c)).alias(f"m{k}")
+                                  for k, c in enumerate(self.y_cols)]).collect()[0]
+            mu = np.array([means[f"m{k}"] for k in range(self.m)])
+        return _null_intercepts_from_mu(self.family.name, np.asarray(mu))
 
     def unpersist(self):
         self.df.unpersist()
@@ -1170,6 +1192,7 @@ class SparseArrowBackend(ArrowSparkBackend):
         n = out[-1]
         if fam in ("binomial", "multinomial"):
             xy = xy - np.outer(colsum, ysum / n)
+        self._stash_null_mu(fam, ysum / n)
         return np.abs(xy.ravel(order="F"))
 
     def subset(self, cols: np.ndarray) -> "SparseArrowBackend":
@@ -1454,18 +1477,8 @@ class LocalSparseBackend(SparseArrowBackend):
             self._lgamma_sum, col_sel=base_sel)
 
     def null_intercepts(self) -> np.ndarray:
-        mu = self._Y.mean(axis=0)
-        fam = self.family.name
-        if fam == "binomial":
-            mu01 = np.clip(0.5 * mu + 0.5, 1e-9, 1 - 1e-9)
-            return np.log(mu01 / (1 - mu01))
-        if fam == "poisson":
-            return np.log(np.maximum(mu, 1e-300))
-        if fam == "multinomial":
-            # implicit-reference parameterization: b_k = log(mu_k/mu_ref)
-            return (np.log(np.maximum(mu, 1e-300))
-                    - math.log(max(1 - float(np.sum(mu)), 1e-300)))
-        return mu
+        return _null_intercepts_from_mu(self.family.name,
+                                        self._Y.mean(axis=0))
 
     def unpersist(self):
         pass

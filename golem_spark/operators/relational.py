@@ -274,3 +274,38 @@ def pack_sequences(df: DataFrame, count_col: str, order_col: str,
                         F.floor(F.col("cum_before") / F.lit(capacity))
                         .cast("long"))
             .drop("__bkt", "__cum_in"))
+
+
+def ntile_buckets(df: DataFrame, part_col: str, order_cols: list[str],
+                  n_tiles: int = 4) -> DataFrame:
+    """Equal-frequency bucketing per group (SQL NTILE): adds ``tile``
+    in 1..n_tiles. One shuffle on the group key; ties must be resolved
+    by ``order_cols`` (include a unique tiebreaker) or bucket edges are
+    ambiguous."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return df.withColumn("tile", F.ntile(n_tiles).over(w))
+
+
+def winsorize_by_group(df: DataFrame, group_col: str, value_col: str,
+                       lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo, hi] exact quantiles
+    (percentile_disc semantics via :func:`group_quantiles`) — the
+    standard outlier guard before aggregating heavy-tailed metrics.
+
+    The bounds frame is group-count-sized, so the clip join is a
+    broadcast: the data shuffles once (inside group_quantiles' rank
+    window); the winsorized pass itself is map-side. Adds
+    ``<value_col>_w``."""
+    if not 0.0 < lo < hi <= 1.0:
+        raise ValueError("need 0 < lo < hi <= 1")
+    qs = group_quantiles(df, group_col, value_col, [lo, hi])
+    bounds = qs.groupBy(group_col).agg(
+        F.min(F.when(F.col("q") == lo, F.col("value"))).alias("__lo"),
+        F.max(F.when(F.col("q") == hi, F.col("value"))).alias("__hi"))
+    return (df.join(F.broadcast(bounds), group_col)
+            .withColumn(f"{value_col}_w",
+                        F.least(F.greatest(F.col(value_col), F.col("__lo")),
+                                F.col("__hi")))
+            .drop("__lo", "__hi"))

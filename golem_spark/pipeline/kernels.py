@@ -1145,3 +1145,110 @@ _add(
     GROUP BY seed_id ORDER BY seed_id
     """,
 )
+
+
+# -- bloom-filter membership + quantile-window breadth ----------------------
+
+def _bloom_query(t):
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    return sketch.bloom_probe(corpus, probe, n=5, m_bits=8192, depth=3)
+
+
+_add(
+    "p47_bloom_probe",
+    _bloom_query,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+      FROM w),
+    cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+    pg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1),
+    bits AS (
+      SELECT DISTINCT unnest([(('0x' || substr(md5('b0_' || gram), 1, 15))::BIGINT) % 8192, (('0x' || substr(md5('b1_' || gram), 1, 15))::BIGINT) % 8192, (('0x' || substr(md5('b2_' || gram), 1, 15))::BIGINT) % 8192]) AS pos FROM cg),
+    probe_pos AS (
+      SELECT gram, unnest([(('0x' || substr(md5('b0_' || gram), 1, 15))::BIGINT) % 8192, (('0x' || substr(md5('b1_' || gram), 1, 15))::BIGINT) % 8192, (('0x' || substr(md5('b2_' || gram), 1, 15))::BIGINT) % 8192]) AS pos FROM pg),
+    passes AS (
+      SELECT gram FROM probe_pos JOIN bits USING (pos)
+      GROUP BY gram HAVING COUNT(*) = 3),
+    truth AS (SELECT gram FROM pg WHERE gram IN (SELECT gram FROM cg)),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM bits) AS n_bits_set,
+             (SELECT COUNT(*) FROM pg) AS n_probe,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM passes) AS n_pass)
+    SELECT 8192::BIGINT AS m_bits, 3::BIGINT AS depth,
+           n_bits_set::BIGINT AS n_bits_set, n_probe::BIGINT AS n_probe,
+           n_true::BIGINT AS n_true, n_pass::BIGINT AS n_pass,
+           (n_pass - n_true)::BIGINT AS n_false_pos,
+           ROUND((n_pass - n_true)::DOUBLE
+                 / greatest(n_probe - n_true, 1)::DOUBLE, 6) AS fpr
+    FROM s
+    """,
+)
+
+
+def _ntile_query(t):
+    out = relational.ntile_buckets(
+        t["orders"], "o_orderpriority", ["o_totalprice", "o_orderkey"],
+        n_tiles=4)
+    return (out.groupBy("o_orderpriority", "tile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"))
+            .orderBy("o_orderpriority", "tile"))
+
+
+_add(
+    "p48_ntile_buckets",
+    _ntile_query,
+    """
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders)
+    SELECT o_orderpriority, tile, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM b GROUP BY o_orderpriority, tile
+    ORDER BY o_orderpriority, tile
+    """,
+)
+
+
+def _winsor_query(t):
+    out = relational.winsorize_by_group(
+        t["orders"], "o_orderpriority", "o_totalprice", lo=0.05, hi=0.95)
+    return (out.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice") / 1000, 4).alias("sum_raw_k"),
+                 F.round(F.sum("o_totalprice_w") / 1000, 4)
+                 .alias("sum_wins_k"))
+            .orderBy("o_orderpriority"))
+
+
+_add(
+    "p49_winsorize",
+    _winsor_query,
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo_v,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi_v
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice) / 1000, 4) AS sum_raw_k,
+           ROUND(SUM(least(greatest(o_totalprice, lo_v), hi_v)) / 1000, 4)
+             AS sum_wins_k
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)

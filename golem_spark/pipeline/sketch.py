@@ -269,3 +269,68 @@ def hll_distinct_sql(table_expr: str, col_expr: str, n_buckets: int = 64,
                  / exact_distinct, 4) AS rel_err
     FROM est
     """
+
+
+def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
+                m_bits: int = 8192, depth: int = 3,
+                text_col: str = "text") -> DataFrame:
+    """Bloom-filter membership of the probe set's word n-grams against
+    the corpus's n-grams — the sketch that replaces an exact
+    decontamination join when the corpus side is 100 TB: the bit array
+    (m_bits bits, here materialized as at most m_bits distinct set
+    positions) is corpus-size-independent and broadcastable, so probing
+    costs a map-side broadcast join instead of a corpus shuffle.
+
+    Deterministic d-fold hashing via the shared md5 primitive; the
+    result row self-audits against the exact distinct-gram join (drop
+    that at production scale — it is what the bloom filter avoids).
+
+    Returns one row: (m_bits, depth, n_bits_set, n_probe, n_true,
+    n_pass, n_false_pos, fpr).
+    """
+    from golem_spark.pipeline.dedup import _ngrams_concat
+    from golem_spark.pipeline.text import tokens_col
+
+    if m_bits < 64 or depth < 1:
+        raise ValueError("m_bits must be >= 64 and depth >= 1")
+
+    def grams(df):
+        return (df.select(F.explode(_ngrams_concat(tokens_col(text_col), n))
+                          .alias("gram")).distinct())
+
+    cg = grams(corpus)
+    pg = grams(probe)
+
+    def positions(gram_col):
+        return F.array(*[
+            _md5_int(F.concat(F.lit(f"b{i}_"), gram_col)) % m_bits
+            for i in range(depth)])
+
+    bits = (cg.select(F.explode(positions(F.col("gram"))).alias("pos"))
+            .distinct())
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    probe_pos = pg.select("gram", F.explode(positions(F.col("gram")))
+                          .alias("pos"))
+    # bits is <= m_bits rows: broadcast, so probing never shuffles pg
+    passes = (probe_pos.join(F.broadcast(bits), "pos")
+              .groupBy("gram").agg(F.count(F.lit(1)).alias("n_set"))
+              .filter(F.col("n_set") == depth)
+              .select("gram"))
+    truth = pg.join(cg, "gram", "left_semi")
+    summary = (pg.agg(F.count(F.lit(1)).alias("n_probe"))
+               .crossJoin(F.broadcast(truth.agg(
+                   F.count(F.lit(1)).alias("n_true"))))
+               .crossJoin(F.broadcast(passes.agg(
+                   F.count(F.lit(1)).alias("n_pass"))))
+               .crossJoin(F.broadcast(n_bits)))
+    return summary.select(
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(depth).cast("long").alias("depth"),
+        F.col("n_bits_set").cast("long"),
+        F.col("n_probe").cast("long"),
+        F.col("n_true").cast("long"),
+        F.col("n_pass").cast("long"),
+        (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
+        F.round((F.col("n_pass") - F.col("n_true"))
+                / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
+                6).alias("fpr"))

@@ -184,3 +184,51 @@ def test_kmeans_step_partitions_all_vectors(spark):
     cents = {r["label"]: r for r in label_centroids(emb).collect()}
     assert sum(r["n_members"] for r in cents.values()) == n
     assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in cents.values())
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Every true member must pass (bloom filters never miss); false
+    positives are counted honestly."""
+    import pytest as _pytest
+
+    from golem_spark.pipeline.sketch import bloom_probe
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    row = bloom_probe(corpus, probe, n=5, m_bits=4096, depth=3).first()
+    assert row["n_pass"] >= row["n_true"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
+    assert 0 <= row["n_bits_set"] <= 4096
+    assert 0.0 <= row["fpr"] <= 1.0
+    with _pytest.raises(ValueError):
+        bloom_probe(corpus, probe, m_bits=16)
+
+
+def test_ntile_buckets_balanced(spark):
+    from golem_spark.operators.relational import ntile_buckets
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10)], ["grp", "id", "v"])
+    out = ntile_buckets(df, "grp", ["v", "id"], n_tiles=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["tile"]] = sizes.get(r["tile"], 0) + 1
+    # NTILE distributes 10 rows over 4 tiles as 3/3/2/2
+    assert sorted(sizes.values(), reverse=True) == [3, 3, 2, 2]
+    # lowest values land in tile 1
+    lows = [r["tile"] for r in out if r["v"] <= 2.0]
+    assert set(lows) == {1}
+
+
+def test_winsorize_clips_only_tails(spark):
+    from golem_spark.operators.relational import winsorize_by_group
+
+    rows = [("g", i, float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    out = {r["id"]: r["v_w"] for r in
+           winsorize_by_group(df, "grp", "v", lo=0.1, hi=0.9).collect()}
+    # percentile_disc(0.1) of 1..20 = 2; (0.9) = 18
+    assert out[1] == 2.0 and out[20] == 18.0
+    assert out[10] == 10.0 and out[2] == 2.0 and out[18] == 18.0
