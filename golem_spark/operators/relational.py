@@ -309,3 +309,25 @@ def winsorize_by_group(df: DataFrame, group_col: str, value_col: str,
                         F.least(F.greatest(F.col(value_col), F.col("__lo")),
                                 F.col("__hi")))
             .drop("__lo", "__hi"))
+
+
+def histogram(df: DataFrame, value_col: str, lo: float, width: float,
+              n_bins: int) -> DataFrame:
+    """Fixed-width histogram: bin = clip(floor((v - lo)/width), 0,
+    n_bins-1). ONE combinable groupBy over at most n_bins rows — the
+    map-side partial is the whole sketch, so the shuffle is bin-count
+    sized at any data size. Returns (bin, bin_lo, n, sum_v)."""
+    if width <= 0 or n_bins < 1:
+        raise ValueError("width must be > 0 and n_bins >= 1")
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(float(lo)))
+                           / F.lit(float(width))), F.lit(0)),
+        F.lit(n_bins - 1)).cast("long")
+    return (df.withColumn("bin", b)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(value_col)).alias("sum_v"))
+            .withColumn("bin_lo",
+                        F.round(F.lit(float(lo))
+                                + F.col("bin") * F.lit(float(width)), 6))
+            .select("bin", "bin_lo", "n", "sum_v"))

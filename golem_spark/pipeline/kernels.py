@@ -1252,3 +1252,94 @@ _add(
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
 )
+
+# -- bigram LM scoring, group z-scores, histogram ---------------------------
+
+_add(
+    "p50_bigram_lm_score",
+    lambda t: (text.bigram_lm_score(t["documents"])
+               .orderBy("doc_id")),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    eb AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram, toks[i] AS w1
+      FROM w, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM eb GROUP BY bigram),
+    uni AS (SELECT unnest(toks) AS tok FROM w),
+    uc AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+    v AS (SELECT COUNT(*) AS v FROM uc)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(AVG(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logp
+    FROM eb JOIN bc USING (bigram) JOIN uc ON eb.w1 = uc.tok, v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p51_group_zscore",
+    lambda t: (text.group_zscore(t["documents"], "lang", "n_chars")
+               .select("doc_id", "lang", F.round("z", 6).alias("z"))
+               .orderBy("doc_id")),
+    """
+    SELECT doc_id, lang,
+           ROUND(CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY lang) > 0
+                 THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                      / stddev_samp(n_chars) OVER (PARTITION BY lang)
+                 ELSE 0.0 END, 6) AS z
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p52_value_histogram",
+    lambda t: (relational.histogram(t["events"], "value", lo=0.0,
+                                    width=25.0, n_bins=20)
+               .select("bin", "bin_lo", "n", F.round("sum_v", 4)
+                       .alias("sum_v"))
+               .orderBy("bin")),
+    """
+    WITH b AS (
+      SELECT least(greatest(floor(value / 25.0), 0), 19)::BIGINT AS bin,
+             value
+      FROM events)
+    SELECT bin, ROUND(bin * 25.0, 6) AS bin_lo, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 4) AS sum_v
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+
+# -- sparse TF-IDF cosine pair join -----------------------------------------
+
+_add(
+    "p53_sparse_cosine_pairs",
+    lambda t: (text.sparse_cosine_pairs(t["documents"], threshold=0.5,
+                                        max_df_frac=0.5)
+               .orderBy("doc_a", "doc_b")),
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    kept AS (SELECT tok, df FROM dfreq, nd WHERE df <= 0.5 * n),
+    cells AS (
+      SELECT doc_id, tf.tok, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+      FROM tf JOIN kept ON tf.tok = kept.tok, nd),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm
+              FROM cells GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM cells a JOIN cells b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM dots JOIN norms na ON dots.doc_a = na.doc_id
+              JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)

@@ -335,3 +335,104 @@ def vocab_coverage(df: DataFrame, top_k: int = 100,
             .select("rank", "tok", "cnt",
                     F.round(F.col("cum_cnt") / F.col("total"), 6)
                     .alias("cum_frac")))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k_smooth: float = 0.5) -> DataFrame:
+    """Corpus bigram language-model score per document (the CCNet-style
+    quality signal one level up from the unigram ``lm_score``): train
+    add-k-smoothed bigram probabilities P(w2|w1) on the corpus itself,
+    then score each document by its mean bigram log-probability.
+
+    Plan shape: ordered bigrams come from one array-transform pass (no
+    window, no self-join); bigram/unigram count tables are combinable
+    groupBys, vocabulary-sized, and broadcast back onto the exploded
+    bigrams — the corpus is never shuffled on a data-sized key.
+
+    Returns (doc_id, n_bigrams, avg_logp).
+    """
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    eb = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    eb = eb.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    big_counts = eb.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (df.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (eb
+              .join(F.broadcast(big_counts), "bigram")
+              .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("logp",
+                          F.log((F.col("c12") + F.lit(float(k_smooth)))
+                                / (F.col("c1")
+                                   + F.lit(float(k_smooth)) * F.col("v")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp")))
+
+
+def group_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group z-score standardization (sample sd) — the group-wise
+    analogue of the GLM preprocessing standardizer, as a pipeline
+    column op. One shuffle on the group key. Adds ``z``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    mu = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_samp(F.col(value_col)).over(w)
+    return df.withColumn(
+        "z", F.when(sd > 0, (F.col(value_col) - mu) / sd).otherwise(F.lit(0.0)))
+
+
+def sparse_cosine_pairs(df: DataFrame, threshold: float = 0.5,
+                        max_df_frac: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """All-pairs TF-IDF cosine similarity via an inverted-index join —
+    the sparse-vector analogue of the embedding near-dup pass.
+
+    Weight = tf * (ln((N+1)/(df+1)) + 1) (same smoothed idf as
+    tfidf_vectors). Terms with document frequency above
+    ``max_df_frac * N`` are pruned BEFORE the self-join: posting-list
+    length is what makes a term-keyed join quadratic, and near-stopword
+    terms carry ~zero idf weight anyway — this is the cap that keeps
+    the join's per-key fan-out bounded at corpus scale (cosines are
+    computed over the pruned vocabulary, both sides consistently).
+
+    Plan shape: tf/df are combinable groupBys; the candidate join is
+    keyed on the term; per-pair dot products are one groupBy on
+    (doc_a, doc_b). Returns (doc_a, doc_b, cos) for pairs with
+    cos >= threshold (threshold applied to the unrounded cosine,
+    emitted rounded to 6).
+    """
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    kept = dfreq.filter(F.col("df") <= float(max_df_frac) * n_docs)
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    cells = (tf.join(F.broadcast(kept), "tok")
+             .select("doc_id", "tok", (F.col("tf") * idf).alias("w")))
+    norms = (cells.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    a = cells.select(F.col("doc_id").alias("doc_a"), "tok",
+                     F.col("w").alias("wa"))
+    b = cells.select(F.col("doc_id").alias("doc_b"), "tok",
+                     F.col("w").alias("wb"))
+    dots = (a.join(b, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
+            .filter(cos >= threshold)
+            .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))

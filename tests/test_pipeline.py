@@ -459,3 +459,57 @@ def test_split_assign_deterministic_partition_invariant(spark):
     assert counts["train"] > counts["val"]
     with _pytest.raises(ValueError):
         split_assign(docs, "doc_id", [("a", 0.5), ("b", 0.6)])
+
+
+def test_bigram_lm_favors_in_distribution(spark):
+    """Docs made of corpus-frequent bigrams must score higher than a
+    doc of unseen bigrams; single-token docs drop out (no bigrams)."""
+    from golem_spark.pipeline.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b"), (3, "x q"), (4, "only")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert 4 not in rows
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 3
+    assert rows[1]["avg_logp"] > rows[3]["avg_logp"]
+
+
+def test_group_zscore_properties(spark):
+    from golem_spark.pipeline.text import group_zscore
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)] + [("h", 7.0)],
+        ["lang", "n_chars"])
+    rows = group_zscore(df, "lang", "n_chars").collect()
+    zs = sorted(r["z"] for r in rows if r["lang"] == "g")
+    assert abs(sum(zs)) < 1e-9
+    assert abs(zs[0] + zs[-1]) < 1e-9
+    # singleton group: sd undefined -> z = 0
+    assert [r["z"] for r in rows if r["lang"] == "h"] == [0.0]
+
+
+def test_histogram_bins_and_clipping(spark):
+    import pytest as _pytest
+
+    from golem_spark.operators.relational import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in (-5.0, 0.0, 10.0, 24.9, 25.0, 1000.0)], ["value"])
+    rows = {r["bin"]: r for r in
+            histogram(df, "value", lo=0.0, width=25.0, n_bins=4).collect()}
+    assert rows[0]["n"] == 4  # -5 clipped into bin 0
+    assert rows[1]["n"] == 1 and rows[3]["n"] == 1  # 1000 clipped to last
+    assert rows[1]["bin_lo"] == 25.0
+
+
+def test_sparse_cosine_pairs_identical_docs(spark):
+    from golem_spark.pipeline.text import sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta"), (4, "unrelated words here")],
+        ["doc_id", "text"])
+    rows = {(r["doc_a"], r["doc_b"]): r["cos"] for r in
+            sparse_cosine_pairs(df, threshold=0.9, max_df_frac=0.9).collect()}
+    assert rows == {(1, 2): 1.0}
