@@ -331,3 +331,12 @@ def histogram(df: DataFrame, value_col: str, lo: float, width: float,
                         F.round(F.lit(float(lo))
                                 + F.col("bin") * F.lit(float(width)), 6))
             .select("bin", "bin_lo", "n", "sum_v"))
+
+
+def percentile_rank(df: DataFrame, part_col: str, order_cols: list[str],
+                    out_col: str = "pct_rank") -> DataFrame:
+    """Cumulative-distribution rank within each group (SQL CUME_DIST in
+    (0, 1]): the fraction of group rows ordered at or before this one.
+    One shuffle on the group key."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return df.withColumn(out_col, F.cume_dist().over(w))

@@ -1343,3 +1343,35 @@ _add(
     ORDER BY doc_a, doc_b
     """,
 )
+
+# -- token entropy + percentile rank ----------------------------------------
+
+_add(
+    "p54_token_entropy",
+    lambda t: text.token_entropy(t["documents"]).orderBy("doc_id"),
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS c
+          FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p55_percentile_rank",
+    lambda t: (relational.percentile_rank(t["documents"], "lang",
+                                          ["n_chars", "doc_id"])
+               .select("doc_id", "lang",
+                       F.round("pct_rank", 6).alias("pct_rank"))
+               .orderBy("doc_id")),
+    """
+    SELECT doc_id, lang,
+           ROUND(CUME_DIST() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id), 6) AS pct_rank
+    FROM documents ORDER BY doc_id
+    """,
+)

@@ -436,3 +436,29 @@ def sparse_cosine_pairs(df: DataFrame, threshold: float = 0.5,
     return (dots.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
             .filter(cos >= threshold)
             .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (nats) of each document's token distribution —
+    low entropy flags repetitive/templated text (the same signal family
+    as repetition_stats, information-theoretic form).
+
+    Plan shape: explode -> (doc, tok) count -> per-doc entropy agg. Two
+    combinable groupBys on the SAME (doc-prefixed) key, so Catalyst
+    reuses one shuffle partitioning for both; linear in document length
+    (an aggregate-over-array form would be shuffle-free but O(unique x
+    len) per row — wrong for long documents).
+
+    Returns (id_col, n_tokens, entropy) with entropy rounded to 6.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col))
+                     .alias("tok"))
+    counts = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    return (counts.groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.round(
+                     F.log(F.sum("c"))
+                     - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                     6).alias("entropy")))

@@ -513,3 +513,28 @@ def test_sparse_cosine_pairs_identical_docs(spark):
     rows = {(r["doc_a"], r["doc_b"]): r["cos"] for r in
             sparse_cosine_pairs(df, threshold=0.9, max_df_frac=0.9).collect()}
     assert rows == {(1, 2): 1.0}
+
+
+def test_token_entropy_bounds(spark):
+    """Uniform tokens maximize entropy (ln V); constant tokens give 0."""
+    import math
+
+    from golem_spark.pipeline.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, "a a b b")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert abs(rows[1]["entropy"] - math.log(4)) < 1e-6
+    assert rows[2]["entropy"] == 0.0
+    assert abs(rows[3]["entropy"] - math.log(2)) < 1e-6
+
+
+def test_percentile_rank_range(spark):
+    from golem_spark.operators.relational import percentile_rank
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 5)], ["grp", "id", "v"])
+    rows = sorted(r["pct_rank"] for r in
+                  percentile_rank(df, "grp", ["v", "id"]).collect())
+    assert rows == [0.25, 0.5, 0.75, 1.0]
