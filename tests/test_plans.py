@@ -137,3 +137,61 @@ def test_ann_ivf_assignment_broadcasts_seeds_no_global_sort(tables):
     # top-k per query is rank-limited before the shuffle, not a global
     # sort of all candidates
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_probe_join_is_broadcast(tables):
+    """The bit set is m_bits-bounded: the probe join must broadcast it
+    (a shuffled probe join would defeat the sketch's purpose)."""
+    from golem_spark.pipeline.sketch import bloom_probe
+
+    docs = tables["documents"]
+    q = bloom_probe(docs.filter(F.col("doc_id") % 2 == 0),
+                    docs.filter(F.col("doc_id") % 2 == 1),
+                    n=5, m_bits=4096, depth=3)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_kmeans_step_broadcasts_seeds_and_combines(tables):
+    """Seeds broadcast; the per-vector argmax must be a combinable
+    partial max(struct), not a sort or window over the corpus."""
+    from golem_spark.pipeline.similarity import kmeans_step
+
+    plan = _plan(kmeans_step(tables["embeddings"], k=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_max" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_sparse_cosine_pairs_join_keyed_on_term(tables):
+    """The candidate self-join must be keyed on the token (inverted
+    index), never a doc-level cross product."""
+    from golem_spark.pipeline.text import sparse_cosine_pairs
+
+    plan = _plan(sparse_cosine_pairs(tables["documents"], threshold=0.5))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l
+             or ("HashJoin" in l and "tok" in l)]
+    assert any("tok" in l for l in joins)
+
+
+def test_split_assign_and_histogram_no_shuffle_scan(tables):
+    """split_assign is a pure column expression (no Exchange at all);
+    histogram's only exchange carries bin-count-sized partials."""
+    from golem_spark.operators.relational import histogram, split_assign
+
+    plan = _plan(split_assign(tables["documents"], "doc_id"))
+    assert "Exchange" not in plan
+
+    hplan = _plan(histogram(tables["events"], "value", 0.0, 25.0, 20))
+    assert hplan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_count" in hplan or "partial" in hplan
+
+
+def test_passage_scrub_shuffles_on_passage_key(tables):
+    """First-occurrence selection must partition by the passage string
+    (the exact-dedup shuffle shape), not collect or cross-join."""
+    from golem_spark.pipeline.dedup import passage_scrub
+
+    plan = _plan(passage_scrub(tables["documents"], n=4))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(chunk" in plan
