@@ -298,6 +298,11 @@ def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
         return (df.select(F.explode(_ngrams_concat(tokens_col(text_col), n))
                           .alias("gram")).distinct())
 
+    # cg is consumed twice HERE only because of the exact-join
+    # self-audit; in production the corpus grams feed the bit set once
+    # and the audit join is dropped, so no persist is warranted (an A/B
+    # showed the persist barrier costs more than the re-derivation at
+    # bench scale, and at 100 TB the audit join wouldn't exist)
     cg = grams(corpus)
     pg = grams(probe)
 
