@@ -137,3 +137,23 @@ def test_streaming_dedup_matches_batch(spark):
              for r in docs.groupBy(F.md5("text").alias("text_hash"))
              .agg(F.min("doc_id").alias("doc_id")).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_stream_funnel_join_equals_batch(spark):
+    """Watermarked stream-stream funnel join (click -> purchase within
+    the gap) must emit exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.joins import funnel_join, run_funnel_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_funnel_stream(spark, f"{sf_dir}/events.parquet").collect()
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = funnel_join(raw.filter(F.col("event_type") == "click"),
+                        raw.filter(F.col("event_type") == "purchase")).collect()
+
+    skey = sorted((r["click_id"], r["purchase_id"]) for r in streamed)
+    bkey = sorted((r["click_id"], r["purchase_id"]) for r in batch)
+    assert len(bkey) > 0
+    assert skey == bkey
