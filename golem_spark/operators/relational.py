@@ -340,3 +340,21 @@ def percentile_rank(df: DataFrame, part_col: str, order_cols: list[str],
     One shuffle on the group key."""
     w = Window.partitionBy(part_col).orderBy(*order_cols)
     return df.withColumn(out_col, F.cume_dist().over(w))
+
+
+def quota_sample(df: DataFrame, key_col: str, stratum_col: str, k: int,
+                 seed: int = 0) -> DataFrame:
+    """Exactly min(k, group size) rows per stratum, chosen by md5 order
+    of the key — the deterministic fixed-quota companion to
+    stratified_hash_sample (which keeps a FRACTION). Reproducible
+    across runs/engines/partitionings; one shuffle on the stratum, and
+    the row_number window executes as a per-partition partial top-k
+    (no global sort)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
+                                             F.lit(str(seed)))), 1, 15),
+               16, 10).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -465,3 +465,46 @@ def token_entropy(df: DataFrame, text_col: str = "text",
                      F.log(F.sum("c"))
                      - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
                      6).alias("entropy")))
+
+
+def bigram_pmi(df: DataFrame, top_k: int = 20, min_count: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(c12 * N / (c1 * c2)) over adjacent token pairs, the
+    standard phrase-mining signal (word2vec-style phrase joining).
+
+    N = total bigram occurrences; unigram counts are taken over the
+    same positions (first elements of bigrams plus each doc's last
+    token) so marginals sum consistently. Counts are combinable
+    groupBys; the ranking is a TakeOrdered top-k — nothing bigger than
+    the vocabulary ever shuffles. ``min_count`` filters noise pairs
+    (PMI of rare pairs is upward-biased).
+
+    Returns (bigram, c12, c1, c2, pmi) ordered by (pmi desc, bigram).
+    """
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+    eb = df.select(F.explode(bigrams).alias("bigram"))
+    bc = eb.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (df.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    total = eb.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    w2 = F.split(F.col("bigram"), " ")[1]
+    scored = (bc.filter(F.col("c12") >= min_count)
+              .withColumn("w1", w1).withColumn("w2", w2)
+              .join(F.broadcast(uni.select(F.col("tok").alias("w1"),
+                                           F.col("c").alias("c1"))), "w1")
+              .join(F.broadcast(uni.select(F.col("tok").alias("w2"),
+                                           F.col("c").alias("c2"))), "w2")
+              .crossJoin(F.broadcast(total))
+              .select("bigram", "c12", "c1", "c2",
+                      F.round(F.log(F.col("c12") * F.col("n_big")
+                                    / (F.col("c1") * F.col("c2"))), 6)
+                      .alias("pmi")))
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(top_k)

@@ -538,3 +538,34 @@ def test_percentile_rank_range(spark):
     rows = sorted(r["pct_rank"] for r in
                   percentile_rank(df, "grp", ["v", "id"]).collect())
     assert rows == [0.25, 0.5, 0.75, 1.0]
+
+
+def test_bigram_pmi_finds_collocation(spark):
+    """A pair that always co-occurs scores higher PMI than independent
+    pairs."""
+    from golem_spark.pipeline.text import bigram_pmi
+
+    rows = [(i, "hong kong " + ("a b c d e " * 3)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_pmi(df, top_k=5, min_count=3).collect()
+    assert out[0]["bigram"] == "hong kong"
+    assert all(out[0]["pmi"] >= r["pmi"] for r in out)
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    from golem_spark.operators.relational import quota_sample
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    out = quota_sample(docs, "doc_id", "lang", k=3, seed=2)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(3, sizes[lang])
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               quota_sample(docs.repartition(7), "doc_id", "lang",
+                            k=3, seed=2).collect())
+    assert a == b
