@@ -1,0 +1,71 @@
+"""Graph operators on edge-list DataFrames.
+
+Connected components live in pipeline/dedup.py (dup_components, the
+near-dup grouping pass); this module adds the iterative-propagation
+family. PageRank here is the fixed-iteration DataFrame formulation:
+each iteration is one join (ranks onto edges, co-partitioned on src)
+plus one combinable groupBy(dst) — the standard scale shape, no RDDs,
+no driver-side graph. Iterations are unrolled by the caller's count, so
+the lineage stays analyzable (checkpoint beyond ~8 iterations, see
+dup_components for the pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
+    """Part co-purchase edges: (src, dst) for every ordered pair of
+    DISTINCT parts in the same order. The self-join is keyed on the
+    order key, whose fan-out is bounded by order size (<= max_lines
+    lines), so the edge build is linear in lineitem — never an
+    unbounded cross product. Duplicate pairs collapse."""
+    parts = (lineitem.select(F.col("l_orderkey").alias("k"),
+                             F.col("l_partkey").alias("p"))
+             .distinct())
+    a = parts.select("k", F.col("p").alias("src"))
+    b = parts.select("k", F.col("p").alias("dst"))
+    return (a.join(b, "k")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())
+
+
+def pagerank(edges: DataFrame, iterations: int = 2,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank from the uniform start.
+
+    Nodes = endpoints of ``edges``; dangling mass (nodes with no
+    out-edges) is redistributed uniformly each iteration, so ranks sum
+    to 1 throughout. Returns (node, pr).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (nodes.crossJoin(F.broadcast(n_nodes_df))
+             .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")))
+    for _ in range(iterations):
+        contrib = (edges.join(deg, "src")
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow")))
+        # dangling nodes (no out-edges) leak their mass; recover it as a
+        # uniform redistribution so sum(pr) stays 1
+        dangling = (ranks.join(deg.withColumnRenamed("src", "node"),
+                               "node", "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass")))
+        ranks = (nodes
+                 .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                 .crossJoin(F.broadcast(n_nodes_df))
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         ((F.lit(1.0 - damping) + F.lit(damping)
+                           * F.col("dmass")) / F.col("n_nodes")
+                          + F.lit(damping) * F.coalesce(F.col("inflow"),
+                                                        F.lit(0.0)))
+                         .alias("pr")))
+    return ranks

@@ -358,3 +358,31 @@ def quota_sample(df: DataFrame, key_col: str, stratum_col: str, k: int,
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def upsert_snapshot(base: DataFrame, changes: DataFrame, key_col: str,
+                    ver_col: str, op_col: str | None = None) -> DataFrame:
+    """Latest-wins merge of a change set into a snapshot (the MERGE INTO
+    / CDC-apply pattern without a lake format): per key, keep the row
+    with the highest ``ver_col`` (changes beat base on ties); rows whose
+    winning version has ``op_col == 'delete'`` drop out.
+
+    One shuffle on the key, window row_number — the same shape a lake
+    format's merge executes, expressed on plain DataFrames so the
+    operator works on any storage. Schemas must match (plus the
+    optional ``op_col`` on changes).
+    """
+    b = base.withColumn("__src", F.lit(0))
+    c = changes.withColumn("__src", F.lit(1))
+    if op_col is not None:
+        if op_col not in changes.columns:
+            raise ValueError(f"changes is missing op column {op_col!r}")
+        b = b.withColumn(op_col, F.lit("upsert"))
+    both = b.unionByName(c)
+    w = Window.partitionBy(key_col).orderBy(F.col(ver_col).desc(),
+                                            F.col("__src").desc())
+    merged = (both.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+    if op_col is not None:
+        merged = merged.filter(F.col(op_col) != "delete").drop(op_col)
+    return merged

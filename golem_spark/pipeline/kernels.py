@@ -1453,3 +1453,157 @@ _add(
     SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id
     """,
 )
+
+# -- PageRank over the part co-purchase graph -------------------------------
+
+from golem_spark.operators import graph  # noqa: E402
+
+
+def _pagerank_query(t):
+    edges = graph.copurchase_edges(t["lineitem"])
+    pr = graph.pagerank(edges, iterations=2, damping=0.85)
+    out = pr.select(F.col("node").alias("l_partkey"),
+                    F.round(F.col("pr") * 1e6, 4).alias("pr_ppm"))
+    return out.orderBy(F.desc("pr_ppm"), "l_partkey").limit(20)
+
+
+_add(
+    "p59_pagerank",
+    _pagerank_query,
+    """
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn),
+    c1 AS (
+      SELECT e.dst, SUM(r.pr / d.deg) AS inflow
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r0 r ON r.node = e.src
+      GROUP BY e.dst),
+    d1 AS (
+      SELECT COALESCE(SUM(r.pr), 0.0) AS dmass
+      FROM r0 r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+    r1 AS (
+      SELECT nodes.node,
+             (0.15 + 0.85 * dmass) / n + 0.85 * COALESCE(inflow, 0.0) AS pr
+      FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node, nn, d1),
+    c2 AS (
+      SELECT e.dst, SUM(r.pr / d.deg) AS inflow
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r1 r ON r.node = e.src
+      GROUP BY e.dst),
+    d2 AS (
+      SELECT COALESCE(SUM(r.pr), 0.0) AS dmass
+      FROM r1 r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+    r2 AS (
+      SELECT nodes.node,
+             (0.15 + 0.85 * dmass) / n + 0.85 * COALESCE(inflow, 0.0) AS pr
+      FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node, nn, d2)
+    SELECT node AS l_partkey, ROUND(pr * 1e6, 4) AS pr_ppm
+    FROM r2
+    ORDER BY pr_ppm DESC, l_partkey LIMIT 20
+    """,
+)
+
+# -- CDC upsert, pivot, unpivot ---------------------------------------------
+
+def _upsert_query(t):
+    orders = t["orders"]
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                         F.lit(0).alias("ver"))
+    # synthetic change set: odd keys repriced +10%, keys % 100 == 0 deleted
+    changes = (orders.filter((F.col("o_orderkey") % 2 == 1)
+                             | (F.col("o_orderkey") % 100 == 0))
+               .select("o_orderkey", "o_orderstatus",
+                       F.round(F.col("o_totalprice") * 1.1, 2)
+                       .alias("o_totalprice"),
+                       F.lit(1).alias("ver"))
+               .withColumn("op", F.when(F.col("o_orderkey") % 100 == 0,
+                                        "delete").otherwise("upsert")))
+    merged = relational.upsert_snapshot(base, changes, "o_orderkey", "ver",
+                                        op_col="op")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice") / 1000, 3).alias("sum_k"),
+                 F.sum(F.col("ver")).alias("n_changed"))
+            .orderBy("o_orderstatus"))
+
+
+_add(
+    "p60_upsert_snapshot",
+    _upsert_query,
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver,
+             'upsert' AS op, 0 AS src
+      FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice, 1 AS ver,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op, 1 AS src
+      FROM orders
+      WHERE o_orderkey % 2 = 1 OR o_orderkey % 100 = 0),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY ver DESC, src DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+    SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice) / 1000, 3) AS sum_k,
+           SUM(ver)::BIGINT AS n_changed
+    FROM merged WHERE rn = 1 AND op <> 'delete'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_add(
+    "p61_pivot_events",
+    lambda t: (t["events"]
+               .withColumn("bucket", (F.col("user_id") % 10).cast("long"))
+               .groupBy("bucket")
+               .pivot("event_type", _EVENT_TYPES)
+               .agg(F.count(F.lit(1)))
+               .na.fill(0)
+               .orderBy("bucket")),
+    """
+    SELECT (user_id % 10)::BIGINT AS bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+_add(
+    "p62_unpivot_lineitem",
+    lambda t: (t["lineitem"]
+               .unpivot("l_returnflag",
+                        ["l_quantity", "l_discount", "l_tax"],
+                        "measure", "v")
+               .groupBy("l_returnflag", "measure")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("v"), 6).alias("avg_v"))
+               .orderBy("l_returnflag", "measure")),
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+    SELECT l_returnflag, measure, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(v), 6) AS avg_v
+    FROM long GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)

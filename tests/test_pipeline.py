@@ -569,3 +569,29 @@ def test_quota_sample_exact_counts_and_determinism(spark):
                quota_sample(docs.repartition(7), "doc_id", "lang",
                             k=3, seed=2).collect())
     assert a == b
+
+
+def test_pagerank_sums_to_one_and_converges_toward_degree(spark):
+    from golem_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (4, 1)], ["src", "dst"])
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[1] == max(pr.values())  # hub node
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+
+
+def test_upsert_snapshot_latest_wins_and_deletes(spark):
+    from golem_spark.operators.relational import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], ["k", "v", "ver"])
+    changes = spark.createDataFrame(
+        [(2, "B", 1, "upsert"), (3, "c", 1, "delete"),
+         (4, "d", 1, "upsert")], ["k", "v", "ver", "op"])
+    out = {r["k"]: r["v"] for r in
+           upsert_snapshot(base, changes, "k", "ver", op_col="op").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
