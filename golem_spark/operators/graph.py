@@ -41,14 +41,25 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the edge list feeds the degree table, the node set, and every
+    # iteration's contribution join — persist it (and the derived
+    # model-sized tables) or the upstream build (often a self-join)
+    # re-executes per consumer per iteration
+    from golem_spark.pipeline._cache import _swap_cache
+
+    edges = _swap_cache("pagerank_edges", edges)
+    nodes = _swap_cache(
+        "pagerank_nodes",
+        (edges.select(F.col("src").alias("node"))
+         .union(edges.select(F.col("dst").alias("node")))
+         .distinct()))
+    deg = _swap_cache("pagerank_deg",
+                      edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n_nodes_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = (nodes.crossJoin(F.broadcast(n_nodes_df))
              .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")))
-    for _ in range(iterations):
+    prev_persisted = None
+    for it in range(iterations):
         contrib = (edges.join(deg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy("dst")
@@ -68,4 +79,18 @@ def pagerank(edges: DataFrame, iterations: int = 2,
                           + F.lit(damping) * F.coalesce(F.col("inflow"),
                                                         F.lit(0.0)))
                          .alias("pr")))
+        # each iteration's ranks is consumed TWICE next round (contrib
+        # join + dangling mass) and transitively by every later round:
+        # persist node-sized snapshots eagerly, then release the
+        # previous one (same truncation discipline as dup_components)
+        if it < iterations - 1:
+            ranks = ranks.persist()
+            ranks.count()
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = ranks
+    if prev_persisted is not None:
+        # the final ranks frame still references the last snapshot;
+        # leave it live for the caller's action (swap-cache bounded)
+        pass
     return ranks

@@ -1383,9 +1383,7 @@ from golem_spark.pipeline import multimodal  # noqa: E402
 
 def _media_query(t):
     media = multimodal.attach_fake_media(t["documents"])
-    return (multimodal.extract_features(media)
-            .select("doc_id", "media_type", "n_bytes", "byte_mean",
-                    "byte_entropy")
+    return (multimodal.extract_features(media, with_feat=False)
             .orderBy("doc_id"))
 
 

@@ -28,6 +28,8 @@ MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary, "
 
 FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
                   "byte_mean double, byte_entropy double, feat array<float>")
+STATS_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
+                "byte_mean double, byte_entropy double")
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,10 +64,14 @@ def fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
     return out[:dim]
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, with_feat: bool = True) -> DataFrame:
     """mapInPandas feature extraction over the binary column: Arrow
     batches in, narrow typed features out. The blob column is dropped on
-    output so downstream scans never touch it again."""
+    output so downstream scans never touch it again.
+
+    ``with_feat=False`` skips the per-payload feature vector (byte
+    percentiles — the expensive part) when only the scalar stats are
+    needed; the Arrow plumbing is identical."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,17 +89,21 @@ def extract_features(df: DataFrame) -> DataFrame:
                     counts = np.bincount(arr, minlength=256).astype(np.float64)
                     p = counts[counts > 0] / arr.size
                     byte_entropy[i] = float(-(p * np.log2(p)).sum())
-                feats.append(fake_features(b).tolist())
-            yield pd.DataFrame({
+                if with_feat:
+                    feats.append(fake_features(b).tolist())
+            out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": n_bytes,
                 "byte_mean": np.round(byte_mean, 6),
                 "byte_entropy": np.round(byte_entropy, 6),
-                "feat": feats,
-            })
+            }
+            if with_feat:
+                out["feat"] = feats
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(
+        op, schema=FEATURE_SCHEMA if with_feat else STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
