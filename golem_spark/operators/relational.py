@@ -386,3 +386,45 @@ def upsert_snapshot(base: DataFrame, changes: DataFrame, key_col: str,
     if op_col is not None:
         merged = merged.filter(F.col(op_col) != "delete").drop(op_col)
     return merged
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8, salt_src: str | None = None) -> DataFrame:
+    """Skew-safe equi-join: the left side's hot keys are split across
+    ``n_salts`` sub-keys by a deterministic md5 salt (derived from
+    ``salt_src``, default the left row's whole-key expression), and the
+    right side is replicated once per salt — so a key whose rows all
+    landed on ONE reducer now spread over n_salts of them. Result is
+    row-identical to the plain join (the salt never leaks).
+
+    Use when AQE's skew handling can't kick in (e.g. a non-shuffle
+    producer) or a known hot key needs a fixed split; at 100 TB a
+    single hot key otherwise serializes the whole stage on one task.
+    Right-side replication costs |right| x n_salts — meant for
+    dimension-sized right sides (guard accordingly).
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    src = F.col(salt_src) if salt_src else F.col(key)
+    salt = (F.conv(F.substring(F.md5(F.concat_ws("_", src.cast("string"),
+                                                 F.lit("salt"))), 1, 15),
+                   16, 10).cast("long") % n_salts).cast("int")
+    lt = left.withColumn("__salt", salt)
+    rt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return lt.join(rt, [key, "__salt"]).drop("__salt")
+
+
+def latest_by_key(df: DataFrame, key_col: str, order_col: str,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """The most recent row per key via a combinable max_by aggregate —
+    one map-side-combinable groupBy, NO window sort (the window
+    formulation shuffles and sorts every row; max_by reduces
+    partially). Ties resolved by ``tiebreak_col`` (required for
+    determinism when ``order_col`` has duplicates)."""
+    order = (F.struct(F.col(order_col), F.col(tiebreak_col))
+             if tiebreak_col else F.col(order_col))
+    others = [c for c in df.columns if c != key_col]
+    agg = F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("__r")
+    out = df.groupBy(key_col).agg(agg)
+    return out.select(key_col, *[F.col(f"__r.{c}").alias(c) for c in others])

@@ -1605,3 +1605,60 @@ _add(
     ORDER BY l_returnflag, measure
     """,
 )
+
+# -- skew-safe join + latest-per-key ----------------------------------------
+
+def _salted_join_query(t):
+    # 3-way hot-key skew: every lineitem row maps to one of 3 join keys
+    li = t["lineitem"].withColumn("hot", (F.col("l_orderkey") % 3).cast("long"))
+    dim = (t["events"].select((F.col("event_id") % 3).cast("long").alias("hot"),
+                              F.col("value"))
+           .groupBy("hot").agg(F.round(F.avg("value"), 6).alias("dim_avg")))
+    joined = relational.salted_join(li, dim, "hot", n_salts=8,
+                                    salt_src="l_orderkey")
+    return (joined.groupBy("hot")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_quantity") * F.col("dim_avg")), 4)
+                 .alias("weighted_qty"))
+            .orderBy("hot"))
+
+
+_add(
+    "p63_salted_join",
+    _salted_join_query,
+    """
+    WITH li AS (
+      SELECT (l_orderkey % 3)::BIGINT AS hot, l_quantity FROM lineitem),
+    dim AS (
+      SELECT (event_id % 3)::BIGINT AS hot, ROUND(AVG(value), 6) AS dim_avg
+      FROM events GROUP BY hot)
+    SELECT li.hot, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_quantity * dim_avg), 4) AS weighted_qty
+    FROM li JOIN dim ON li.hot = dim.hot
+    GROUP BY li.hot ORDER BY li.hot
+    """,
+)
+
+_add(
+    "p64_latest_event",
+    lambda t: (relational.latest_by_key(
+                   t["events"].select("user_id", "event_id", "event_type",
+                                      "value",
+                                      F.unix_millis(F.col("ts")
+                                                    .cast("timestamp"))
+                                      .alias("ts_ms")),
+                   "user_id", "ts_ms", tiebreak_col="event_id")
+               .select("user_id", "event_id", "event_type",
+                       F.round("value", 2).alias("value"))
+               .orderBy("user_id")),
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)

@@ -595,3 +595,43 @@ def test_upsert_snapshot_latest_wins_and_deletes(spark):
     out = {r["k"]: r["v"] for r in
            upsert_snapshot(base, changes, "k", "ver", op_col="op").collect()}
     assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from golem_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)], ["id", "k", "v"])
+    right = spark.createDataFrame([(0, "even"), (1, "odd")], ["k", "name"])
+    plain = sorted((r["id"], r["name"]) for r in
+                   left.join(right, "k").collect())
+    salted = sorted((r["id"], r["name"]) for r in
+                    salted_join(left, right, "k", n_salts=4,
+                                salt_src="id").collect())
+    assert plain == salted and len(plain) == 40
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """All rows share ONE key; salting must spread them over multiple
+    sub-keys (the skew split that un-serializes the reducer)."""
+    from golem_spark.operators.relational import salted_join
+    from pyspark.sql import functions as F2
+
+    left = spark.createDataFrame([(i, 1) for i in range(64)], ["id", "k"])
+    src = F2.col("id")
+    salt = (F2.conv(F2.substring(F2.md5(F2.concat_ws("_", src.cast("string"),
+                                                     F2.lit("salt"))), 1, 15),
+                    16, 10).cast("long") % 4)
+    n_subkeys = left.select(salt.alias("s")).distinct().count()
+    assert n_subkeys > 1
+
+
+def test_latest_by_key_max_by(spark):
+    from golem_spark.operators.relational import latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (1, 20, "d")],
+        ["k", "t", "v"])
+    out = {r["k"]: r["v"] for r in
+           latest_by_key(df, "k", "t", tiebreak_col="v").collect()}
+    assert out == {1: "d", 2: "c"}
