@@ -428,3 +428,50 @@ def latest_by_key(df: DataFrame, key_col: str, order_col: str,
     agg = F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("__r")
     out = df.groupBy(key_col).agg(agg)
     return out.select(key_col, *[F.col(f"__r.{c}").alias(c) for c in others])
+
+
+def gapfill_daily(df: DataFrame, ts_col: str, value_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """Calendar densification: per (group,) day, aggregate ``value_col``
+    and emit a row for EVERY day in the observed [min, max] range,
+    zero-filled — the precondition for any rolling-window time series
+    (a range window over sparse days silently shortens its frame).
+
+    The day spine is one tiny min/max agg + sequence-explode
+    (days-sized), cross-joined with the group list (group-count-sized)
+    and left-joined to the daily aggregate — nothing data-sized beyond
+    the one groupBy(day) shuffle.
+
+    Returns (group?, day, n, sum_v).
+    """
+    day = F.to_date(F.col(ts_col))
+    gcols = [group_col] if group_col else []
+    daily = (df.withColumn("day", day)
+             .groupBy(*gcols, "day")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col(value_col)).alias("sum_v")))
+    span = df.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    if gcols:
+        groups = df.select(*gcols).distinct()
+        spine = spine.crossJoin(F.broadcast(groups))
+    return (spine.join(daily, [*gcols, "day"], "left")
+            .select(*gcols, "day",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.coalesce("sum_v", F.lit(0.0)).alias("sum_v")))
+
+
+def rolling_mean_days(df: DataFrame, day_col: str, value_col: str,
+                      n_days: int = 7,
+                      group_col: str | None = None) -> DataFrame:
+    """Trailing n-day rolling mean via a RANGE window over the day
+    number — the frame is defined by VALUE distance (days), not row
+    count, so it is correct on sparse days too. One shuffle on the
+    group key (or a single partition for the global series — feed
+    grouped data at scale). Adds ``roll_avg``."""
+    gcols = [group_col] if group_col else []
+    daynum = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    base = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w = (base.orderBy(daynum.cast("long"))
+         .rangeBetween(-(n_days - 1), 0))
+    return df.withColumn("roll_avg", F.avg(F.col(value_col)).over(w))

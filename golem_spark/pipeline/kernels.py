@@ -1662,3 +1662,133 @@ _add(
     FROM r WHERE rn = 1 ORDER BY user_id
     """,
 )
+
+# -- time-series: gap-fill, rolling range window, cohorts, funnel -----------
+
+_add(
+    "p65_gapfill_daily",
+    lambda t: (relational.gapfill_daily(t["events"], "ts", "value",
+                                        group_col="event_type")
+               .select("event_type",
+                       F.date_format("day", "yyyy-MM-dd").alias("day"),
+                       "n", F.round("sum_v", 4).alias("sum_v"))
+               .orderBy("event_type", "day")),
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, COUNT(*)::BIGINT AS n,
+             SUM(value) AS sum_v
+      FROM events GROUP BY event_type, day),
+    span AS (SELECT MIN(ts::DATE) AS lo, MAX(ts::DATE) AS hi FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM span),
+    groups AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n, 0)::BIGINT AS n,
+           ROUND(COALESCE(d.sum_v, 0.0), 4) AS sum_v
+    FROM spine s CROSS JOIN groups g
+    LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = s.day
+    ORDER BY g.event_type, s.day
+    """,
+)
+
+
+def _rolling_query(t):
+    daily = relational.gapfill_daily(t["events"], "ts", "value",
+                                     group_col="event_type")
+    out = relational.rolling_mean_days(daily, "day", "sum_v", n_days=7,
+                                       group_col="event_type")
+    return (out.select("event_type",
+                       F.date_format("day", "yyyy-MM-dd").alias("day"),
+                       F.round("roll_avg", 4).alias("roll_avg"))
+            .orderBy("event_type", "day"))
+
+
+_add(
+    "p66_rolling_7d",
+    _rolling_query,
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, SUM(value) AS sum_v
+      FROM events GROUP BY event_type, day),
+    span AS (SELECT MIN(ts::DATE) AS lo, MAX(ts::DATE) AS hi FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM span),
+    groups AS (SELECT DISTINCT event_type FROM events),
+    filled AS (
+      SELECT g.event_type, s.day, COALESCE(d.sum_v, 0.0) AS sum_v
+      FROM spine s CROSS JOIN groups g
+      LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = s.day)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(AVG(sum_v) OVER (
+             PARTITION BY event_type
+             ORDER BY date_diff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM filled ORDER BY event_type, day
+    """,
+)
+
+
+def _cohort_query(t):
+    ev = t["events"].withColumn("week",
+                                F.weekofyear(F.col("ts").cast("timestamp")))
+    first = (ev.groupBy("user_id")
+             .agg(F.min("week").alias("cohort_week")))
+    return (ev.join(first, "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+_add(
+    "p67_cohort_retention",
+    _cohort_query,
+    """
+    WITH ev AS (
+      SELECT user_id, weekofyear(ts) AS week FROM events),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT cohort_week, (week - cohort_week)::BIGINT AS week_offset,
+           COUNT(DISTINCT ev.user_id)::BIGINT AS active_users
+    FROM ev JOIN first ON ev.user_id = first.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+
+
+def _funnel_rate_query(t):
+    from golem_spark.streaming.joins import funnel_join
+
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = funnel_join(clicks, purchases, max_gap_minutes=60)
+    conv = (pairs.select("click_id").distinct()
+            .agg(F.count(F.lit(1)).alias("n_converted")))
+    total = clicks.agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (total.crossJoin(F.broadcast(conv))
+            .select("n_clicks", "n_converted",
+                    F.round(F.col("n_converted") / F.col("n_clicks"), 6)
+                    .alias("conversion_rate")))
+
+
+_add(
+    "p68_funnel_rate",
+    _funnel_rate_query,
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT DISTINCT c.event_id
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE)
+    SELECT (SELECT COUNT(*) FROM c)::BIGINT AS n_clicks,
+           (SELECT COUNT(*) FROM conv)::BIGINT AS n_converted,
+           ROUND((SELECT COUNT(*) FROM conv)::DOUBLE
+                 / (SELECT COUNT(*) FROM c), 6) AS conversion_rate
+    """,
+)

@@ -635,3 +635,34 @@ def test_latest_by_key_max_by(spark):
     out = {r["k"]: r["v"] for r in
            latest_by_key(df, "k", "t", tiebreak_col="v").collect()}
     assert out == {1: "d", 2: "c"}
+
+
+def test_gapfill_daily_emits_zero_days(spark):
+    from golem_spark.operators.relational import gapfill_daily
+
+    df = spark.createDataFrame(
+        [("g", "2024-01-01 10:00:00", 1.0), ("g", "2024-01-04 10:00:00", 2.0)],
+        ["grp", "ts", "v"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {str(r["day"]): (r["n"], r["sum_v"]) for r in
+            gapfill_daily(df, "ts", "v", group_col="grp").collect()}
+    assert len(rows) == 4  # 1st..4th inclusive
+    assert rows["2024-01-02"] == (0, 0.0)
+    assert rows["2024-01-01"] == (1, 1.0)
+
+
+def test_rolling_mean_days_range_frame(spark):
+    """RANGE frame: the window spans by day distance, so a gap day
+    still bounds the trailing frame correctly."""
+    from golem_spark.operators.relational import (gapfill_daily,
+                                                  rolling_mean_days)
+
+    df = spark.createDataFrame(
+        [("g", f"2024-01-0{d} 00:00:00", float(d)) for d in range(1, 6)],
+        ["grp", "ts", "v"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = gapfill_daily(df, "ts", "v", group_col="grp")
+    out = {str(r["day"]): r["roll_avg"] for r in
+           rolling_mean_days(daily, "day", "sum_v", n_days=3,
+                             group_col="grp").collect()}
+    assert out["2024-01-01"] == 1.0
+    assert abs(out["2024-01-03"] - 2.0) < 1e-9  # (1+2+3)/3
+    assert abs(out["2024-01-05"] - 4.0) < 1e-9  # (3+4+5)/3
