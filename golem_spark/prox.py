@@ -22,6 +22,28 @@ from __future__ import annotations
 import numpy as np
 
 
+def _stack_merge(sums: np.ndarray, cnts: np.ndarray):
+    """Linear-time PAVA stack sweep over pre-merged blocks: pushes each
+    block, merging while the top two violate monotonicity. One Python
+    pass over the (already reduced) block arrays."""
+    n = sums.size
+    osum = np.empty(n)
+    ocnt = np.empty(n, dtype=np.int64)
+    omean = np.empty(n)
+    k = -1
+    for i in range(n):
+        k += 1
+        osum[k] = sums[i]
+        ocnt[k] = cnts[i]
+        omean[k] = sums[i] / cnts[i]
+        while k > 0 and omean[k - 1] <= omean[k]:
+            osum[k - 1] += osum[k]
+            ocnt[k - 1] += ocnt[k]
+            omean[k - 1] = osum[k - 1] / ocnt[k - 1]
+            k -= 1
+    return osum[:k + 1], ocnt[:k + 1]
+
+
 def prox_sorted_l1(v: np.ndarray, lam: np.ndarray) -> np.ndarray:
     """Prox of the sorted-L1 norm. ``v`` any shape (flattened internally),
     ``lam`` non-increasing, non-negative, same size as ``v``."""
@@ -48,7 +70,17 @@ def prox_sorted_l1(v: np.ndarray, lam: np.ndarray) -> np.ndarray:
     # inside ADMM at p ~ 10^4 active coefficients.
     sums = z.copy()
     cnts = np.ones(p, dtype=np.int64)
-    while sums.size > 1:
+    # Pairwise merging resolves a monotone RUN in O(log run) passes, but
+    # a merge CASCADE (each merge exposing exactly one new violation,
+    # the shape ADMM's shifted iterates actually produce) degrades it to
+    # one merge per pass — O(p) passes of O(p) work. Cap the vectorized
+    # passes at ~2 log2 p, then finish the surviving blocks with the
+    # linear-time stack sweep (Bogdan et al. Alg. 4 on blocks): benign
+    # inputs never reach the cap, adversarial ones stay O(p).
+    max_passes = 2 * max(int(np.log2(p)) + 1, 1)
+    for _ in range(max_passes):
+        if sums.size <= 1:
+            break
         means = sums / cnts
         viol = np.flatnonzero(means[:-1] <= means[1:])
         if viol.size == 0:
@@ -64,6 +96,8 @@ def prox_sorted_l1(v: np.ndarray, lam: np.ndarray) -> np.ndarray:
         keep[chosen + 1] = False
         sums = sums[keep]
         cnts = cnts[keep]
+    else:
+        sums, cnts = _stack_merge(sums, cnts)
 
     x_sorted = np.repeat(np.maximum(sums / cnts, 0.0), cnts)
     out = np.empty(p, dtype=np.float64)

@@ -354,7 +354,17 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
             # (B (x) G) vec_F(d) for symmetric B
             Hmat = 0.5 * np.kron(B, gram)
 
+        # inexact subproblem solves (cached strategies only, so narrow
+        # uncached paths stay bitwise identical): while the outer gap is
+        # large, the majorization model itself is inaccurate and a
+        # 1e-8-precise inner solution is wasted driver work — scale the
+        # inner tolerance to the current outer gap (classic inexact
+        # prox-Newton), tightening as the outer loop converges
+        gap_rel = abs(f - dual_val) / max(_SMALL, abs(f))
+        inner_tol = (min(1e-8, max(1e-9, 0.02 * gap_rel))
+                     if solver_cache is not None else 1e-8)
         d = _prox_quadratic(Hmat, grad, beta, lam, pen0,
+                            tol=inner_tol,
                             cache=fixed_h_cache,
                             fixed_h=not local_hessian)
 
