@@ -1792,3 +1792,125 @@ _add(
                  / (SELECT COUNT(*) FROM c), 6) AS conversion_rate
     """,
 )
+
+# -- grouped KMV, source similarity, embedding covariance, calibration ------
+
+_add(
+    "p69_kmv_by_group",
+    lambda t: (sketch.kmv_distinct_by_group(t["lineitem"], "l_returnflag",
+                                            "l_partkey", k=32)
+               .orderBy("l_returnflag")),
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT l_returnflag,
+             {_DUCK_MD5INT.format(x="l_partkey::VARCHAR || '_0'")} AS h
+      FROM lineitem),
+    kmin AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM hashes),
+    est AS (
+      SELECT l_returnflag, COUNT(*)::BIGINT AS n_kept, MAX(h) AS kth_hash,
+             ROUND(CASE WHEN COUNT(*) < 32 THEN COUNT(*)::DOUBLE
+                   ELSE (31.0 * {float(1 << 60)}) / MAX(h)::DOUBLE END,
+                   6) AS est_distinct
+      FROM kmin WHERE rn <= 32 GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT
+               AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT est.l_returnflag, n_kept, kth_hash, est_distinct, exact_distinct
+    FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+    ORDER BY est.l_returnflag
+    """,
+)
+
+
+def _source_jaccard_query(t):
+    from golem_spark.pipeline.text import tokens_col as _tc
+
+    toks = (t["documents"]
+            .select("source", F.explode(_tc("text")).alias("tok"))
+            .distinct())
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("source").alias("src_a"), "tok")
+    b = toks.select(F.col("source").alias("src_b"), "tok")
+    inter = (a.join(b, "tok")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    out = (inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+           .select("src_a", "src_b",
+                   F.round(F.col("n_inter")
+                           / (F.col("sz_a") + F.col("sz_b")
+                              - F.col("n_inter")), 6).alias("jaccard")))
+    return out.orderBy("src_a", "src_b")
+
+
+_add(
+    "p70_source_jaccard",
+    _source_jaccard_query,
+    """
+    WITH toks AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    sizes AS (SELECT source, COUNT(*)::BIGINT AS sz FROM toks GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b,
+           ROUND(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON src_a = sa.source
+               JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+
+
+def _embed_cov_query(t):
+    ex = (t["embeddings"]
+          .select("vec_id", F.posexplode(F.transform(
+              F.col("embedding"), lambda x: x.cast("double")))
+              .alias("pos", "val")))
+    n_df = t["embeddings"].select(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    means = ex.groupBy("pos").agg(F.avg("val").alias("mu"))
+    a = (ex.join(F.broadcast(means), "pos")
+         .select("vec_id", F.col("pos").alias("i"),
+                 (F.col("val") - F.col("mu")).alias("ci")))
+    b = a.select("vec_id", F.col("i").alias("j"), F.col("ci").alias("cj"))
+    cov = (a.join(b, "vec_id")
+           .filter(F.col("i") <= F.col("j"))
+           .groupBy("i", "j")
+           .agg(F.sum(F.col("ci") * F.col("cj")).alias("s")))
+    return (cov.crossJoin(F.broadcast(n_df))
+            .select("i", "j",
+                    F.round(F.col("s") / (F.col("n") - 1), 6).alias("cov"))
+            .filter(F.col("i") < 4)  # emit the first 4 rows of the triangle
+            .orderBy("i", "j"))
+
+
+_add(
+    "p71_embed_covariance",
+    _embed_cov_query,
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+    means AS (SELECT pos, AVG(val) AS mu FROM ex GROUP BY pos),
+    c AS (
+      SELECT vec_id, ex.pos, val - mu AS cv
+      FROM ex JOIN means ON ex.pos = means.pos)
+    SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
+           ROUND(SUM(a.cv * b.cv) / (n - 1), 6) AS cov
+    FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos, n
+    WHERE a.pos < 4
+    GROUP BY a.pos, b.pos, n.n
+    ORDER BY i, j
+    """,
+)

@@ -339,3 +339,38 @@ def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
         F.round((F.col("n_pass") - F.col("n_true"))
                 / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
                 6).alias("fpr"))
+
+
+def kmv_distinct_by_group(df: DataFrame, group_col: str, col: str,
+                          k: int = 32, seed: int = 0) -> DataFrame:
+    """Per-group KMV distinct-count sketch: the grouped form of
+    :func:`kmv_distinct` — per group, keep the k smallest hashes (a
+    rank window that executes as a per-partition partial top-k) and
+    estimate D_g = (k-1) * 2^60 / h_(k). This is the sketch-union shape
+    for per-tenant / per-source cardinality dashboards at corpus scale:
+    k rows per group per partition cross the shuffle, never the data.
+
+    Returns (group, n_kept, kth_hash, est_distinct, exact_distinct).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = _md5_int(F.concat_ws("_", F.col(col).cast("string"), F.lit(str(seed))))
+    hashes = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    kmin = (hashes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k))
+    est = (kmin.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.max("h").alias("kth_hash"))
+           .select(group_col, "n_kept", "kth_hash",
+                   F.round(
+                       F.when(F.col("n_kept") < k,
+                              F.col("n_kept").cast("double"))
+                       .otherwise((F.lit(float(k - 1)) * F.lit(_TWO60))
+                                  / F.col("kth_hash").cast("double")),
+                       6).alias("est_distinct")))
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(F.col(col)).alias("exact_distinct"))
+    return est.join(F.broadcast(exact), group_col)
