@@ -475,3 +475,43 @@ def rolling_mean_days(df: DataFrame, day_col: str, value_col: str,
     w = (base.orderBy(daynum.cast("long"))
          .rangeBetween(-(n_days - 1), 0))
     return df.withColumn("roll_avg", F.avg(F.col(value_col)).over(w))
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer columns —
+    the space-filling-curve clustering key that makes multi-column range
+    pruning work on a single sort order (the technique behind
+    Delta/Iceberg OPTIMIZE ZORDER). Pure column expression: bit i of
+    each input lands at output bits 2i / 2i+1. Sort-by-zorder before
+    writing and both columns' min/max file statistics become selective.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (out
+               + F.shiftleft(F.shiftright(a.cast("long"), i)
+                             .bitwiseAND(1), 2 * i)
+               + F.shiftleft(F.shiftright(b.cast("long"), i)
+                             .bitwiseAND(1), 2 * i + 1))
+    return out
+
+
+def suggest_range_bounds(df: DataFrame, col: str,
+                         n_partitions: int = 8) -> DataFrame:
+    """Range-partitioner split points from EXACT quantiles of ``col``
+    (percentile_disc at k/n for k = 1..n-1): the bounds that give each
+    range partition an equal row share — what repartitionByRange
+    estimates by sampling, computed exactly and reproducibly here so a
+    writer's file layout is stable across reruns.
+
+    Returns (q, bound) with n_partitions - 1 rows.
+    """
+    if n_partitions < 2:
+        raise ValueError("n_partitions must be >= 2")
+    qs = [k / n_partitions for k in range(1, n_partitions)]
+    out = group_quantiles(df.withColumn("__g", F.lit(1)), "__g", col, qs)
+    return out.select(F.round("q", 6).alias("q"),
+                      F.col("value").alias("bound"))

@@ -1914,3 +1914,42 @@ _add(
     ORDER BY i, j
     """,
 )
+
+# -- data-layout operators: Z-order keys, range-partition bounds ------------
+
+_add(
+    "p72_zorder_key",
+    lambda t: (t["lineitem"]
+               .select(relational.zorder_key("l_partkey", "l_suppkey", 12)
+                       .alias("zkey"))
+               .groupBy((F.col("zkey") % 1024).alias("zbucket"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), "zbucket")
+               .limit(20)),
+    f"""
+    WITH z AS (
+      SELECT ({" + ".join(
+          f"((((l_partkey >> {i}) & 1) << {2 * i})"
+          f" + (((l_suppkey >> {i}) & 1) << {2 * i + 1}))"
+          for i in range(12))}) AS zkey
+      FROM lineitem)
+    SELECT (zkey % 1024)::BIGINT AS zbucket, COUNT(*)::BIGINT AS n
+    FROM z GROUP BY zbucket
+    ORDER BY n DESC, zbucket LIMIT 20
+    """,
+)
+
+_add(
+    "p73_range_bounds",
+    lambda t: (relational.suggest_range_bounds(t["orders"], "o_totalprice",
+                                               n_partitions=8)
+               .orderBy("q")),
+    """
+    SELECT ROUND(unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]), 6)
+             AS q,
+           unnest(percentile_disc([0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                                   0.875])
+                  WITHIN GROUP (ORDER BY o_totalprice)) AS bound
+    FROM orders ORDER BY q
+    """,
+)

@@ -666,3 +666,26 @@ def test_rolling_mean_days_range_frame(spark):
     assert out["2024-01-01"] == 1.0
     assert abs(out["2024-01-03"] - 2.0) < 1e-9  # (1+2+3)/3
     assert abs(out["2024-01-05"] - 4.0) < 1e-9  # (3+4+5)/3
+
+
+def test_zorder_key_interleaves_bits(spark):
+    import pytest as _pytest
+
+    from golem_spark.operators.relational import zorder_key
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3), (0, 0)], ["a", "b"])
+    out = [r["z"] for r in df.select(zorder_key("a", "b", 4).alias("z"))
+           .collect()]
+    # bit i of a -> 2i, bit i of b -> 2i+1
+    assert out == [1, 2, 15, 0]
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", 0)
+
+
+def test_suggest_range_bounds_equalizes(spark):
+    from golem_spark.operators.relational import suggest_range_bounds
+
+    df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+    rows = {r["q"]: r["bound"] for r in
+            suggest_range_bounds(df, "v", n_partitions=4).collect()}
+    assert rows == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0}
