@@ -1400,7 +1400,13 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
     std_df = enc.select(idx_col, val_col, *y_cols)
     target_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
                               n // 20_000 + 1))
-    if std_df.rdd.getNumPartitions() != target_parts:
+    cur_parts = std_df.rdd.getNumPartitions()
+    if cur_parts > target_parts:
+        # reducing: coalesce merges partitions with NO shuffle (the
+        # upstream is already materialized in the projection cache, so
+        # pipelined-parallelism loss doesn't apply)
+        std_df = std_df.coalesce(target_parts)
+    elif cur_parts < target_parts:
         std_df = std_df.repartition(target_parts)
 
     backend = SparseArrowBackend(std_df, idx_col, val_col, y_cols, fam,
@@ -1786,7 +1792,13 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     # partition, capped at the core count.
     target_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
                               n // 20_000 + 1))
-    if std_df.rdd.getNumPartitions() != target_parts:
+    cur_parts = std_df.rdd.getNumPartitions()
+    if cur_parts > target_parts:
+        # reducing: coalesce merges partitions with NO shuffle (the
+        # upstream is already materialized in the projection cache, so
+        # pipelined-parallelism loss doesn't apply)
+        std_df = std_df.coalesce(target_parts)
+    elif cur_parts < target_parts:
         std_df = std_df.repartition(target_parts)
 
     lgamma_sum = 0.0
