@@ -508,3 +508,34 @@ def bigram_pmi(df: DataFrame, top_k: int = 20, min_count: int = 5,
                                     / (F.col("c1") * F.col("c2"))), 6)
                       .alias("pmi")))
     return scored.orderBy(F.desc("pmi"), "bigram").limit(top_k)
+
+
+def pad_collate(df: DataFrame, max_len: int = 64, pad_tok: str = "<pad>",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixed-length collation: truncate each document's token sequence
+    to ``max_len`` and right-pad with ``pad_tok`` — the batch-collator
+    layout (input_ids + attention mask) as pure per-row array
+    expressions, zero shuffle, ready for `mapInArrow` hand-off to a
+    training framework.
+
+    Returns (id_col, n_real, ids_md5, mask_sum) where ids_md5
+    fingerprints the padded sequence (space-joined) and mask_sum =
+    number of real (unpadded) positions — the two invariants a collator
+    bug breaks first.
+    """
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    toks = tokens_col(text_col)
+    n_real = F.least(F.size(toks), F.lit(max_len))
+    truncated = F.slice(toks, 1, max_len)
+    n_pad = F.lit(max_len) - n_real
+    padded = F.concat(truncated,
+                      F.array_repeat(F.lit(pad_tok), n_pad.cast("int")))
+    mask = F.concat(F.array_repeat(F.lit(1), n_real.cast("int")),
+                    F.array_repeat(F.lit(0), n_pad.cast("int")))
+    return df.select(
+        F.col(id_col),
+        n_real.cast("long").alias("n_real"),
+        F.md5(F.array_join(padded, " ")).alias("ids_md5"),
+        F.aggregate(mask, F.lit(0), lambda a, x: a + x).cast("long")
+        .alias("mask_sum"))

@@ -1,0 +1,78 @@
+"""Hypothesis property tests for driver-side operator math that has a
+clean independent formulation — no Spark session needed (the Spark
+expressions are checked against DuckDB by the oracle gate; these pin
+the *semantics* the expressions implement)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=200),
+       st.lists(st.floats(0.001, 0.999), min_size=1, max_size=6, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_percentile_disc_position_rule(values, qs):
+    """group_quantiles' selection rule (element at max(1, ceil(q*n)))
+    equals the cume_dist definition: the smallest value whose cumulative
+    share reaches q."""
+    s = sorted(values)
+    n = len(s)
+    for q in qs:
+        pos = max(1, math.ceil(q * n))
+        by_rule = s[pos - 1]
+        by_def = next(v for i, v in enumerate(s, 1) if i / n >= q)
+        assert by_rule == by_def
+
+
+@given(st.integers(1, 10**9), st.integers(1, 10**9), st.integers(1, 15))
+@settings(max_examples=300, deadline=None)
+def test_zorder_bit_interleave_roundtrip(a, b, bits):
+    """Morton key decodes back to the masked inputs, and ordering on the
+    key groups nearby (a, b) cells."""
+    def z(a, b, bits):
+        out = 0
+        for i in range(bits):
+            out += ((a >> i) & 1) << (2 * i)
+            out += ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    k = z(a, b, bits)
+    mask = (1 << bits) - 1
+    da = sum(((k >> (2 * i)) & 1) << i for i in range(bits))
+    db = sum(((k >> (2 * i + 1)) & 1) << i for i in range(bits))
+    assert da == (a & mask) and db == (b & mask)
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=500),
+       st.integers(16, 128))
+@settings(max_examples=100, deadline=None)
+def test_hll_register_math(values, m_raw):
+    """The register/rank layout used by hll_distinct: bucket/remainder
+    decompose the hash losslessly and rho is in [1, 55]."""
+    m = 1 << (m_raw.bit_length() - 1)  # power of two
+    log2m = m.bit_length() - 1
+    for v in values:
+        h = v % (1 << 60)
+        bucket, w = h & (m - 1), h >> log2m
+        assert (w << log2m) | bucket == h
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        assert 1 <= rho <= 55
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.floats(-100, 100)),
+                min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_pava_prox_is_isotonic_and_feasible(pairs):
+    """prox_sorted_l1 output (on |v| sorted order) is non-increasing —
+    the defining constraint of the sorted-L1 prox — for arbitrary
+    lambda shapes including the cascade-inducing near-constant ones."""
+    from golem_spark.prox import prox_sorted_l1
+
+    v = np.array([x for _, x in pairs], dtype=np.float64)
+    p = v.size
+    lam = np.sort(np.abs(np.array([float(k) for k, _ in pairs])))[::-1]
+    out = prox_sorted_l1(v, lam)
+    order = np.argsort(-np.abs(v), kind="stable")
+    mags = np.abs(out)[order]
+    assert np.all(mags[:-1] >= mags[1:] - 1e-12)
