@@ -1167,7 +1167,12 @@ class SparseArrowBackend(ArrowSparkBackend):
     def lambda_max_gradient(self) -> np.ndarray:
         """|X_std^T ytilde| per family (lambdaMax.h:8-60). The centered
         forms need column sums too (features are NOT centered, so
-        sum(x_j) != 0); everything comes from one pass."""
+        sum(x_j) != 0); everything comes from one pass — or from ZERO
+        passes when build_sparse_backend already derived it from the
+        stats pass's X'y ride-alongs (the common path)."""
+        pre = getattr(self, "_lam_max_grad", None)
+        if pre is not None and self.col_sel is None:
+            return pre
         fam = self.family.name
         m, p_feat = self.m, self.p_feat
         intercept = self.intercept
@@ -1264,6 +1269,9 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             fi2 = np.clip(fi, 0, p - 1)
             sums = np.bincount(fi2, weights=fv, minlength=p)
             sqs = np.bincount(fi2, weights=fv * fv, minlength=p)
+            # row index per nonzero, for the X'y ride-along below
+            row_idx = np.repeat(np.arange(nrow), np.diff(ioff))
+            xys: list[np.ndarray] = []
             ysums = np.zeros(len(label_cols))
             ymin = np.inf
             ynull = 0.0
@@ -1288,6 +1296,11 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
                         uq, inv = np.unique(col[ok], return_inverse=True)
                         lg = np.array([_math.lgamma(u + 1.0) for u in uq])
                         lgsum = float(lg[inv].sum()) if uq.size else 0.0
+                    # raw X'y rides along: with the column sums it gives
+                    # the sigma_max gradient with NO separate data pass
+                    xys.append(np.bincount(
+                        fi2, weights=fv * np.nan_to_num(col)[row_idx],
+                        minlength=p))
             elif nrow:
                 ynull = float(sum(
                     rb.column(rb.schema.get_field_index(c)).null_count
@@ -1296,14 +1309,24 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
             # along (a handful of strings), so class discovery costs no
             # second job over the cached projection
             labels: list[str] = []
+            lcnts: list[float] = []
             if label_is_string and nrow:
                 import pyarrow.compute as pc
 
                 lcol = rb.column(rb.schema.get_field_index(label_cols[0]))
                 labels = sorted(v for v in pc.unique(lcol).to_pylist()
                                 if v is not None)
+                lvals = np.asarray(lcol.to_pandas())
+                for c in labels:
+                    ind = (lvals == c).astype(np.float64)
+                    lcnts.append(float(ind.sum()))
+                    # per-class raw X'1[label=c]: the classification
+                    # sigma_max gradient's ingredient
+                    xys.append(np.bincount(fi2, weights=fv * ind[row_idx],
+                                           minlength=p))
             part = np.concatenate([[float(nrow), bad, ynull], sums, sqs,
-                                   ysums, [lgsum, ymin]])
+                                   ysums, [lgsum, ymin], lcnts,
+                                   *(xys or [np.zeros(0)])])
             yield pa.RecordBatch.from_arrays(
                 [pa.array([part], type=pa.list_(pa.float64())),
                  pa.array([labels], type=pa.list_(pa.string()))],
@@ -1326,13 +1349,31 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
         statop, "part array<double>, labels array<string>").collect()
     seen_labels = sorted({v for r in parts for v in (r["labels"] or [])})
     nlab = len(label_cols)
-    tot = np.zeros(3 + 2 * p + nlab + 2)
+    # fixed prefix: [n, bad, ynull] + sums(p) + sqs(p) + ysums + [lg, ymin];
+    # the variable tail carries per-batch-label counts and raw X'y
+    # vectors (classification) or per-label-col X'y (numeric labels)
+    plen = 3 + 2 * p + nlab + 2
+    tot = np.zeros(plen)
     ymin = np.inf
+    xy_num = np.zeros((p, nlab))
+    lab_cnt: dict = {}
+    lab_xy: dict = {}
     for r in parts:
         arr = np.asarray(r["part"])
-        ymin = min(ymin, arr[-1])
-        arr[-1] = 0.0
-        tot += arr
+        head = arr[:plen].copy()
+        ymin = min(ymin, head[-1])
+        head[-1] = 0.0
+        tot += head
+        blabels = list(r["labels"] or [])
+        if blabels:
+            k = len(blabels)
+            cnts = arr[plen:plen + k]
+            for i, c in enumerate(blabels):
+                lab_cnt[c] = lab_cnt.get(c, 0.0) + float(cnts[i])
+                seg = arr[plen + k + i * p:plen + k + (i + 1) * p]
+                lab_xy[c] = lab_xy.get(c, 0.0) + seg
+        elif arr.size > plen:
+            xy_num += arr[plen:plen + nlab * p].reshape((nlab, p)).T
     lgamma_sum = float(tot[-2])
     n = int(tot[0])
     if tot[1] > 0:
@@ -1411,6 +1452,31 @@ def build_sparse_backend(df: DataFrame, idx_col: str, val_col: str,
 
     backend = SparseArrowBackend(std_df, idx_col, val_col, y_cols, fam,
                                  intercept, n, p, inv_scale, lgamma_sum)
+    # sigma_max gradient + null-model means from the SAME stats pass
+    # (raw X'y ride-alongs above): zero additional data passes for
+    # lambda_max_gradient / null_intercepts
+    if family_name == "gaussian":
+        g = np.column_stack([
+            inv_scale * (xy_num[:, j] - (ysums[j] / max(n, 1)) * sums)
+            for j in range(nlab)])
+        backend._null_mu = np.zeros(nlab)  # encoded y is centered
+    elif family_name == "poisson":
+        g = (inv_scale * (sums - xy_num[:, 0]))[:, None]
+        backend._null_mu = np.array([ysums[0] / max(n, 1)])
+    elif family_name == "binomial" and label_is_string:
+        c1 = class_names[1]
+        g = (inv_scale * (lab_xy[c1] - (lab_cnt[c1] / n) * sums))[:, None]
+        backend._null_mu = np.array([(n - 2.0 * lab_cnt[class_names[0]]) / n])
+    elif family_name == "multinomial" and label_is_string:
+        g = np.column_stack([
+            inv_scale * (lab_xy[c] - (lab_cnt[c] / n) * sums)
+            for c in class_names[:n_targets]])
+        backend._null_mu = np.array([lab_cnt[c] / n
+                                     for c in class_names[:n_targets]])
+    else:  # non-string classification labels: fall back to the pass
+        g = None
+    if g is not None:
+        backend._lam_max_grad = np.abs(g.ravel(order="F"))
     # materialize the backend's persisted frame FROM the proj cache (a
     # cache-local shuffle, not a second source scan), then release proj
     backend.df.count()

@@ -273,3 +273,39 @@ def test_sparse_multitarget_scoring_and_null_labels(spark):
     with pytest.raises(Exception, match="missing values"):
         owl(df=dfn, sparse_features=("idx", "val"), sparse_p=3,
             label_col="label", family="gaussian")
+
+
+def test_fused_sigma_max_gradient_matches_pass(spark):
+    """The stats-pass X'y ride-along must reproduce the dedicated
+    lambda_max_gradient pass bit-for-bit (up to float summation order)
+    for every family."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from golem_spark.backends import build_sparse_backend
+    from golem_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+
+    def frame(fam):
+        if fam == "binomial":
+            lab = F.when(F.col("l_returnflag") == "R", "R").otherwise("o")
+        elif fam == "multinomial":
+            lab = F.col("l_returnflag")
+        else:
+            lab = F.col("l_quantity")
+        return li.select(
+            F.array((F.col("l_linenumber") - 1).cast("int")).alias("idx"),
+            F.array(F.lit(1.0)).alias("val"), lab.alias("label"))
+
+    for fam in ("binomial", "poisson", "multinomial"):
+        be, _ = build_sparse_backend(frame(fam), "idx", "val", "label",
+                                     fam, 7, intercept=True)
+        try:
+            fused = be._lam_max_grad
+            assert fused is not None
+            be._lam_max_grad = None
+            by_pass = be.lambda_max_gradient()
+            assert np.allclose(fused, by_pass, rtol=1e-10), fam
+        finally:
+            be.unpersist()
