@@ -1720,6 +1720,13 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
             aggs.append(F.min(F.col(label_col).cast("double")).alias("__ymin"))
             for k, c in enumerate(label_cols[1:], start=1):
                 aggs.append(F.avg(F.col(c).cast("double")).alias(f"__ymean_{k}"))
+        if family_name == "poisson" and label_numeric:
+            # X'y rides along: with the feature means it yields the
+            # sigma_max gradient driver-side (no dedicated pass)
+            for c in feature_cols:
+                aggs.append(F.sum(F.col(c).cast("double")
+                                  * F.col(label_col).cast("double"))
+                            .alias(f"__xy_{c}"))
         if family_name in ("binomial", "multinomial"):
             # class discovery fused into the same pass (GLM labels have
             # few distinct values; saves a separate distinct() job)
@@ -1895,6 +1902,14 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
 
     backend_cls = ArrowSparkBackend if wide else SparkBackend
     backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)
+    if family_name == "poisson" and not wide:
+        # sigma_max gradient from the fused stats pass: X_std'(1-y) =
+        # (X'1 - X'y - c*(n - sum_y)) / s, all terms already aggregated
+        ymean = float(stats["__ymean"])
+        xy = np.array([float(stats[f"__xy_{c}"]) for c in feature_cols])
+        g = (n * mu - xy - x_center * (n - n * ymean)) / x_scale
+        backend._lam_max_grad = np.abs(g)
+        backend._null_mu = np.array([ymean])
     meta = {
         "x_center": x_center,
         "x_scale": x_scale,
