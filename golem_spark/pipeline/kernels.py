@@ -1110,7 +1110,8 @@ _add(
       GROUP BY ex.label, ex.vec_id)
     SELECT label, COUNT(*)::BIGINT AS n_members,
            ROUND(MAX(cnorm), 6) AS centroid_norm,
-           ROUND(AVG(ROUND(dot / (vnorm * cnorm), 6)), 6) AS avg_cos
+           ROUND(SUM(ROUND(dot / (vnorm * cnorm) * 1e6, 0)::BIGINT)
+                 / (COUNT(*) * 1e6), 6) AS avg_cos
     FROM pv GROUP BY label ORDER BY label
     """,
 )
@@ -1139,8 +1140,10 @@ _add(
                                 ORDER BY cos DESC, seed_id) AS rn
       FROM scored)
     SELECT seed_id, COUNT(*)::BIGINT AS n_assigned,
-           ROUND(AVG(cos), 6) AS mean_cos,
-           ROUND(SUM(1 - cos), 6) AS inertia
+           ROUND(SUM(ROUND(cos * 1e6, 0)::BIGINT) / (COUNT(*) * 1e6), 6)
+             AS mean_cos,
+           ROUND((COUNT(*) * 1000000 - SUM(ROUND(cos * 1e6, 0)::BIGINT))
+                 / 1e6, 6) AS inertia
     FROM best WHERE rn = 1
     GROUP BY seed_id ORDER BY seed_id
     """,

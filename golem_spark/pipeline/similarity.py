@@ -363,13 +363,19 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
                .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"),
                     F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
                     F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm")))
-    cos = F.round(F.col("dot") / (F.col("vnorm") * F.col("cnorm")), 6)
+    # per-member cosines round to 6 and then accumulate as EXACT
+    # integers (micro-units): a float sum of the rounded values is
+    # order-dependent, and a label mean that lands on a rounding
+    # boundary (observed: 0.1377505) flips its 6th decimal run-to-run
+    cos_int = F.round(F.col("dot") / (F.col("vnorm") * F.col("cnorm"))
+                      * 1e6, 0).cast("long")
     return (per_vec
-            .select(label_col, cos.alias("cos"), "cnorm")
+            .select(label_col, cos_int.alias("cos_i"), "cnorm")
             .groupBy(label_col)
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.round(F.max("cnorm"), 6).alias("centroid_norm"),
-                 F.round(F.avg("cos"), 6).alias("avg_cos")))
+                 F.round(F.sum("cos_i") / (F.count(F.lit(1)) * 1e6), 6)
+                 .alias("avg_cos")))
 
 
 def kmeans_step(df: DataFrame, k: int = 8, vec_col: str = "embedding",
@@ -403,7 +409,13 @@ def kmeans_step(df: DataFrame, k: int = 8, vec_col: str = "embedding",
                                 F.col("seed_id"))).alias("b")))
     assigned = best.select(id_col, F.col("b.seed_id").alias("seed_id"),
                            F.col("b.cos").alias("cos"))
-    return (assigned.groupBy("seed_id")
+    # integer micro-unit accumulation for the same order-independence
+    # reason as label_centroids (the cosines are already rounded to 6)
+    ci = F.round(F.col("cos") * 1e6, 0).cast("long")
+    return (assigned.select("seed_id", ci.alias("ci"))
+            .groupBy("seed_id")
             .agg(F.count(F.lit(1)).alias("n_assigned"),
-                 F.round(F.avg("cos"), 6).alias("mean_cos"),
-                 F.round(F.sum(1 - F.col("cos")), 6).alias("inertia")))
+                 F.round(F.sum("ci") / (F.count(F.lit(1)) * 1e6), 6)
+                 .alias("mean_cos"),
+                 F.round((F.count(F.lit(1)) * F.lit(1000000).cast("long")
+                          - F.sum("ci")) / 1e6, 6).alias("inertia")))

@@ -13,5 +13,6 @@ WITH ex AS (
       GROUP BY ex.label, ex.vec_id)
     SELECT label, COUNT(*)::BIGINT AS n_members,
            ROUND(MAX(cnorm), 6) AS centroid_norm,
-           ROUND(AVG(ROUND(dot / (vnorm * cnorm), 6)), 6) AS avg_cos
+           ROUND(SUM(ROUND(dot / (vnorm * cnorm) * 1e6, 0)::BIGINT)
+                 / (COUNT(*) * 1e6), 6) AS avg_cos
     FROM pv GROUP BY label ORDER BY label

@@ -17,7 +17,9 @@ WITH s AS (
                                 ORDER BY cos DESC, seed_id) AS rn
       FROM scored)
     SELECT seed_id, COUNT(*)::BIGINT AS n_assigned,
-           ROUND(AVG(cos), 6) AS mean_cos,
-           ROUND(SUM(1 - cos), 6) AS inertia
+           ROUND(SUM(ROUND(cos * 1e6, 0)::BIGINT) / (COUNT(*) * 1e6), 6)
+             AS mean_cos,
+           ROUND((COUNT(*) * 1000000 - SUM(ROUND(cos * 1e6, 0)::BIGINT))
+                 / 1e6, 6) AS inertia
     FROM best WHERE rn = 1
     GROUP BY seed_id ORDER BY seed_id
