@@ -539,3 +539,61 @@ def pad_collate(df: DataFrame, max_len: int = 64, pad_tok: str = "<pad>",
         F.md5(F.array_join(padded, " ")).alias("ids_md5"),
         F.aggregate(mask, F.lit(0), lambda a, x: a + x).cast("long")
         .alias("mask_sum"))
+
+
+def bm25_score(df: DataFrame, query_tokens: list[str], k1: float = 1.2,
+               b: float = 0.75, top_k: int = 10,
+               text_col: str = "text") -> DataFrame:
+    """Okapi BM25 document scoring for a fixed query token set — the
+    classic lexical-retrieval ranking (the sparse half of a hybrid
+    retrieval stack).
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1); tf saturation with length
+    normalization b against the mean document length. The query side is
+    a literal array, so scoring is: one tf groupBy restricted to query
+    tokens (semi-join sized by the query, not the vocabulary), broadcast
+    df/avglen scalars, combinable per-doc sum. Returns the top_k
+    (doc_id, score) by (rounded score desc, doc_id).
+    """
+    if not query_tokens:
+        raise ValueError("query_tokens must be non-empty")
+    qarr = [F.lit(t) for t in query_tokens]
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    lens = df.select("doc_id",
+                     F.size(tokens_col(text_col)).cast("double").alias("dl"))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens_col(text_col))).alias("avgdl"))
+    qtf = (toks.filter(F.col("tok").isin(query_tokens))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    qdf = qtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf_sat = (F.col("tf") * (k1 + 1)
+              / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                     / F.col("avgdl"))))
+    scored = (qtf.join(F.broadcast(qdf), "tok")
+              .join(F.broadcast(lens), "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_sat), 6).alias("score")))
+    return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+
+
+def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int = 60,
+             top_k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack et al. 2009):
+    rrf(d) = sum over lists of 1/(k + rank_d). The standard way to
+    combine lexical (BM25) and dense (embedding) retrieval without
+    score calibration. Inputs must carry a ``rank`` column (1-based);
+    docs absent from a list contribute nothing. Returns top_k
+    (id, rrf) by (rounded rrf desc, id)."""
+    a = rank_a.select(F.col(id_col),
+                      (1.0 / (k + F.col("rank"))).alias("__c"))
+    b = rank_b.select(F.col(id_col),
+                      (1.0 / (k + F.col("rank"))).alias("__c"))
+    return (a.unionByName(b)
+            .groupBy(id_col)
+            .agg(F.round(F.sum("__c"), 6).alias("rrf"))
+            .orderBy(F.desc("rrf"), id_col)
+            .limit(top_k))

@@ -689,3 +689,33 @@ def test_suggest_range_bounds_equalizes(spark):
     rows = {r["q"]: r["bound"] for r in
             suggest_range_bounds(df, "v", n_partitions=4).collect()}
     assert rows == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0}
+
+
+def test_bm25_prefers_matching_docs(spark):
+    import pytest as _pytest
+
+    from golem_spark.pipeline.text import bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "join join hash other words here"),
+         (2, "join unrelated text padding tokens now"),
+         (3, "completely different content with padding")],
+        ["doc_id", "text"])
+    rows = bm25_score(df, ["join", "hash"], top_k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1           # both terms, higher tf
+    assert 3 not in ids          # no matching terms -> no score row
+    with _pytest.raises(ValueError):
+        bm25_score(df, [])
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    from golem_spark.pipeline.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (1, 2), (4, 3)], ["doc_id", "rank"])
+    rows = rrf_fuse(a, b, k=60, top_k=4).collect()
+    got = {r["doc_id"]: r["rrf"] for r in rows}
+    # docs in BOTH lists beat single-list docs
+    assert got[1] > got[3] and got[2] > got[4]
+    assert rows[0]["doc_id"] in (1, 2)
