@@ -195,3 +195,13 @@ def test_passage_scrub_shuffles_on_passage_key(tables):
     plan = _plan(passage_scrub(tables["documents"], n=4))
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(chunk" in plan
+
+
+def test_bm25_broadcasts_scalars_and_filters_query_tokens(tables):
+    """The tf pass must filter to the query token set at the scan (a
+    pushed In filter), and the df/avglen sides must broadcast."""
+    from golem_spark.pipeline.text import bm25_score
+
+    plan = _plan(bm25_score(tables["documents"], ["join", "hash", "scan"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
