@@ -515,3 +515,45 @@ def suggest_range_bounds(df: DataFrame, col: str,
     out = group_quantiles(df.withColumn("__g", F.lit(1)), "__g", col, qs)
     return out.select(F.round("q", 6).alias("q"),
                       F.col("value").alias("bound"))
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 n_mads: float = 3.0) -> DataFrame:
+    """Robust per-group outlier flags: |v - median| > n_mads * MAD,
+    with median and MAD (median absolute deviation) computed EXACTLY
+    via :func:`group_quantiles` — the robust replacement for mean/sd
+    flags, which heavy tails corrupt. Two quantile passes (median, then
+    MAD) + a broadcast join of the group-sized bounds. Adds
+    ``is_outlier``."""
+    med = (group_quantiles(df, group_col, value_col, [0.5])
+           .select(group_col, F.col("value").alias("__med")))
+    dev = (df.join(F.broadcast(med), group_col)
+           .withColumn("__adev", F.abs(F.col(value_col) - F.col("__med"))))
+    mad = (group_quantiles(dev, group_col, "__adev", [0.5])
+           .select(group_col, F.col("value").alias("__mad")))
+    return (dev.join(F.broadcast(mad), group_col)
+            .withColumn("is_outlier",
+                        F.col("__adev") > F.lit(float(n_mads)) * F.col("__mad"))
+            .drop("__adev"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col, k: int,
+                    seed: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u = md5-uniform(key, seed) in (0, 1)
+    and keeps the k largest u^(1/w) — equivalently the k smallest
+    -ln(u)/w. Inclusion probability is proportional to weight, the
+    choice is reproducible across runs/engines/partitionings, and the
+    selection executes as a TakeOrdered partial top-k (k rows per
+    partition cross the shuffle). The standard quality-weighted
+    subset-selection pass for training corpora."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col(key_col).cast("string"),
+                                             F.lit(str(seed)))), 1, 15),
+               16, 10).cast("double")
+    u = (h + 1.0) / float((1 << 60) + 2)  # strictly inside (0, 1)
+    kexp = -F.log(u) / w  # smaller = more likely kept, Exp(w) race
+    return (df.withColumn("__k", kexp)
+            .orderBy("__k", key_col).limit(k).drop("__k"))

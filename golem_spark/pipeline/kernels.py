@@ -2082,3 +2082,56 @@ _add(
     ORDER BY rrf DESC, doc_id LIMIT 10
     """,
 )
+
+# -- robust outliers + weighted sampling ------------------------------------
+
+_add(
+    "p77_mad_outliers",
+    lambda t: (relational.mad_outliers(t["events"], "event_type", "value",
+                                       n_mads=3.0)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+                    .cast("long").alias("n_outliers"),
+                    F.round(F.max("__med"), 6).alias("median"),
+                    F.round(F.max("__mad"), 6).alias("mad"))
+               .orderBy("event_type")),
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           ROUND(MAX(d.med), 6) AS median,
+           ROUND(MAX(mad.mad), 6) AS mad
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+
+_add(
+    "p78_weighted_sample",
+    lambda t: (relational.weighted_sample(
+                   t["documents"].withColumn(
+                       "wt", (F.col("n_chars") + 1).cast("double")),
+                   "doc_id", "wt", k=25, seed=5)
+               .select("doc_id").orderBy("doc_id")),
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             -ln(({_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_5'")}::DOUBLE
+                  + 1.0) / {float((1 << 60) + 2)!r})
+               / (n_chars + 1)::DOUBLE AS k
+      FROM documents)
+    SELECT doc_id FROM keyed ORDER BY k, doc_id LIMIT 25
+    """,
+)

@@ -719,3 +719,30 @@ def test_rrf_fusion_rewards_agreement(spark):
     # docs in BOTH lists beat single-list docs
     assert got[1] > got[3] and got[2] > got[4]
     assert rows[0]["doc_id"] in (1, 2)
+
+
+def test_mad_outliers_flags_extremes_only(spark):
+    from golem_spark.operators.relational import mad_outliers
+
+    vals = [float(v) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    rows = {r["v"]: r["is_outlier"] for r in
+            mad_outliers(df, "grp", "v").collect()}
+    assert rows[1000.0] is True
+    assert all(rows[v] is False for v in vals[:-1])
+
+
+def test_weighted_sample_respects_weights_and_determinism(spark):
+    from golem_spark.operators.relational import weighted_sample
+
+    rows = ([(i, 1000.0) for i in range(20)]        # heavy
+            + [(i, 0.001) for i in range(20, 200)])  # light
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = sorted(r["id"] for r in
+                    weighted_sample(df, "id", "w", k=15, seed=1).collect())
+    # with a 10^6 weight ratio, essentially every pick is a heavy row
+    assert sum(1 for i in picked if i < 20) >= 14
+    again = sorted(r["id"] for r in
+                   weighted_sample(df.repartition(7), "id", "w",
+                                   k=15, seed=1).collect())
+    assert picked == again
