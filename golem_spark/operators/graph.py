@@ -90,7 +90,10 @@ def pagerank(edges: DataFrame, iterations: int = 2,
                 prev_persisted.unpersist()
             prev_persisted = ranks
     if prev_persisted is not None:
-        # the final ranks frame still references the last snapshot;
-        # leave it live for the caller's action (swap-cache bounded)
-        pass
+        # hand the final snapshot to the pipeline cache for lifecycle
+        # tracking: the next pagerank call (or a dead-thread sweep)
+        # releases it — repeated calls never accumulate persisted frames
+        from golem_spark.pipeline._cache import _adopt_cache
+
+        _adopt_cache("pagerank_ranks", prev_persisted)
     return ranks

@@ -46,3 +46,22 @@ def _swap_cache(slot: str, df: DataFrame, storage_level=None) -> DataFrame:
             prev.unpersist()
         _LIVE_CACHES[key] = df.persist(storage_level) if storage_level is not None else df.persist()
     return df
+
+
+def _adopt_cache(slot: str, df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame under a slot (same lifecycle
+    as _swap_cache, without re-persisting): the previous occupant is
+    released, dead-thread entries are swept, and the next call to
+    either helper on this slot releases this frame. For callers that
+    must materialize the new frame BEFORE dropping the old one
+    (iterative snapshots — unpersist-then-persist would recompute)."""
+    key = (slot, threading.get_ident())
+    with _CACHE_LOCK:
+        live = {t.ident for t in threading.enumerate()}
+        for k in [k for k in _LIVE_CACHES if k[1] not in live]:
+            _LIVE_CACHES.pop(k).unpersist()
+        prev = _LIVE_CACHES.get(key)
+        if prev is not None and prev is not df:
+            prev.unpersist()
+        _LIVE_CACHES[key] = df
+    return df

@@ -111,3 +111,24 @@ def test_pipeline_cache_sweeps_dead_threads(spark):
     live = {t.ident for t in threading.enumerate()}
     assert all(k[1] in live for k in _cache._LIVE_CACHES), \
         f"dead-thread cache entries not swept: {dead_keys}"
+
+
+def test_pagerank_repeated_calls_release_snapshots(spark):
+    """Each pagerank call's final persisted rank snapshot must be
+    released by the next call — repeated graph queries must not
+    accumulate persisted frames."""
+    import threading
+
+    from golem_spark.operators.graph import pagerank
+    from golem_spark.pipeline import _cache
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        ["src", "dst"])
+    for _ in range(3):
+        pagerank(edges, iterations=3).count()
+    key_slots = [k[0] for k in _cache._LIVE_CACHES
+                 if k[1] == threading.get_ident()
+                 and k[0].startswith("pagerank")]
+    # one live frame per pagerank slot at most, regardless of call count
+    assert len(key_slots) == len(set(key_slots))
