@@ -2135,3 +2135,65 @@ _add(
     SELECT doc_id FROM keyed ORDER BY k, doc_id LIMIT 25
     """,
 )
+
+# -- set-operation and anti-join kernels ------------------------------------
+
+def _setops_query(t):
+    from golem_spark.pipeline.text import tokens_col as _tc
+
+    toks = t["documents"].select("source",
+                                 F.explode(_tc("text")).alias("tok"))
+    a = toks.filter(F.col("source") == "src0").select("tok").distinct()
+    b = toks.filter(F.col("source") == "src1").select("tok").distinct()
+    inter = a.intersect(b).agg(F.count(F.lit(1)).alias("n_inter"))
+    only_a = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_only_a"))
+    only_b = b.exceptAll(a).agg(F.count(F.lit(1)).alias("n_only_b"))
+    return (inter.crossJoin(F.broadcast(only_a))
+            .crossJoin(F.broadcast(only_b))
+            .select(F.col("n_inter").cast("long"),
+                    F.col("n_only_a").cast("long"),
+                    F.col("n_only_b").cast("long")))
+
+
+_add(
+    "p79_vocab_setops",
+    _setops_query,
+    """
+    WITH a AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE source = 'src0'),
+    b AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE source = 'src1')
+    SELECT (SELECT COUNT(*) FROM (SELECT tok FROM a INTERSECT
+                                  SELECT tok FROM b))::BIGINT AS n_inter,
+           (SELECT COUNT(*) FROM (SELECT tok FROM a EXCEPT
+                                  SELECT tok FROM b))::BIGINT AS n_only_a,
+           (SELECT COUNT(*) FROM (SELECT tok FROM b EXCEPT
+                                  SELECT tok FROM a))::BIGINT AS n_only_b
+    """,
+)
+
+
+def _antijoin_query(t):
+    cust = t["customer"]
+    orders = t["orders"]
+    inactive = cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                         "left_anti")
+    return (inactive.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_inactive"),
+                 F.min("c_custkey").alias("min_key"))
+            .orderBy("c_mktsegment"))
+
+
+_add(
+    "p80_inactive_customers",
+    _antijoin_query,
+    """
+    SELECT c_mktsegment, COUNT(*)::BIGINT AS n_inactive,
+           MIN(c_custkey) AS min_key
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
