@@ -157,3 +157,20 @@ def test_stream_stream_funnel_join_equals_batch(spark):
     bkey = sorted((r["click_id"], r["purchase_id"]) for r in batch)
     assert len(bkey) > 0
     assert skey == bkey
+
+
+def test_streaming_neardup_matches_batch_candidates(spark):
+    """Streaming MinHash-LSH near-dup pairs (per-bucket state, per-row
+    signature expressions) must equal the batch candidate pairs."""
+    from golem_spark.pipeline.dedup import minhash_lsh_pairs
+    from golem_spark.streaming.neardup import run_streaming_neardup
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_streaming_neardup(spark, f"{sf_dir}/documents.parquet")
+    s_pairs = {(r["doc_a"], r["doc_b"]) for r in streamed.collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b_pairs = {(r["doc_a"], r["doc_b"])
+               for r in minhash_lsh_pairs(docs).collect()}
+    assert len(b_pairs) > 0
+    assert s_pairs == b_pairs
