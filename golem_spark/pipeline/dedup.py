@@ -548,3 +548,45 @@ def passage_scrub(df: DataFrame, n: int = 4, text_col: str = "text",
                     F.md5(F.trim(F.concat_ws(
                         " ", F.coalesce("__body", F.lit("")), "__tail")))
                     .alias("clean_md5")))
+
+
+def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Content-defined chunking dedup signal: chunk boundaries fall
+    AFTER any token whose hash is 0 mod ``divisor`` (expected chunk
+    length = divisor tokens), so chunk boundaries move WITH the content
+    — an insertion near a document's start shifts every fixed-window
+    passage (defeating passage_scrub's alignment) but leaves all
+    CDC chunks after the edit identical. The rsync/backup dedup trick
+    applied to corpus text.
+
+    Plan shape: posexplode + an exclusive per-doc running sum assigns
+    chunk ids (one shuffle on doc_id), chunks rebuild with a combinable
+    collect_list, and the share check is the usual chunk-text-keyed
+    groupBy. Returns (doc_id, n_chunks, n_shared, dup_frac).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.posexplode(tokens_col(text_col))
+                     .alias("pos", "tok"))
+    flag = (_md5_int(F.col("tok")) % divisor == 0).cast("int")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum(flag).over(w), F.lit(0)))
+    chunks = (chunked.groupBy("doc_id", "chunk_idx")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                      lambda x: x["tok"]), " ").alias("chunk")))
+    gdf = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("gdf"))
+    return (chunks.join(gdf, "chunk")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_shared"))
+            .select("doc_id", "n_chunks", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
+                    .alias("dup_frac")))

@@ -2197,3 +2197,135 @@ _add(
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
+
+# -- association rules + language consistency -------------------------------
+
+def _assoc_rules_query(t):
+    """Pair association rules over order baskets: support, confidence,
+    lift for the top co-occurring part pairs (supermarket-basket mining
+    on the co-purchase substrate). All counts are combinable groupBys;
+    the pair join is keyed on the order (fan-out bounded by basket
+    size)."""
+    li = t["lineitem"]
+    baskets = li.select(F.col("l_orderkey").alias("k"),
+                        (F.col("l_partkey") % 50).alias("item")).distinct()
+    n_orders = baskets.select("k").distinct().count()
+    item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c_item"))
+    a = baskets.select("k", F.col("item").alias("x"))
+    b = baskets.select("k", F.col("item").alias("y"))
+    pair_cnt = (a.join(b, "k").filter(F.col("x") < F.col("y"))
+                .groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_pair")))
+    cx = item_cnt.select(F.col("item").alias("x"), F.col("c_item").alias("cx"))
+    cy = item_cnt.select(F.col("item").alias("y"), F.col("c_item").alias("cy"))
+    out = (pair_cnt.join(F.broadcast(cx), "x").join(F.broadcast(cy), "y")
+           .select("x", "y", "c_pair",
+                   F.round(F.col("c_pair") / n_orders, 6).alias("support"),
+                   F.round(F.col("c_pair") / F.col("cx"), 6).alias("conf_xy"),
+                   F.round(F.col("c_pair") * n_orders
+                           / (F.col("cx") * F.col("cy")), 6).alias("lift")))
+    return out.orderBy(F.desc("support"), "x", "y").limit(20)
+
+
+_add(
+    "p81_assoc_rules",
+    _assoc_rules_query,
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS k, (l_partkey % 50) AS item
+      FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT k)::DOUBLE AS n_orders FROM baskets),
+    ic AS (SELECT item, COUNT(*)::DOUBLE AS c_item
+           FROM baskets GROUP BY item),
+    pc AS (
+      SELECT a.item AS x, b.item AS y, COUNT(*)::BIGINT AS c_pair
+      FROM baskets a JOIN baskets b ON a.k = b.k AND a.item < b.item
+      GROUP BY a.item, b.item)
+    SELECT x, y, c_pair,
+           ROUND(c_pair / n_orders, 6) AS support,
+           ROUND(c_pair / cx.c_item, 6) AS conf_xy,
+           ROUND(c_pair * n_orders / (cx.c_item * cy.c_item), 6) AS lift
+    FROM pc JOIN ic cx ON pc.x = cx.item
+            JOIN ic cy ON pc.y = cy.item, n
+    ORDER BY support DESC, x, y LIMIT 20
+    """,
+)
+
+
+def _lang_consistency_query(t):
+    pred = text.lang_id(t["documents"])
+    return (pred.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
+                       .otherwise(0)).cast("long").alias("n_match"),
+                 F.round(F.avg(F.when(F.col("lang_pred") == F.col("lang"),
+                                      1.0).otherwise(0.0)), 6)
+                 .alias("match_rate"))
+            .orderBy("source"))
+
+
+_add(
+    "p82_lang_consistency",
+    _lang_consistency_query,
+    f"""
+    WITH h AS (SELECT doc_id, source, lang,
+                      {', '.join(_LANG_CASES)} FROM documents),
+    pred AS (
+      SELECT source, lang,
+             CASE
+               WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0
+                    AND h_zh = 0 THEN 'und'
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                    AND h_de >= h_zh THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh' END AS lang_pred
+      FROM h)
+    SELECT source, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT
+             AS n_match,
+           ROUND(AVG(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 6)
+             AS match_rate
+    FROM pred GROUP BY source ORDER BY source
+    """,
+)
+
+# -- content-defined chunking dedup -----------------------------------------
+
+_add(
+    "p83_cdc_chunks",
+    lambda t: dedup.cdc_dup_fraction(t["documents"], divisor=8)
+              .orderBy("doc_id"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+           unnest(range(1, len(toks) + 1)) AS t(i)),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN {_DUCK_MD5INT.format(x="tok")} % 8 = 0
+                  THEN 1 ELSE 0 END AS flag
+      FROM toks),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(flag) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+      FROM flagged),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM chunked GROUP BY doc_id, chunk_idx),
+    gdf AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS gdf FROM chunks GROUP BY chunk)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           ROUND(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / greatest(COUNT(*), 1), 6) AS dup_frac
+    FROM chunks JOIN gdf USING (chunk)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)

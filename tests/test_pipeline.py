@@ -746,3 +746,38 @@ def test_weighted_sample_respects_weights_and_determinism(spark):
                    weighted_sample(df.repartition(7), "id", "w",
                                    k=15, seed=1).collect())
     assert picked == again
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property: inserting a token at the START of a document
+    leaves the chunks after the first boundary identical — a fixed
+    window would shift every chunk."""
+    from golem_spark.pipeline.dedup import cdc_dup_fraction
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in cdc_dup_fraction(df, divisor=4).collect()}
+    # most chunks are shared despite the prefix edit
+    assert rows[1]["n_shared"] > 0
+    assert rows[2]["n_shared"] > 0
+    assert rows[1]["dup_frac"] >= 0.5
+
+
+def test_assoc_rules_lift_definition(spark):
+    """Items that ALWAYS co-occur have confidence 1 and lift =
+    n_orders / c_other."""
+    from golem_spark.session import load_tables
+
+    # tiny synthetic baskets: items 1,2 always together; 3 independent
+    rows = [(k, i) for k in range(10) for i in (1, 2)] + [(1, 3), (2, 3)]
+    df = spark.createDataFrame(rows, ["k", "item"])
+    n_orders = 10
+    pair = (df.alias("a").join(df.alias("b"),
+                               (F.col("a.k") == F.col("b.k"))
+                               & (F.col("a.item") < F.col("b.item")))
+            .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    got = {(r["x"], r["y"]): r["c"] for r in pair.collect()}
+    assert got[(1, 2)] == 10
