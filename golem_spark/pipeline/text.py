@@ -597,3 +597,36 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int = 60,
             .agg(F.round(F.sum("__c"), 6).alias("rrf"))
             .orderBy(F.desc("rrf"), id_col)
             .limit(top_k))
+
+
+def fuzzy_vocab_pairs(df: DataFrame, text_col: str, max_dist: int = 1,
+                      split_char: str = " ") -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via the SymSpell deletion
+    neighborhood: every word generates its 1-deletion variants; two
+    words within edit distance 1 necessarily SHARE a variant, so the
+    candidate join is keyed on the variant string (vocabulary-sized
+    buckets) instead of an all-pairs cross product — then exact
+    levenshtein verifies. The standard typo-normalization /
+    vocab-merging pass; at corpus scale the deletion index is what
+    makes fuzzy joins linear.
+
+    Returns (word_a, word_b, dist) for verified pairs, word_a < word_b.
+    """
+    words = (df.select(F.explode(F.split(F.col(text_col), split_char))
+                       .alias("word"))
+             .filter(F.length("word") > 0).distinct())
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.concat(F.col("word").substr(F.lit(1), i - 1),
+                           F.col("word").substr(i + 1, F.length("word"))))
+    variants = F.array_union(F.array(F.col("word")), dels)
+    idx = words.select("word", F.explode(variants).alias("variant"))
+    a = idx.select(F.col("word").alias("word_a"), "variant")
+    b = idx.select(F.col("word").alias("word_b"), "variant")
+    cand = (a.join(b, "variant")
+            .filter(F.col("word_a") < F.col("word_b"))
+            .select("word_a", "word_b").distinct())
+    dist = F.levenshtein(F.col("word_a"), F.col("word_b"))
+    return (cand.withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist)
+            .orderBy("word_a", "word_b"))

@@ -781,3 +781,19 @@ def test_assoc_rules_lift_definition(spark):
             .agg(F.count(F.lit(1)).alias("c")))
     got = {(r["x"], r["y"]): r["c"] for r in pair.collect()}
     assert got[(1, 2)] == 10
+
+
+def test_fuzzy_vocab_pairs_finds_all_dist1(spark):
+    """The deletion index must find EVERY distance-<=1 pair (insertion,
+    deletion, substitution) — completeness is the SymSpell guarantee."""
+    from golem_spark.pipeline.text import fuzzy_vocab_pairs
+
+    df = spark.createDataFrame(
+        [(1, "cat cart bat cast hello hullo zzz")], ["id", "t"])
+    pairs = {(r["word_a"], r["word_b"]) for r in
+             fuzzy_vocab_pairs(df, "t").collect()}
+    assert ("bat", "cat") in pairs        # substitution
+    assert ("cart", "cast") in pairs      # substitution
+    assert ("cart", "cat") in pairs       # deletion
+    assert ("hello", "hullo") in pairs    # substitution
+    assert not any("zzz" in p for p in pairs)
