@@ -2356,3 +2356,79 @@ _add(
     ORDER BY word_a, word_b
     """,
 )
+
+# -- day-over-day deltas + classic 3-table shipping-priority join -----------
+
+def _dod_query(t):
+    from pyspark.sql import Window
+
+    daily = relational.gapfill_daily(t["events"], "ts", "value",
+                                     group_col="event_type")
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("sum_v").over(w)
+    return (daily
+            .withColumn("delta", F.round(F.col("sum_v")
+                                         - F.coalesce(prev, F.lit(0.0)), 4))
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.round("sum_v", 4).alias("sum_v"), "delta")
+            .orderBy("event_type", "day"))
+
+
+_add(
+    "p85_day_over_day",
+    _dod_query,
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, SUM(value) AS sum_v
+      FROM events GROUP BY event_type, day),
+    span AS (SELECT MIN(ts::DATE) AS lo, MAX(ts::DATE) AS hi FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM span),
+    groups AS (SELECT DISTINCT event_type FROM events),
+    filled AS (
+      SELECT g.event_type, s.day, COALESCE(d.sum_v, 0.0) AS sum_v
+      FROM spine s CROSS JOIN groups g
+      LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = s.day)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(sum_v, 4) AS sum_v,
+           ROUND(sum_v - COALESCE(LAG(sum_v) OVER (
+             PARTITION BY event_type ORDER BY day), 0.0), 4) AS delta
+    FROM filled ORDER BY event_type, day
+    """,
+)
+
+
+def _shipping_priority_query(t):
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    joined = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+              .join(li, orders["o_orderkey"] == li["l_orderkey"]))
+    return (joined.groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+_add(
+    "p86_shipping_priority",
+    _shipping_priority_query,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
