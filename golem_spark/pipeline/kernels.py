@@ -2432,3 +2432,73 @@ _add(
     ORDER BY revenue DESC, o_orderkey LIMIT 10
     """,
 )
+
+# -- grouped closed-form linear regression ----------------------------------
+
+def _grouped_regression_query(t):
+    """Per-group simple OLS (slope/intercept/r2) from the five sufficient
+    sums — the grouped-analytics classic, one combinable groupBy, no
+    iteration. x = seconds since epoch, y = event value."""
+    # EXACT integer sufficient statistics: x in whole seconds since a
+    # fixed reference, y in value-cents (the data has two decimals) —
+    # all five sums are BIGINTs, so they are independent of partition
+    # summation order and both engines derive identical doubles. Raw
+    # epoch-seconds x also cancels catastrophically in sxx - sx^2/n
+    # (observed 4th-decimal drift before recentering).
+    ref = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ev = t["events"].select(
+        "event_type",
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) - ref)
+        .cast("long").alias("xs"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("yc"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xs").alias("sx"), F.sum("yc").alias("sy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+        F.sum(F.col("xs") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    slope = cxy / vx  # cents per second
+    return (agg.select(
+        "event_type", F.col("n"),
+        F.round(slope * 86400.0 / 100.0, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n / 100.0, 4).alias("intercept"),
+        F.round(cxy * cxy / (vx * vy), 6).alias("r2"))
+        .orderBy("event_type"))
+
+
+_add(
+    "p87_grouped_regression",
+    _grouped_regression_query,
+    """
+    WITH ev AS (
+      SELECT event_type,
+             (floor(epoch(ts))::BIGINT
+              - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) AS xs,
+             ROUND(value * 100, 0)::BIGINT AS yc FROM events),
+    agg AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             SUM(xs)::BIGINT AS sx, SUM(yc)::BIGINT AS sy,
+             SUM(xs*xs)::BIGINT AS sxx, SUM(xs*yc)::BIGINT AS sxy,
+             SUM(yc*yc)::BIGINT AS syy
+      FROM ev GROUP BY event_type),
+    f AS (
+      SELECT event_type, n, n::DOUBLE AS nd, sx::DOUBLE AS sx,
+             sy::DOUBLE AS sy, sxx::DOUBLE AS sxx, sxy::DOUBLE AS sxy,
+             syy::DOUBLE AS syy
+      FROM agg)
+    SELECT event_type, n,
+           ROUND((sxy - sx*sy/nd) / (sxx - sx*sx/nd) * 86400.0 / 100.0, 6)
+             AS slope_per_day,
+           ROUND((sy - (sxy - sx*sy/nd) / (sxx - sx*sx/nd) * sx)
+                 / nd / 100.0, 4) AS intercept,
+           ROUND(POW(sxy - sx*sy/nd, 2)
+                 / ((sxx - sx*sx/nd) * (syy - sy*sy/nd)), 6) AS r2
+    FROM f ORDER BY event_type
+    """,
+)
