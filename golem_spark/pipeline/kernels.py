@@ -2502,3 +2502,39 @@ _add(
     FROM f ORDER BY event_type
     """,
 )
+
+# -- above-segment-average spenders (windowed group-mean comparison) --------
+
+def _above_avg_query(t):
+    from pyspark.sql import Window
+
+    spend = (t["orders"].groupBy("o_custkey")
+             .agg(F.sum("o_totalprice").alias("spend")))
+    seg = (t["customer"].select("c_custkey", "c_mktsegment")
+           .join(spend, F.col("c_custkey") == F.col("o_custkey")))
+    w = Window.partitionBy("c_mktsegment")
+    flagged = seg.withColumn("seg_avg", F.avg("spend").over(w))
+    return (flagged.filter(F.col("spend") > F.col("seg_avg"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.round(F.max("spend") / 1000, 3).alias("max_spend_k"))
+            .orderBy("c_mktsegment"))
+
+
+_add(
+    "p88_above_segment_avg",
+    _above_avg_query,
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey),
+    seg AS (
+      SELECT c_mktsegment, spend,
+             AVG(spend) OVER (PARTITION BY c_mktsegment) AS seg_avg
+      FROM customer JOIN spend ON c_custkey = o_custkey)
+    SELECT c_mktsegment, COUNT(*)::BIGINT AS n_above,
+           ROUND(MAX(spend) / 1000, 3) AS max_spend_k
+    FROM seg WHERE spend > seg_avg
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
