@@ -36,21 +36,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(KERNELS["k18_grouped_agg"].spark_sql)
 
 
+def _verification_rank() -> dict[str, int]:
+    """Map query name -> latest driver round that hash-verified it.
+
+    The driver's correctness gate caps at 50 queries taken from the head
+    of ``queries()`` (VERDICT r4 item 3), so we rotate never-verified and
+    least-recently-verified entries to the front each round. Reading the
+    CORRECTNESS_r*.json records keeps the rotation automatic.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _rotated(names: list[str]) -> list[str]:
+    rank = _verification_rank()
+    # stable sort: never-verified first (rank -1), then oldest round first;
+    # registration order breaks ties so the ordering is deterministic.
+    return sorted(names, key=lambda n: rank.get(n, -1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in KERNELS:
-        out[name] = _kernel_query(name)
-    out.update(PIPELINE_QUERIES)
+        base[name] = _kernel_query(name)
+    base.update(PIPELINE_QUERIES)
     # GLM path fits at pinned sigmas, fully oracle-checked: sigma_max and
     # the gaussian tail are recomputed in SQL, and every fitted row's
     # dev_ratio is re-derived by DuckDB from the emitted coefficients
     # (golem_spark/glm_queries.py).
-    out.update(GLM_QUERIES)
-    return out
+    base.update(GLM_QUERIES)
+    return {name: base[name] for name in _rotated(list(base))}
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {name: k.duck_sql for name, k in KERNELS.items()}
-    out.update(PIPELINE_ORACLES)
-    out.update(glm_oracles())
-    return out
+    base = {name: k.duck_sql for name, k in KERNELS.items()}
+    base.update(PIPELINE_ORACLES)
+    base.update(glm_oracles())
+    return {name: base[name] for name in _rotated(list(base))}

@@ -228,7 +228,15 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
 # above it, the fixed Bohning bound (one Gram pass for the whole fit,
 # p-vector gradient passes, linear rate). Module-level so the crossover
 # can be tuned/measured in one place (see tools/ab_wide_hessian.py).
-PN_LOCAL_H_LIMIT = {"binomial": 1000, "multinomial": 60}
+#
+# binomial history: raised 200 -> 1000 in round 4 after a local A/B
+# (12.5s -> 9.1s at p=807), but the independent driver bench REGRESSED
+# 12.2s -> 34.4s: the per-pass p^2 partial collect rides the py4j/Arrow
+# ingress path whose latency is machine-variant (backends.py
+# _bounded_partials_src: "measured 7-52s, high variance"). The Bohning
+# bound's p-vector passes have no such payload, so its wall-clock is
+# stable across machines — keep the crossover below wide-p (807).
+PN_LOCAL_H_LIMIT = {"binomial": 200, "multinomial": 60}
 
 
 def pn_local_hessian(fam: str, pm: int) -> bool:
