@@ -9,9 +9,10 @@ Measures by family (same compatibility matrix as the reference):
 
 Spark mode computes every path point's score in ONE aggregation pass
 (all path points' linear predictors are independent column expressions);
-AUC uses the exact Mann-Whitney rank statistic via a window over the
-predicted score with a deterministic key tie-break (kernel K12) instead
-of the reference's randomized jitter (R/score.R:153).
+AUC uses the exact Mann-Whitney rank statistic computed by a
+range-partitioned two-phase reduction (no global window, all K path
+points in one job) with deterministic average-rank ties instead of the
+reference's randomized jitter (R/score.R:153).
 """
 
 from __future__ import annotations
@@ -37,9 +38,14 @@ def _measures_for(family: str) -> list[str]:
 def score(fit: OwlFit, x=None, y=None, *, df: DataFrame | None = None,
           feature_cols: list[str] | None = None, label_col: str | None = None,
           sparse_features: tuple[str, str] | None = None,
-          measure: str = "mse", sigma=None) -> np.ndarray:
+          measure: str = "mse", sigma=None, weights=None) -> np.ndarray:
     """Score the fit at every path point (or at ``sigma``); returns an
     array of scores, one per evaluated path point.
+
+    ``weights`` (measure="auc" only, mirroring R/score.R:137-166):
+    observation weights — an array on the numpy path, a column name on
+    the Spark path. Ties get the deterministic average-rank credit
+    rather than the reference's runif tie-break (same expectation).
 
     ``sparse_features=(idx_col, val_col)``: score a sparse-features
     DataFrame — ONE Arrow pass evaluates every path point (the
@@ -47,11 +53,15 @@ def score(fit: OwlFit, x=None, y=None, *, df: DataFrame | None = None,
     expression list would not survive wide p)."""
     if measure not in _measures_for(fit.family):
         raise ValueError(f"measure {measure!r} not available for family {fit.family!r}")
+    if weights is not None and measure != "auc":
+        raise ValueError("weights are only supported for measure='auc'")
     if df is not None and sparse_features is not None:
         return _score_sparse(fit, df, sparse_features, label_col, measure, sigma)
     if df is not None:
-        return _score_spark(fit, df, feature_cols, label_col, measure, sigma)
-    return _score_np(fit, np.asarray(x, dtype=np.float64), y, measure, sigma)
+        return _score_spark(fit, df, feature_cols, label_col, measure, sigma,
+                            weight_col=weights)
+    return _score_np(fit, np.asarray(x, dtype=np.float64), y, measure, sigma,
+                     weights=weights)
 
 
 def deviance(fit: OwlFit) -> np.ndarray:
@@ -63,7 +73,8 @@ def deviance(fit: OwlFit) -> np.ndarray:
 # numpy scoring
 # ---------------------------------------------------------------------------
 
-def _score_np(fit: OwlFit, x: np.ndarray, y, measure: str, sigma) -> np.ndarray:
+def _score_np(fit: OwlFit, x: np.ndarray, y, measure: str, sigma,
+              weights=None) -> np.ndarray:
     fam = fit.family
     if sigma is not None:
         betas = coef_at(fit, sigma, simplify=False)
@@ -101,7 +112,7 @@ def _score_np(fit: OwlFit, x: np.ndarray, y, measure: str, sigma) -> np.ndarray:
             elif measure == "misclass":
                 out[k] = float(np.mean((prob > 0.5) != (y01 == 1.0)))
             elif measure == "auc":
-                out[k] = _auc_np(y01, prob)
+                out[k] = _auc_np(y01, prob, weights)
         else:
             prob = predict(sub, x, type="response")  # (n, n_classes)
             if measure in ("mse", "mae"):
@@ -119,28 +130,47 @@ def _mse_mae(pred: np.ndarray, y: np.ndarray, measure: str) -> float:
     return float(np.mean(d * d)) if measure == "mse" else float(np.mean(np.abs(d)))
 
 
-def _auc_np(y01: np.ndarray, prob: np.ndarray) -> float:
-    """Mann-Whitney rank AUC with average ranks for ties
-    (R/score.R:137-166, deterministic)."""
+def _auc_np(y01: np.ndarray, prob: np.ndarray,
+            weights: np.ndarray | None = None) -> float:
+    """(Weighted) Mann-Whitney rank AUC (R/score.R:137-166).
+
+    Pairs formulation: sum over distinct probability values v of
+    ``w1_v * W0_below(v) + 0.5 * w1_v * w0_v`` divided by ``W1 * W0``,
+    where ``w1_v``/``w0_v`` are the positive/negative weight tied at v
+    and ``W0_below`` the negative weight strictly below. Unweighted this
+    is exactly the average-rank U statistic. Deviation from the
+    reference's weighted branch (R/score.R:152-165, which RANDOMIZES
+    ties via runif): ties get the 0.5 credit — the expected value of
+    the randomized tie-break — so the result is deterministic.
+    """
+    if weights is None:
+        w = np.ones_like(prob)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != prob.shape:
+            raise ValueError("weights must match the number of observations")
     order = np.argsort(prob, kind="stable")
-    ranks = np.empty(prob.size, dtype=np.float64)
     sorted_p = prob[order]
+    w1 = np.where(y01 == 1.0, w, 0.0)[order]
+    w0 = np.where(y01 == 0.0, w, 0.0)[order]
+    num = 0.0
+    below0 = 0.0
     i = 0
-    r = 1
-    while i < prob.size:
+    n = prob.size
+    while i < n:
         j = i
-        while j + 1 < prob.size and sorted_p[j + 1] == sorted_p[i]:
+        while j + 1 < n and sorted_p[j + 1] == sorted_p[i]:
             j += 1
-        avg = (r + r + (j - i)) / 2.0
-        ranks[order[i:j + 1]] = avg
-        r += j - i + 1
+        g1 = float(np.sum(w1[i:j + 1]))
+        g0 = float(np.sum(w0[i:j + 1]))
+        num += g1 * below0 + 0.5 * g1 * g0
+        below0 += g0
         i = j + 1
-    n1 = float(np.sum(y01 == 1.0))
-    n0 = float(np.sum(y01 == 0.0))
-    if n1 == 0 or n0 == 0:
+    W1 = float(np.sum(w1))
+    W0 = float(np.sum(w0))
+    if W1 == 0 or W0 == 0:
         return float("nan")
-    u = float(np.sum(ranks[y01 == 1.0])) - n1 * (n1 + 1) / 2.0
-    return u / (n1 * n0)
+    return num / (W1 * W0)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +276,138 @@ def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
 # Spark scoring
 # ---------------------------------------------------------------------------
 
-def _score_spark(fit: OwlFit, df: DataFrame, feature_cols, label_col, measure, sigma) -> np.ndarray:
+def _auc_ranged_frame(df: DataFrame, y01, probs: list, weight_col):
+    """Build the range-partitioned (k, prob, pos, w) frame the one-pass
+    AUC reduction runs over — exposed separately so plan tests can
+    assert it contains NO WindowExec (a naive rank needs
+    ``Window.orderBy(prob)``, which collapses the corpus onto one
+    task)."""
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
+    scored = df.select(y01.cast("double").alias("pos"), w.alias("w"),
+                       *[probs[k].alias(f"p{k}") for k in range(len(probs))])
+    stacked = scored.select(
+        "pos", "w",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"), F.col(f"p{k}").alias("prob"))
+            for k in range(len(probs))])).alias("kp")
+    ).select("pos", "w", F.col("kp.k").alias("k"), F.col("kp.prob").alias("prob"))
+    # equal (k, prob) keys land in ONE partition under range
+    # partitioning, so every tie group is partition-local and the
+    # per-partition scan below sees complete groups
+    return (stacked.repartitionByRange("k", "prob")
+            .sortWithinPartitions("k", "prob")
+            .withColumn("pid", F.spark_partition_id()))
+
+
+def _spark_auc_all(df: DataFrame, y01, probs: list,
+                   weight_col: str | None = None) -> np.ndarray:
+    """(Weighted) rank AUC for ALL K path points in ONE distributed pass.
+
+    Scale shape: the naive form ranks via an unpartitioned
+    ``Window.orderBy(prob)`` — Spark moves the entire scored dataset to
+    a single task, once per path point. Here the K probability columns
+    are stacked into (k, prob) rows, range-partitioned on (k, prob)
+    (ties co-located), sorted within partitions, and reduced by a
+    streaming Arrow pass to #partitions x K tiny partial rows:
+    per partition and path point, (sum_v w1_v * W0_local_below(v)
+    + 0.5 * w1_v * w0_v, W0_part, W1_part). The driver combines
+    partials in partition order — cross-partition pairs are
+    ``W0_offset * W1_part`` because every positive in this partition
+    outranks every negative in earlier ones. Unweighted, all partials
+    are counts/half-integers, so double summation is EXACT and
+    order-independent — bitwise equal to the numpy path. Same
+    average-rank tie treatment as ``_auc_np``.
+    """
+    import pandas as pd
+
+    K = len(probs)
+    ranged = _auc_ranged_frame(df, y01, probs, weight_col)
+
+    def op(batches):
+        # rows arrive sorted by (k, prob); carry the open tie group
+        # across batch boundaries
+        pid = None
+        acc: dict[int, list[float]] = {}  # k -> [num, W0, W1]
+        cur_k = None
+        cur_p = None
+        g1 = g0 = 0.0     # weight tied at the open value
+        below0 = 0.0      # negative weight strictly below, this partition
+
+        def flush():
+            nonlocal below0, g1, g0
+            if cur_k is not None and (g1 or g0):
+                a = acc.setdefault(cur_k, [0.0, 0.0, 0.0])
+                a[0] += g1 * below0 + 0.5 * g1 * g0
+                a[1] += g0
+                a[2] += g1
+                below0 += g0
+            g1 = g0 = 0.0
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            ks = pdf["k"].to_numpy()
+            ps = pdf["prob"].to_numpy()
+            pos = pdf["pos"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            w1s = np.where(pos == 1.0, ws, 0.0)
+            w0s = np.where(pos == 0.0, ws, 0.0)
+            # vectorize over runs of equal (k, prob)
+            change = np.empty(len(ks), dtype=bool)
+            change[0] = (cur_k is None or ks[0] != cur_k or ps[0] != cur_p)
+            change[1:] = (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, len(ks))
+            if starts.size == 0:
+                g1 += float(w1s.sum())
+                g0 += float(w0s.sum())
+                continue
+            # close the carried group with any leading rows of it
+            if starts[0] != 0:
+                g1 += float(w1s[:starts[0]].sum())
+                g0 += float(w0s[:starts[0]].sum())
+            c1 = np.add.reduceat(w1s, starts)
+            c0 = np.add.reduceat(w0s, starts)
+            for i, s in enumerate(starts):
+                flush()
+                if ks[s] != cur_k:
+                    below0 = 0.0
+                    cur_k = int(ks[s])
+                cur_p = ps[s]
+                g1 = float(c1[i])
+                g0 = float(c0[i])
+        flush()
+        yield pd.DataFrame(
+            {"pid": [pid if pid is not None else -1] * len(acc),
+             "k": list(acc),
+             "num": [a[0] for a in acc.values()],
+             "w0": [a[1] for a in acc.values()],
+             "w1": [a[2] for a in acc.values()]})
+
+    parts = ranged.mapInPandas(
+        op, "pid int, k int, num double, w0 double, w1 double").collect()
+
+    out = np.full(K, np.nan)
+    by_k: dict[int, list] = {}
+    for r in parts:
+        by_k.setdefault(r["k"], []).append(r)
+    for k, rows in by_k.items():
+        rows.sort(key=lambda r: r["pid"])
+        num = off0 = W0 = W1 = 0.0
+        for r in rows:
+            num += r["num"] + off0 * r["w1"]
+            off0 += r["w0"]
+            W0 += r["w0"]
+            W1 += r["w1"]
+        out[k] = num / (W1 * W0) if W1 > 0 and W0 > 0 else float("nan")
+    return out
+
+
+def _score_spark(fit: OwlFit, df: DataFrame, feature_cols, label_col, measure, sigma,
+                 weight_col: str | None = None) -> np.ndarray:
     fam = fit.family
     feature_cols = feature_cols or fit.feature_names
     if sigma is not None:
@@ -272,25 +433,9 @@ def _score_spark(fit: OwlFit, df: DataFrame, feature_cols, label_col, measure, s
         return expr
 
     if measure == "auc":
-        # needs a window sort per path point; do them as separate jobs
-        out = np.zeros(K)
-        for k in range(K):
-            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_expr(betas[:, :, k], 0)))
-            scored = df.select(y01.alias("pos"), prob.alias("prob"))
-            ranked = scored.withColumn(
-                "r",
-                (F.min(F.row_number().over(Window.orderBy("prob"))).over(
-                    Window.partitionBy("prob"))
-                 + F.max(F.row_number().over(Window.orderBy("prob"))).over(
-                     Window.partitionBy("prob"))) / 2.0)
-            agg = ranked.agg(
-                F.sum(F.when(F.col("pos") == 1.0, F.col("r"))).alias("rsum"),
-                F.sum(F.col("pos")).alias("n1"),
-                F.count(F.lit(1)).alias("n")).collect()[0]
-            n1 = float(agg["n1"])
-            n0 = float(agg["n"]) - n1
-            out[k] = (float(agg["rsum"]) - n1 * (n1 + 1) / 2.0) / (n1 * n0)
-        return out
+        probs = [F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_expr(betas[:, :, k], 0)))
+                 for k in range(K)]
+        return _spark_auc_all(df, y01, probs, weight_col)
 
     aggs = []
     for k in range(K):

@@ -100,3 +100,71 @@ def test_lineitem_regression(spark):
     mse = score(fit, df=li, feature_cols=["l_extendedprice", "l_discount", "l_tax"],
                 label_col="l_quantity", measure="mse")
     assert np.all(np.isfinite(mse))
+
+
+def _wauc_direct(y01, prob, w):
+    """O(n^2) weighted Mann-Whitney with 0.5 tie credit — independent of
+    the engine's formulation."""
+    num = W1 = W0 = 0.0
+    for i in range(len(prob)):
+        if y01[i] != 1.0:
+            continue
+        W1 += w[i]
+        for j in range(len(prob)):
+            if y01[j] != 0.0:
+                continue
+            if prob[i] > prob[j]:
+                num += w[i] * w[j]
+            elif prob[i] == prob[j]:
+                num += 0.5 * w[i] * w[j]
+    W0 = sum(w[j] for j in range(len(prob)) if y01[j] == 0.0)
+    return num / (W1 * W0)
+
+
+def test_weighted_auc_matches_direct(spark):
+    """R/score.R:137-166 weighted AUC, deterministic average-rank ties."""
+    from golem_spark.score import _auc_np
+
+    rng = np.random.default_rng(7)
+    n = 120
+    prob = np.round(rng.uniform(size=n), 1)  # force ties
+    y01 = (rng.uniform(size=n) < 0.4).astype(float)
+    w = rng.uniform(0.5, 3.0, size=n)
+    direct = _wauc_direct(y01, prob, w)
+    np.testing.assert_allclose(_auc_np(y01, prob, w), direct, rtol=1e-12)
+    # unweighted == all-ones weights
+    np.testing.assert_allclose(_auc_np(y01, prob),
+                               _auc_np(y01, prob, np.ones(n)), rtol=0)
+
+
+def test_spark_weighted_auc_matches_numpy(spark):
+    x, y, _ = random_problem(n=200, p=4, response="binomial", seed=31)
+    rng = np.random.default_rng(31)
+    w = rng.uniform(0.5, 2.0, size=200)
+    cols = {f"x{j}": x[:, j] for j in range(x.shape[1])}
+    cols["label"] = y.astype(float)
+    cols["w"] = w
+    df = spark.createDataFrame(pd.DataFrame(cols))
+    feats = [f"x{j}" for j in range(x.shape[1])]
+    fit = owl(x, y.astype(float), family="binomial", n_sigma=4)
+    a_np = score(fit, x, y.astype(float), measure="auc", weights=w)
+    a_spark = score(fit, df=df, feature_cols=feats, label_col="label",
+                    measure="auc", weights="w")
+    np.testing.assert_allclose(a_spark, a_np, atol=1e-12)
+
+
+def test_spark_auc_plan_has_no_window(spark):
+    """Scale gate (VERDICT r4 item 4): the distributed AUC must not rank
+    via an unpartitioned window (single-task sort); its frame is
+    range-partitioned and window-free."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.score import _auc_ranged_frame
+
+    x, y, _ = random_problem(n=50, p=3, response="binomial", seed=5)
+    df, feats = _to_spark(spark, x, y.astype(float))
+    probs = [F.col(feats[0]).cast("double"), F.col(feats[1]).cast("double")]
+    ranged = _auc_ranged_frame(df, F.col("label"), probs, None)
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
