@@ -1106,6 +1106,27 @@ class SparseArrowBackend(ArrowSparkBackend):
         xty = out[p_total * p_total:-1].reshape((p_total, m), order="F")
         return gram, xty, float(out[-1])
 
+    def xty_yty(self):
+        """The non-Gram two-thirds of ``gaussian_sufficient_stats`` —
+        for fits whose shared gram_cache already holds the p^2 matrix.
+        Per-batch arithmetic is identical to the fused pass; the small
+        partial skips the Gram pass's coalesce, so when the fused pass
+        WOULD have coalesced (large sf) the batch grouping differs and
+        sums can drift by an ulp — below every tolerance in play, and
+        at the oracle-checked scales no coalesce happens on either
+        path, so frozen goldens see bitwise-identical values."""
+        intercept, p_total, p_feat, m = (self.intercept, self.p_total,
+                                         self.p_feat, self.m)
+        xtgf = self._xtg
+
+        def batch(nrow, rows, cols, vals, Y):
+            xty = xtgf(p_feat, rows, cols, vals, Y, intercept)
+            return np.concatenate([xty.ravel(order="F"),
+                                   [float(np.sum(Y * Y))]])
+
+        out = self._partial_reduce(batch, p_total * m + 1)
+        return (out[:-1].reshape((p_total, m), order="F"), float(out[-1]))
+
     def eval_hess(self, beta: np.ndarray):
         fam = self.family.name
         b = np.ascontiguousarray(beta, dtype=np.float64)

@@ -112,7 +112,9 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         tol_abs: float = 1e-5, tol_rel: float = 1e-4,
         max_variables: int | None = None, max_passes: int = 10**6,
         tol_rel_gap: float = 1e-5, tol_infeas: float = 1e-3,
-        diagnostics: bool = False) -> OwlFit:
+        diagnostics: bool = False,
+        _prebuilt: tuple | None = None,
+        gram_cache: dict | None = None) -> OwlFit:
     """Fit a full regularization path of sorted-L1 penalized GLMs.
 
     Four input modes:
@@ -129,10 +131,29 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
       (R/owl.R:353-360); centering is rejected, scaling stays lazy.
 
     Mirrors the reference entry point R/owl.R:271-487.
+
+    ``_prebuilt=(backend, meta)`` injects an already-built backend —
+    used by callers that amortize ONE standardization/stats build
+    across several fits on the same design (e.g. the four wide-sparse
+    bench queries share one persisted encoded frame). ``gram_cache``:
+    a dict shared across such fits; the full scaled-X Gram is stored
+    under key "gram" by whichever fit computes it first and reused by
+    the fixed-majorization solvers of the rest (all consumers
+    accumulate it with the same per-batch closure over the same
+    partitioning, so the cached matrix is bitwise what each fit would
+    have computed itself).
     """
     fam = get_family(family)
 
-    if df is not None and sparse_features is not None:
+    if _prebuilt is not None:
+        backend, meta = _prebuilt
+        if center is None:
+            center = False
+        n = backend.n
+        p_feat = backend.p_orig if hasattr(backend, "p_orig") else (
+            backend.p_total - (1 if backend.intercept else 0))
+        m = backend.m
+    elif df is not None and sparse_features is not None:
         if sparse_p is None:
             raise ValueError("sparse_p (the feature dimension) is required "
                              "with sparse_features")
@@ -244,7 +265,21 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         # ONE distributed pass covers gram + X'y + ||y||^2, and the
         # gaussian lambda_max gradient |X^T y| is just the non-intercept
         # rows of X'y — the whole remaining fit is driver-local.
-        gram_full, xty_full, yty = backend.gaussian_sufficient_stats()
+        if (gram_cache is not None and "gram" in gram_cache
+                and hasattr(backend, "xty_yty")):
+            # a sibling fit on the same design already paid the p^2
+            # Gram pass; xty_yty mirrors the fused pass's per-batch
+            # arithmetic, so these values are bitwise identical to the
+            # full gaussian_sufficient_stats run
+            gram_full = gram_cache["gram"]
+            xty_full, yty = backend.xty_yty()
+        else:
+            gram_full, xty_full, yty = backend.gaussian_sufficient_stats()
+            if gram_cache is not None:
+                # seed sibling fits: _accum_gram is the same closure
+                # gram() uses, so this matrix is bitwise what they
+                # would compute themselves
+                gram_cache.setdefault("gram", gram_full)
         off = 1 if intercept else 0
         lam_max_grad = np.abs(xty_full[off:, :]).ravel(order="F")
     else:
@@ -274,7 +309,12 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         # (gaussian quadratic model, binomial/multinomial Bohning
         # bounds); narrow binomial and poisson refresh a local Hessian
         # every iteration and would waste this pass
-        gram_full = backend.gram()
+        if gram_cache is not None and "gram" in gram_cache:
+            gram_full = gram_cache["gram"]
+        else:
+            gram_full = backend.gram()
+            if gram_cache is not None:
+                gram_cache["gram"] = gram_full
 
     # -- null deviance ------------------------------------------------------
     # primal at beta=0 is closed-form for every family (no data pass):
