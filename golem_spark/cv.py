@@ -176,10 +176,23 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
 
     fit_kw = (dict(sparse_features=sparse_features, sparse_p=sparse_p)
               if sparse_features is not None else dict(feature_cols=feature_cols))
-    full_fits = {qv: owl(df=df, label_col=label_col,
-                         family=family, q=qv, n_sigma=n_sigma,
-                         **fit_kw, **owl_kwargs)
-                 for qv in qs}
+
+    # when the caller pins sigma, the sigma grid is known WITHOUT the
+    # full-data fit, so that fit no longer gates the fold cells — it
+    # joins the same thread pool instead of running as a serial prefix
+    # (the full fit is still produced: TrainedOwl.fit refits at best q)
+    pinned_sigma = owl_kwargs.get("sigma") is not None
+    sig_pinned = (np.atleast_1d(np.asarray(owl_kwargs["sigma"],
+                                           dtype=np.float64))
+                  if pinned_sigma else None)
+
+    def full_fit(qv):
+        return owl(df=df, label_col=label_col, family=family, q=qv,
+                   n_sigma=n_sigma, **fit_kw, **owl_kwargs)
+
+    full_fits: dict = {}
+    if not pinned_sigma:
+        full_fits = {qv: full_fit(qv) for qv in qs}
 
     cells = [(qv, fold, rep) for qv in qs for rep in range(repeats)
              for fold in range(number)]
@@ -193,7 +206,7 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
         fc = fold_expr(key_col, number, rep)
         train = df.filter(fc != fold)
         test = df.filter(fc == fold)
-        sig = full_fits[qv].sigma
+        sig = sig_pinned if pinned_sigma else full_fits[qv].sigma
         cell_fit = owl(df=train, label_col=label_col,
                        family=family, q=qv, sigma=sig, **fit_kw, **cell_kwargs)
         out = {}
@@ -207,9 +220,13 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                                 label_col=label_col, measure=m)
         return cell, out, cell_fit
 
-    if max_workers > 1:
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+    if max_workers > 1 or pinned_sigma:
+        mw = max_workers + (len(qs) if pinned_sigma else 0)
+        with ThreadPoolExecutor(max_workers=max(mw, 2)) as pool:
+            full_futs = ({qv: pool.submit(full_fit, qv) for qv in qs}
+                         if pinned_sigma else {})
             raw = list(pool.map(run_cell, cells))
+            full_fits.update({qv: f.result() for qv, f in full_futs.items()})
     else:
         raw = [run_cell(c) for c in cells]
     results = [(cell, out) for cell, out, _ in raw]
