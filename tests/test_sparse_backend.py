@@ -309,3 +309,36 @@ def test_fused_sigma_max_gradient_matches_pass(spark):
             assert np.allclose(fused, by_pass, rtol=1e-10), fam
         finally:
             be.unpersist()
+
+
+def test_sparse_ultrawide_local_equals_spark(spark):
+    """p = 10^4 certification (VERDICT r4 item 7): the distributed CSR
+    Arrow backend and the driver-local sparse backend run the SAME
+    pure-numpy kernels through the same wide-p prox-Newton path
+    (p_total > 2000 so gaussian routes off ADMM) — coefficients must
+    agree tightly well beyond the p=807 wide queries."""
+    rng = np.random.default_rng(77)
+    n, p, nnz = 400, 10_000, 6
+    idx = [sorted(rng.choice(p, size=nnz, replace=False).tolist())
+           for _ in range(n)]
+    val = [rng.uniform(0.5, 2.0, size=nnz).tolist() for _ in range(n)]
+    beta_true = np.zeros(p)
+    hot = rng.choice(p, size=12, replace=False)
+    beta_true[hot] = rng.normal(0.0, 2.0, size=12)
+    y = np.array([sum(v * beta_true[j] for j, v in zip(ix, vv))
+                  for ix, vv in zip(idx, val)])
+    y += rng.normal(0.0, 0.1, size=n)
+
+    fl = owl(x=list(zip(idx, val)), y=y, sparse_p=p, family="gaussian",
+             n_sigma=3)
+    df = spark.createDataFrame(pd.DataFrame({"idx": idx, "val": val,
+                                             "label": list(y)}))
+    fs = owl(df=df, sparse_features=("idx", "val"), sparse_p=p,
+             label_col="label", family="gaussian", sigma=fl.sigma)
+    assert fl.coefficients.shape[0] == p + 1
+    K = min(fl.n_sigma, fs.n_sigma)
+    np.testing.assert_allclose(fs.coefficients[:, :, :K],
+                               fl.coefficients[:, :, :K],
+                               rtol=1e-6, atol=1e-8)
+    # the path actually selects features at this width
+    assert (np.abs(fl.coefficients[1:, :, K - 1]) > 0).sum() > 0
