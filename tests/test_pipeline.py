@@ -130,6 +130,47 @@ def test_feature_extract_prunes_blob_column(spark, docs):
     assert "payload" not in out.columns
 
 
+def test_registered_codec_drives_real_decode_path(spark, docs):
+    """Codec plug point (VERDICT r4 item 10): a registered codec flows
+    through decode_media AND the distributed decoded_features
+    mapInPandas path; unregistering restores the honest stub."""
+    import numpy as np
+
+    def codec(payload, meta):
+        # deterministic "decoder": bytes -> scaled float array
+        return np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
+
+    multimodal.register_codec("image/", codec)
+    multimodal.register_codec("audio/", codec)
+    try:
+        # driver-side decode resolves via longest prefix
+        arr = multimodal.decode_media(b"abc", "image/png")
+        np.testing.assert_allclose(arr, np.array([97, 98, 99]) / 255.0,
+                                   rtol=1e-6)
+        # distributed path: every row decoded inside the Arrow pass
+        media = multimodal.attach_fake_media(docs)
+        out = {r["doc_id"]: r for r in
+               multimodal.decoded_features(media).collect()}
+        assert len(out) == 7
+        payload = "the quick brown fox jumps over the lazy dog".encode()
+        expect = codec(payload, {}).astype(np.float64)
+        np.testing.assert_allclose(out[0]["feat"][0], expect.mean(),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out[0]["feat"][1], expect.std(),
+                                   rtol=1e-6)
+        assert len(out[0]["feat"]) == 8
+        # identical payloads -> identical decoded features
+        assert out[0]["feat"] == out[1]["feat"]
+    finally:
+        multimodal.unregister_codec("image/")
+        multimodal.unregister_codec("audio/")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image/png")
+    with pytest.raises(Exception):
+        multimodal.decoded_features(
+            multimodal.attach_fake_media(docs)).collect()
+
+
 def test_ivf_kmeans_seeds_beat_first_n_on_clustered_data(spark):
     """Learned IVF seeds (driver-sample spherical k-means) must beat the
     first-n-vectors seeding on clustered embeddings when queries are NOT
