@@ -590,3 +590,47 @@ def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
                     F.round(F.col("n_shared")
                             / F.greatest(F.col("n_chunks"), F.lit(1)), 6)
                     .alias("dup_frac")))
+
+
+def benchmark_containment(corpus: DataFrame, benchmark: DataFrame,
+                          n: int = 3, text_col: str = "text") -> DataFrame:
+    """Fuzzy decontamination score: per corpus document, the fraction
+    of ITS distinct word n-grams that appear anywhere in the benchmark
+    set — containment(doc) = |grams(doc) ∩ grams(bench)| / |grams(doc)|.
+    The dual of :func:`contamination_check` (which normalizes by the
+    probe's grams): containment catches train documents that quote part
+    of an eval item even when the eval item is much longer.
+
+    Scale shape: the benchmark is an eval suite, not a corpus — its
+    DISTINCT gram set broadcasts; the corpus is one scan + explode, the
+    membership join is map-side, and per-doc counts reduce with a
+    combinable groupBy. Docs with zero matched grams are preserved via
+    a left join (containment 0.0)."""
+    grams = _ngrams_concat(tokens_col(text_col), n)
+    corpus_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
+    bench_grams = (benchmark.select(F.explode(grams).alias("gram"))
+                   .distinct())
+    matched = (corpus_grams
+               .join(F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+                     "gram", "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .cast("long").alias("n_matched")))
+    return matched.select(
+        "doc_id", "n_grams", "n_matched",
+        F.round(F.col("n_matched").cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                6).alias("containment"))
+
+
+def cluster_stats(components: DataFrame, rep_col: str = "rep") -> DataFrame:
+    """Dedup-cluster bookkeeping over :func:`dup_components` output:
+    one row per near-duplicate cluster — representative, size, id
+    range — the numbers a dedup pass reports before dropping
+    non-representatives. One combinable groupBy on the rep key."""
+    return (components.groupBy(rep_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("size"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.max("doc_id").cast("long").alias("max_doc"))
+            .withColumn("n_dropped", (F.col("size") - 1).cast("long")))

@@ -2538,3 +2538,92 @@ _add(
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
+
+
+# -- round-5 additions: curation / decontamination bookkeeping --------------
+
+_add(
+    "p89_benchmark_containment",
+    lambda t: dedup.benchmark_containment(
+        t["documents"], t["documents"].filter(F.col("doc_id") < 10), n=3)
+    .orderBy("doc_id"),
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+      FROM w),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+    SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_matched,
+           ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / greatest(COUNT(*), 1)::DOUBLE, 6) AS containment
+    FROM g LEFT JOIN b ON g.gram = b.gram
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+
+_add(
+    "p90_token_budget_pack",
+    lambda t: text.token_budget_pack(
+        t["documents"].select("doc_id", "source", "n_chars"), budget=3000)
+    .orderBy("doc_id"),
+    """
+    SELECT doc_id, source, n_chars,
+           (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING)
+            - n_chars)::BIGINT AS cum_before,
+           CASE WHEN (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                      - n_chars) < 3000 THEN 1 ELSE 0 END AS kept
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p91_corpus_mix_report",
+    lambda t: text.corpus_mix_report(t["documents"])
+    .orderBy("source", "lang"),
+    """
+    WITH per AS (
+      SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_chars)::BIGINT AS mass
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, mass,
+           ROUND(mass::DOUBLE / (SELECT SUM(mass) FROM per)::DOUBLE, 6)
+             AS share
+    FROM per ORDER BY source, lang
+    """,
+)
+
+_add(
+    "p92_dup_cluster_stats",
+    lambda t: dedup.cluster_stats(
+        dedup.dup_components(dedup.minhash_lsh_pairs(t["documents"])))
+    .orderBy("rep"),
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs),
+    reach AS (
+      SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM edges) t
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.y),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node)
+    SELECT rep::BIGINT AS rep, COUNT(*)::BIGINT AS size,
+           MIN(doc_id)::BIGINT AS min_doc, MAX(doc_id)::BIGINT AS max_doc,
+           (COUNT(*) - 1)::BIGINT AS n_dropped
+    FROM comp GROUP BY rep ORDER BY rep
+    """,
+)

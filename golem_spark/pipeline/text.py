@@ -630,3 +630,42 @@ def fuzzy_vocab_pairs(df: DataFrame, text_col: str, max_dist: int = 1,
     return (cand.withColumn("dist", dist)
             .filter(F.col("dist") <= max_dist)
             .orderBy("word_a", "word_b"))
+
+
+def token_budget_pack(df: DataFrame, budget: int, count_col: str = "n_chars",
+                      group_col: str = "source",
+                      order_col: str = "doc_id") -> DataFrame:
+    """Per-group token-budget curation: lay documents out in
+    ``order_col`` order within each group and keep those whose
+    EXCLUSIVE prefix sum of ``count_col`` is still under ``budget`` —
+    the standard per-domain token-cap step of a pretraining mix.
+
+    Scale shape: one partitioned window per group (groups are domains /
+    sources — thousands of parallel partitions, never a global sort);
+    emits the running total so downstream mixing can re-weight without
+    recounting."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum_before = F.sum(F.col(count_col)).over(w) - F.col(count_col)
+    return (df
+            .withColumn("cum_before", cum_before.cast("long"))
+            .withColumn("kept", (F.col("cum_before") < F.lit(budget))
+                        .cast("int")))
+
+
+def corpus_mix_report(df: DataFrame, count_col: str = "n_chars") -> DataFrame:
+    """Data-card mix report: per (source, lang) document counts, token
+    mass, and share of the total corpus — the table every training-mix
+    decision starts from. One combinable groupBy plus a broadcast of
+    the single global total."""
+    per = (df.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col(count_col)).cast("long").alias("mass")))
+    total = per.agg(F.sum("mass").alias("__tot"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("source", "lang", "n_docs", "mass",
+                    F.round(F.col("mass").cast("double")
+                            / F.col("__tot").cast("double"), 6)
+                    .alias("share")))
