@@ -2627,3 +2627,59 @@ _add(
     FROM comp GROUP BY rep ORDER BY rep
     """,
 )
+
+
+def _sampled_quantiles_query(t):
+    """Sample-based quantile estimation — the scale pattern for 'what
+    does the length/price distribution look like' over 100 TB: exact
+    per-group quantiles on a DETERMINISTIC md5 unit sample (stable
+    under rerun/repartition, unlike df.sample) audited against the
+    exact full-data quantiles. The sample side is the production path;
+    the exact side is the self-audit this query carries."""
+    li = t["lineitem"]
+    qs = [0.5, 0.9]
+    exact = (relational.group_quantiles(li, "l_returnflag",
+                                        "l_extendedprice", qs)
+             .withColumnRenamed("value", "exact_value"))
+    samp = (relational.group_quantiles(
+        relational.hash_sample(li, "l_orderkey", 0.1, seed=3),
+        "l_returnflag", "l_extendedprice", qs)
+        .withColumnRenamed("value", "sample_value"))
+    rel_err = (F.abs(F.col("sample_value") - F.col("exact_value"))
+               / F.col("exact_value"))
+    return (exact.join(samp, ["l_returnflag", "q"])
+            .select("l_returnflag", "q", "exact_value", "sample_value",
+                    F.round(rel_err, 6).alias("rel_err"))
+            .orderBy("l_returnflag", "q"))
+
+
+_add(
+    "p93_sampled_quantiles",
+    _sampled_quantiles_query,
+    f"""
+    WITH f AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    s AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+      WHERE {_DUCK_MD5INT.format(x="concat(l_orderkey::VARCHAR, '_3')")}
+            < CAST(0.1 * 1152921504606846976 AS BIGINT)),
+    ex AS (
+      SELECT g, 0.5 AS q,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS exact_value
+      FROM f GROUP BY g
+      UNION ALL
+      SELECT g, 0.9,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY v) FROM f GROUP BY g),
+    sa AS (
+      SELECT g, 0.5 AS q,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS sample_value
+      FROM s GROUP BY g
+      UNION ALL
+      SELECT g, 0.9,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY v) FROM s GROUP BY g)
+    SELECT g AS l_returnflag, q, exact_value, sample_value,
+           ROUND(ABS(sample_value - exact_value) / exact_value, 6) AS rel_err
+    FROM ex JOIN sa USING (g, q)
+    ORDER BY l_returnflag, q
+    """,
+)

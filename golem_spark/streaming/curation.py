@@ -1,0 +1,81 @@
+"""Streaming corpus curation: per-source token-budget admission.
+
+The streaming twin of text.token_budget_pack — documents arrive as a
+stream, and each source's running character total is explicit state
+(applyInPandasWithState): a document is ADMITTED while the source's
+exclusive prefix total is still under budget. This is the shape of an
+online ingestion gate: state is O(distinct sources) (one counter each),
+partitioned by the grouping key, regardless of corpus size.
+
+Within a micro-batch documents are processed in doc_id order, so on an
+in-order feed the admitted set is identical to the batch operator's —
+asserted by the stream==batch test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+               "n_chars long")
+OUTPUT_SCHEMA = ("doc_id long, source string, n_chars long, "
+                 "cum_before long, kept int")
+STATE_SCHEMA = "cum long"
+
+
+def budget_admission(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-source admission under a character budget."""
+
+    def admit(key, pdfs: Iterable[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            n = pdf["n_chars"].astype("int64")
+            cum_before = cum + n.cumsum() - n
+            cum = int(cum + n.sum())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": source,
+                "n_chars": n,
+                "cum_before": cum_before.astype("int64"),
+                "kept": (cum_before < budget).astype("int32"),
+            })
+        state.update((cum,))
+
+    return (docs.groupBy("source")
+            .applyInPandasWithState(
+                admit,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_budget_admission_stream(spark: SparkSession, docs_path: str,
+                                budget: int,
+                                query_name: str = "budget_admission"
+                                ) -> DataFrame:
+    """Drive the admission gate over all available documents."""
+    import os
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.load(docs_path)
+    out = budget_admission(stream, budget)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

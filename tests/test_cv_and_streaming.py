@@ -174,3 +174,22 @@ def test_streaming_neardup_matches_batch_candidates(spark):
                for r in minhash_lsh_pairs(docs).collect()}
     assert len(b_pairs) > 0
     assert s_pairs == b_pairs
+
+
+def test_budget_admission_stream_matches_batch(spark):
+    """Streaming per-source token-budget admission == the batch
+    token_budget_pack on an in-order feed (state = one counter per
+    source, O(sources) regardless of corpus size)."""
+    from golem_spark.pipeline.text import token_budget_pack
+    from golem_spark.streaming.curation import run_budget_admission_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+             token_budget_pack(docs.select("doc_id", "source", "n_chars"),
+                               budget=3000).collect()}
+    stream = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+              run_budget_admission_stream(
+                  spark, f"{sf_dir}/documents.parquet", budget=3000).collect()}
+    assert batch == stream
+    assert any(k == 0 for _, k in batch.values())  # budget actually binds

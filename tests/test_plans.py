@@ -205,3 +205,17 @@ def test_bm25_broadcasts_scalars_and_filters_query_tokens(tables):
     plan = _plan(bm25_score(tables["documents"], ["join", "hash", "scan"]))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benchmark_containment_broadcasts_benchmark(spark):
+    """p89 scale gate: the benchmark gram set must broadcast (map-side
+    membership join) — a SortMergeJoin here would shuffle the entire
+    exploded corpus gram frame at 100 TB."""
+    from golem_spark.pipeline.dedup import benchmark_containment
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    q = benchmark_containment(docs, docs.filter(docs.doc_id < 10), n=3)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
