@@ -71,9 +71,14 @@ def _verification_rank() -> dict[str, int]:
 
 def _rotated(names: list[str]) -> list[str]:
     rank = _verification_rank()
-    # stable sort: never-verified first (rank -1), then oldest round first;
-    # registration order breaks ties so the ordering is deterministic.
-    return sorted(names, key=lambda n: rank.get(n, -1))
+    # never-verified first (rank -1), then oldest-verified round first.
+    # Tie-breaks: among never-verified, NEWEST registration first — a
+    # freshly added query is the riskiest and should reach the driver's
+    # gate in its first round; among verified ones, registration order.
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (
+        rank.get(n, -1),
+        -idx[n] if n not in rank else idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -226,3 +226,19 @@ def test_freeze_guard_refuses_on_failing_stat_oracles(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     with pytest.raises(SystemExit, match="refusing"):
         freeze_glm.run_stat_oracles()
+
+
+def test_driver_rotation_puts_unverified_first():
+    """The driver's correctness gate checks only the HEAD of queries();
+    ordering must put never-driver-verified queries first (newest
+    registration first within them) so every query reaches the gate
+    within a couple of rounds (VERDICT r4 item 3)."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    rank = entry._verification_rank()
+    ranks = [rank.get(n, -1) for n in names]
+    # sorted by rank: all -1 (never-verified) before any verified round
+    assert ranks == sorted(ranks)
+    assert set(names) == set(entry.oracle_sql())
+    assert names == list(entry.oracle_sql())
