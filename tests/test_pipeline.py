@@ -838,3 +838,47 @@ def test_fuzzy_vocab_pairs_finds_all_dist1(spark):
     assert ("cart", "cat") in pairs       # deletion
     assert ("hello", "hullo") in pairs    # substitution
     assert not any("zzz" in p for p in pairs)
+
+
+def test_benchmark_containment_bounds_and_self(spark, docs):
+    """Containment is in [0,1]; benchmark members contain themselves
+    fully (every gram of a benchmark doc is in the benchmark set)."""
+    out = {r["doc_id"]: r for r in dedup.benchmark_containment(
+        docs, docs.filter(docs.doc_id < 3), n=3).collect()}
+    for r in out.values():
+        assert 0.0 <= r["containment"] <= 1.0
+        assert 0 <= r["n_matched"] <= r["n_grams"]
+    for d in (0, 1, 2):
+        assert out[d]["containment"] == 1.0
+
+
+def test_token_budget_pack_respects_budget(spark, docs):
+    from golem_spark.pipeline.text import token_budget_pack
+
+    budget = 150
+    rows = token_budget_pack(docs.select("doc_id", "source", "n_chars"),
+                             budget=budget).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["cum_before"] == cum
+            assert r["kept"] == (1 if cum < budget else 0)
+            cum += r["n_chars"]
+        kept_mass = sum(r["n_chars"] for r in rs if r["kept"])
+        # kept mass exceeds the budget by at most the final admitted doc
+        assert kept_mass < budget + max(r["n_chars"] for r in rs)
+
+
+def test_cluster_stats_consistent_with_components(spark, docs):
+    comps = dedup.dup_components(dedup.minhash_lsh_pairs(docs))
+    stats = dedup.cluster_stats(comps).collect()
+    n_docs = comps.count()
+    assert sum(r["size"] for r in stats) == n_docs
+    for r in stats:
+        assert r["min_doc"] == r["rep"]  # rep is the min label
+        assert r["n_dropped"] == r["size"] - 1
+        assert r["size"] >= 2  # components only exist for paired docs
