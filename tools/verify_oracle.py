@@ -84,13 +84,17 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("verify_oracle")
     con = duck_connect(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -103,6 +107,7 @@ def main():
             problems = compare(name, sdf, drel)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        record[name] = {"ok": not problems, "problems": problems}
         if problems:
             n_fail += 1
             print(f"FAIL {name}")
@@ -111,6 +116,15 @@ def main():
         else:
             print(f"OK   {name}")
     print(f"\n{len(qs) - n_fail}/{len(qs)} passing at {sf_dir}")
+    if json_path:
+        # full-surface evidence artifact: the driver's gate caps at 50
+        # queries, this records every oracle pair's local result
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_pass": len(qs) - n_fail,
+                       "n_total": len(qs), "queries": record}, fh, indent=1)
+        print(f"wrote {json_path}")
     sys.exit(1 if n_fail else 0)
 
 
