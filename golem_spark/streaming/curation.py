@@ -79,3 +79,33 @@ def run_budget_admission_stream(spark: SparkSession, docs_path: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_contamination_stream(spark: SparkSession, docs_path: str,
+                             probe, n: int = 3, min_overlap: float = 0.3,
+                             query_name: str = "contamination"):
+    """Streaming benchmark decontamination: documents stream in, the
+    probe (eval-suite) gram set is STATIC and broadcast — the
+    stream-static join is stateless and map-side, exactly the batch
+    operator's shape. The per-(doc, probe) overlap aggregation keeps
+    state per flagged pair; at production scale bound it with an
+    event-time watermark (docs here carry none), which is why this
+    helper is a drive-everything-once gate like its batch twin.
+    """
+    import os
+
+    from golem_spark.pipeline.dedup import contamination_check
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.load(docs_path)
+    out = contamination_check(stream, probe, n=n, min_overlap=min_overlap)
+    q = (out.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -193,3 +193,24 @@ def test_budget_admission_stream_matches_batch(spark):
                   spark, f"{sf_dir}/documents.parquet", budget=3000).collect()}
     assert batch == stream
     assert any(k == 0 for _, k in batch.values())  # budget actually binds
+
+
+def test_contamination_stream_matches_batch(spark):
+    """Stream-static broadcast decontamination == the batch operator:
+    the probe gram set is static/broadcast, the streaming side is a
+    stateless explode + map-side join."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.dedup import contamination_check
+    from golem_spark.streaming.curation import run_contamination_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 13 == 0)
+    batch = {(r["doc_id"], r["probe_id"]): r["overlap"] for r in
+             contamination_check(docs, probe, n=3, min_overlap=0.3).collect()}
+    stream = {(r["doc_id"], r["probe_id"]): r["overlap"] for r in
+              run_contamination_stream(
+                  spark, f"{sf_dir}/documents.parquet", probe).collect()}
+    assert batch == stream
+    assert len(batch) > 0
