@@ -2718,3 +2718,12 @@ _add(
     ORDER BY l_returnflag, q
     """,
 )
+
+
+_add(
+    "p94_join_size_estimate",
+    lambda t: sketch.kmv_join_estimate(
+        t["orders"], "o_orderkey", t["lineitem"], "l_orderkey", k=128),
+    sketch.kmv_join_estimate_sql("orders", "o_orderkey",
+                                 "lineitem", "l_orderkey", 128, 0),
+)

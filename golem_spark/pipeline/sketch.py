@@ -374,3 +374,132 @@ def kmv_distinct_by_group(df: DataFrame, group_col: str, col: str,
     exact = df.groupBy(group_col).agg(
         F.countDistinct(F.col(col)).alias("exact_distinct"))
     return est.join(F.broadcast(exact), group_col)
+
+
+def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
+                      col_b: str, k: int = 128, seed: int = 0) -> DataFrame:
+    """Join-cardinality estimation from KMV sketches (Beyer et al.
+    SIGMOD'07 multi-set extension) — the optimizer-statistics shape:
+    estimate |A JOIN B| BEFORE running the join, from two k-sized
+    sketches plus each side's row count.
+
+    Math: sketch each side's DISTINCT key hashes (k smallest, shared
+    hash so sketches are comparable); the k smallest of the sketch
+    UNION estimate |keys(A) ∪ keys(B)|; the fraction p/k of those
+    present in BOTH sketches estimates Jaccard; intersection ≈ J·U;
+    per-key-uniform multiplicity (n_rows/distinct per side) turns key
+    overlap into an expected join row count. The exact join count rides
+    along as the self-audit — at production scale you never pay it.
+
+    Scale shape: each side contributes ONE distinct+TakeOrdered pass
+    (k rows per partition cross the shuffle); everything after is
+    k-row-frame algebra on broadcasts. Estimates are derived from
+    ROUNDED components in a fixed expression order, so the emitted
+    numbers are reproducible bit-for-bit across engines.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def kmin(df, col):
+        h = _md5_int(F.concat_ws("_", F.col(col).cast("string"),
+                                 F.lit(str(seed))))
+        return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+    ka = kmin(dfa, col_a).persist()
+    kb = kmin(dfb, col_b).persist()
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    both = ka.join(kb, "h")  # hashes in BOTH sketches
+
+    def est_expr(cnt_col, kth_col):
+        return F.round(
+            F.when(F.col(cnt_col) < k, F.col(cnt_col).cast("double"))
+            .otherwise((F.lit(float(k - 1)) * F.lit(_TWO60))
+                       / F.col(kth_col).cast("double")), 6)
+
+    stats = (ka.agg(F.max("h").alias("kth_a"), F.count("*").alias("na_k"))
+             .crossJoin(F.broadcast(
+                 kb.agg(F.max("h").alias("kth_b"),
+                        F.count("*").alias("nb_k"))))
+             .crossJoin(F.broadcast(
+                 ku.agg(F.max("h").alias("kth_u"),
+                        F.count("*").alias("nu_k"))))
+             .crossJoin(F.broadcast(
+                 ku.join(both.select("h"), "h")
+                 .agg(F.count("*").alias("p"))))
+             .crossJoin(F.broadcast(
+                 dfa.agg(F.count("*").alias("rows_a"))))
+             .crossJoin(F.broadcast(
+                 dfb.agg(F.count("*").alias("rows_b"))))
+             .crossJoin(F.broadcast(
+                 dfa.select(F.col(col_a).alias("jk")).join(
+                     dfb.select(F.col(col_b).alias("jk")), "jk")
+                 .agg(F.count("*").alias("exact_join_rows")))))
+    est = stats.select(
+        F.lit(k).cast("long").alias("k"),
+        est_expr("na_k", "kth_a").alias("est_keys_a"),
+        est_expr("nb_k", "kth_b").alias("est_keys_b"),
+        est_expr("nu_k", "kth_u").alias("est_union"),
+        F.round(F.col("p").cast("double")
+                / F.least(F.col("nu_k"), F.lit(k)).cast("double"),
+                6).alias("jaccard"),
+        "rows_a", "rows_b", "exact_join_rows")
+    # combine ROUNDED components in a fixed order (cross-engine stable)
+    est_join = F.round(
+        F.col("jaccard") * F.col("est_union")
+        * (F.col("rows_a").cast("double") / F.col("est_keys_a"))
+        * (F.col("rows_b").cast("double") / F.col("est_keys_b")), 3)
+    out = est.select(
+        "k", "est_keys_a", "est_keys_b", "est_union", "jaccard",
+        est_join.alias("est_join_rows"), "exact_join_rows",
+        F.round((est_join - F.col("exact_join_rows"))
+                / F.col("exact_join_rows"), 6).alias("rel_err"))
+    return out
+
+
+def kmv_join_estimate_sql(table_a: str, col_a: str, table_b: str,
+                          col_b: str, k: int = 128, seed: int = 0) -> str:
+    """DuckDB oracle for :func:`kmv_join_estimate` — same hash, same
+    rounded-component combination order."""
+    def h(c):
+        return (f"(('0x' || substr(md5(concat_ws('_', CAST({c} AS VARCHAR), "
+                f"'{seed}')), 1, 15))::BIGINT)")
+
+    def est(cnt, kth):
+        return (f"ROUND(CASE WHEN {cnt} < {k} THEN {cnt}::DOUBLE "
+                f"ELSE ({float(k - 1)} * {_TWO60}) / {kth}::DOUBLE END, 6)")
+
+    return f"""
+    WITH ka AS (SELECT DISTINCT {h(col_a)} AS h FROM {table_a}
+                ORDER BY h LIMIT {k}),
+    kb AS (SELECT DISTINCT {h(col_b)} AS h FROM {table_b}
+           ORDER BY h LIMIT {k}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL
+                                   SELECT h FROM kb)
+           ORDER BY h LIMIT {k}),
+    inboth AS (SELECT ka.h FROM ka JOIN kb USING (h)),
+    comp AS (
+      SELECT (SELECT MAX(h) FROM ka) AS kth_a, (SELECT COUNT(*) FROM ka) AS na_k,
+             (SELECT MAX(h) FROM kb) AS kth_b, (SELECT COUNT(*) FROM kb) AS nb_k,
+             (SELECT MAX(h) FROM ku) AS kth_u, (SELECT COUNT(*) FROM ku) AS nu_k,
+             (SELECT COUNT(*) FROM ku JOIN inboth USING (h)) AS p,
+             (SELECT COUNT(*) FROM {table_a}) AS rows_a,
+             (SELECT COUNT(*) FROM {table_b}) AS rows_b,
+             (SELECT COUNT(*) FROM {table_a} a JOIN {table_b} b
+              ON a.{col_a} = b.{col_b}) AS exact_join_rows),
+    est AS (
+      SELECT {k}::BIGINT AS k,
+             {est("na_k", "kth_a")} AS est_keys_a,
+             {est("nb_k", "kth_b")} AS est_keys_b,
+             {est("nu_k", "kth_u")} AS est_union,
+             ROUND(p::DOUBLE / least(nu_k, {k})::DOUBLE, 6) AS jaccard,
+             rows_a, rows_b, exact_join_rows
+      FROM comp)
+    SELECT k, est_keys_a, est_keys_b, est_union, jaccard,
+           ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
+                 * (rows_b::DOUBLE / est_keys_b), 3) AS est_join_rows,
+           exact_join_rows,
+           ROUND((ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
+                        * (rows_b::DOUBLE / est_keys_b), 3)
+                  - exact_join_rows) / exact_join_rows, 6) AS rel_err
+    FROM est
+    """
