@@ -2727,3 +2727,72 @@ _add(
     sketch.kmv_join_estimate_sql("orders", "o_orderkey",
                                  "lineitem", "l_orderkey", 128, 0),
 )
+
+
+def _cross_source_dup_query(t, spark=None, sf_dir=None):
+    """Provenance-leakage audit: what fraction of near-duplicate pairs
+    CROSS source boundaries (same content syndicated under different
+    provenance — the pairs a per-source dedup would miss). Reuses the
+    shared MinHash pair frame; two broadcast-sized joins to documents'
+    (doc_id, source) projection."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    lab = (pairs
+           .join(docs.select(F.col("doc_id").alias("doc_a"),
+                             F.col("source").alias("src_a")), "doc_a")
+           .join(docs.select(F.col("doc_id").alias("doc_b"),
+                             F.col("source").alias("src_b")), "doc_b"))
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0))
+        .cast("long").alias("n_cross"),
+        F.round(F.avg(F.when(F.col("src_a") != F.col("src_b"), 1.0)
+                      .otherwise(0.0)), 6).alias("cross_rate"))
+
+
+_add(
+    "p95_cross_source_dups",
+    _cross_source_dup_query,
+    f"""
+    WITH {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    lab AS (
+      SELECT da.source AS src_a, db.source AS src_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.doc_a
+      JOIN documents db ON db.doc_id = pairs.doc_b)
+    SELECT COUNT(*)::BIGINT AS n_pairs,
+           SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)::BIGINT
+             AS n_cross,
+           ROUND(AVG(CASE WHEN src_a <> src_b THEN 1.0 ELSE 0.0 END), 6)
+             AS cross_rate
+    FROM lab
+    """,
+)
+
+_add(
+    "p96_source_kl_drift",
+    lambda t: text.unigram_kl(t["documents"], "src0", "src1"),
+    r"""
+    WITH t AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')),
+    c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    a AS (SELECT tok, cnt AS ca FROM c WHERE source = 'src0'),
+    b AS (SELECT tok, cnt AS cb FROM c WHERE source = 'src1'),
+    j AS (
+      SELECT COALESCE(a.tok, b.tok) AS tok,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+    tt AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v FROM j),
+    sm AS (
+      SELECT (ca + 0.5) / (ta + 0.5 * v) AS pa,
+             (cb + 0.5) / (tb + 0.5 * v) AS pb
+      FROM j, tt)
+    SELECT COUNT(*)::BIGINT AS vocab,
+           ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
+           ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba
+    FROM sm
+    """,
+)

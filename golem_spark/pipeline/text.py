@@ -669,3 +669,42 @@ def corpus_mix_report(df: DataFrame, count_col: str = "n_chars") -> DataFrame:
                     F.round(F.col("mass").cast("double")
                             / F.col("__tot").cast("double"), 6)
                     .alias("share")))
+
+
+def unigram_kl(df: DataFrame, source_a: str, source_b: str,
+               k_smooth: float = 0.5, text_col: str = "text") -> DataFrame:
+    """Token-distribution drift between two sources: symmetric KL
+    divergence of add-k-smoothed unigram distributions — the signal for
+    'did this source's content shift' in a corpus refresh.
+
+    Scale shape: two combinable token-count groupBys over the union
+    vocabulary (full-outer joined), one smoothing pass, k-row driver
+    result. No per-document work survives the first groupBy."""
+    toks = (df.filter(F.col("source").isin([source_a, source_b]))
+            .select("source", F.explode(tokens_col(text_col)).alias("tok")))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    a = (counts.filter(F.col("source") == source_a)
+         .select("tok", F.col("cnt").alias("ca")))
+    b = (counts.filter(F.col("source") == source_b)
+         .select("tok", F.col("cnt").alias("cb")))
+    joined = (a.join(b, "tok", "full_outer")
+              .select("tok",
+                      F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+                      F.coalesce(F.col("cb"), F.lit(0)).alias("cb")))
+    tot = joined.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+                     F.count(F.lit(1)).alias("v"))
+    sm = (joined.crossJoin(F.broadcast(tot))
+          .select("tok", "ca", "cb",
+                  ((F.col("ca") + F.lit(k_smooth))
+                   / (F.col("ta") + F.lit(k_smooth) * F.col("v")))
+                  .alias("pa"),
+                  ((F.col("cb") + F.lit(k_smooth))
+                   / (F.col("tb") + F.lit(k_smooth) * F.col("v")))
+                  .alias("pb")))
+    return sm.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))),
+                6).alias("kl_ab"),
+        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))),
+                6).alias("kl_ba"))
