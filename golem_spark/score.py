@@ -276,22 +276,31 @@ def _score_sparse(fit: OwlFit, df: DataFrame, sparse_features, label_col,
 # Spark scoring
 # ---------------------------------------------------------------------------
 
-def _auc_ranged_frame(df: DataFrame, y01, probs: list, weight_col):
+def _auc_ranged_frame(df: DataFrame, y01, probs: list, weight_col,
+                      weights_per_k: list | None = None):
     """Build the range-partitioned (k, prob, pos, w) frame the one-pass
     AUC reduction runs over — exposed separately so plan tests can
     assert it contains NO WindowExec (a naive rank needs
     ``Window.orderBy(prob)``, which collapses the corpus onto one
-    task)."""
-    w = (F.col(weight_col).cast("double") if weight_col is not None
-         else F.lit(1.0))
-    scored = df.select(y01.cast("double").alias("pos"), w.alias("w"),
-                       *[probs[k].alias(f"p{k}") for k in range(len(probs))])
+    task). ``weights_per_k`` gives each stacked entry its OWN weight
+    expression — several weightings of the same scores reduce in one
+    job (e.g. weighted + unweighted AUC)."""
+    if weights_per_k is None:
+        w = (F.col(weight_col).cast("double") if weight_col is not None
+             else F.lit(1.0))
+        weights_per_k = [w] * len(probs)
+    scored = df.select(y01.cast("double").alias("pos"),
+                       *[probs[k].alias(f"p{k}") for k in range(len(probs))],
+                       *[weights_per_k[k].cast("double").alias(f"w{k}")
+                         for k in range(len(probs))])
     stacked = scored.select(
-        "pos", "w",
+        "pos",
         F.explode(F.array(*[
-            F.struct(F.lit(k).alias("k"), F.col(f"p{k}").alias("prob"))
+            F.struct(F.lit(k).alias("k"), F.col(f"p{k}").alias("prob"),
+                     F.col(f"w{k}").alias("w"))
             for k in range(len(probs))])).alias("kp")
-    ).select("pos", "w", F.col("kp.k").alias("k"), F.col("kp.prob").alias("prob"))
+    ).select("pos", F.col("kp.k").alias("k"), F.col("kp.prob").alias("prob"),
+             F.col("kp.w").alias("w"))
     # equal (k, prob) keys land in ONE partition under range
     # partitioning, so every tie group is partition-local and the
     # per-partition scan below sees complete groups
@@ -301,7 +310,8 @@ def _auc_ranged_frame(df: DataFrame, y01, probs: list, weight_col):
 
 
 def _spark_auc_all(df: DataFrame, y01, probs: list,
-                   weight_col: str | None = None) -> np.ndarray:
+                   weight_col: str | None = None,
+                   weights_per_k: list | None = None) -> np.ndarray:
     """(Weighted) rank AUC for ALL K path points in ONE distributed pass.
 
     Scale shape: the naive form ranks via an unpartitioned
@@ -322,7 +332,7 @@ def _spark_auc_all(df: DataFrame, y01, probs: list,
     import pandas as pd
 
     K = len(probs)
-    ranged = _auc_ranged_frame(df, y01, probs, weight_col)
+    ranged = _auc_ranged_frame(df, y01, probs, weight_col, weights_per_k)
 
     def op(batches):
         # rows arrive sorted by (k, prob); carry the open tie group
