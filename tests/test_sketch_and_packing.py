@@ -232,3 +232,41 @@ def test_winsorize_clips_only_tails(spark):
     # percentile_disc(0.1) of 1..20 = 2; (0.9) = 18
     assert out[1] == 2.0 and out[20] == 18.0
     assert out[10] == 10.0 and out[2] == 2.0 and out[18] == 18.0
+
+
+def test_kmv_join_estimate_exact_when_k_covers_keys(spark):
+    """With k >= all distinct keys the sketches are lossless and the
+    per-key-uniform multiplicity assumption holds exactly on uniform
+    data -> the join estimate equals the exact join count."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.sketch import kmv_join_estimate
+
+    # 30 keys, a appears 2x per key, b 3x per key -> join = 30*6
+    a = spark.createDataFrame(pd.DataFrame(
+        {"ka": [k for k in range(30) for _ in range(2)]}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {"kb": [k for k in range(30) for _ in range(3)]}))
+    r = kmv_join_estimate(a, "ka", b, "kb", k=128).collect()[0]
+    assert r["exact_join_rows"] == 180
+    assert r["jaccard"] == 1.0
+    assert abs(r["est_join_rows"] - 180.0) < 1e-6
+    assert r["rel_err"] == 0.0
+
+
+def test_unigram_kl_identity_and_positive(spark):
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import unigram_kl
+    from golem_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    same = unigram_kl(docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "src0").otherwise("src1")),
+        "src0", "src0").collect()[0]
+    # KL of a distribution against itself is exactly 0
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0
+    diff = unigram_kl(docs, "src0", "src1").collect()[0]
+    assert diff["kl_ab"] >= 0.0 and diff["kl_ba"] >= 0.0
+    assert diff["vocab"] > 0
