@@ -18,7 +18,7 @@ reference's randomized jitter (R/score.R:153).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from golem_spark.path import OwlFit
 from golem_spark.predict import predict, coef_at
