@@ -168,3 +168,22 @@ def test_spark_auc_plan_has_no_window(spark):
     plan = ranged._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_spark_auc_partitioning_invariant(spark):
+    """The one-pass AUC's partials are counts/half-integers, so the
+    result must be BITWISE identical under any input partitioning —
+    the determinism property the oracle hash relies on."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.score import _spark_auc_all
+
+    x, y, _ = random_problem(n=300, p=3, response="binomial", seed=41)
+    cols = {f"x{j}": x[:, j] for j in range(3)}
+    cols["label"] = y.astype(float)
+    base = spark.createDataFrame(pd.DataFrame(cols))
+    probs = [F.col("x0").cast("double"),
+             (F.col("x1") + F.col("x2")).cast("double")]
+    a = _spark_auc_all(base.repartition(7), F.col("label"), probs)
+    b = _spark_auc_all(base.repartition(2), F.col("label"), probs)
+    assert a.tolist() == b.tolist()
