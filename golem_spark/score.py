@@ -329,10 +329,21 @@ def _spark_auc_all(df: DataFrame, y01, probs: list,
     order-independent — bitwise equal to the numpy path. Same
     average-rank tie treatment as ``_auc_np``.
     """
-    import pandas as pd
-
     K = len(probs)
     ranged = _auc_ranged_frame(df, y01, probs, weight_col, weights_per_k)
+    stats = _auc_reduce(ranged)
+    out = np.full(K, np.nan)
+    for k, (auc, _, _) in stats.items():
+        out[k] = auc
+    return out
+
+
+def _auc_reduce(ranged: DataFrame) -> dict:
+    """Streaming per-partition Mann-Whitney reduction over a
+    (pos, w, k, prob, pid) frame sorted by (k, prob) within range
+    partitions; returns {k: (auc, W1, W0)}. Shared by the path-point
+    form (k = path point) and the segment form (k = segment index)."""
+    import pandas as pd
 
     def op(batches):
         # rows arrive sorted by (k, prob); carry the open tie group
@@ -370,7 +381,6 @@ def _spark_auc_all(df: DataFrame, y01, probs: list,
             change[0] = (cur_k is None or ks[0] != cur_k or ps[0] != cur_p)
             change[1:] = (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])
             starts = np.flatnonzero(change)
-            bounds = np.append(starts, len(ks))
             if starts.size == 0:
                 g1 += float(w1s.sum())
                 g0 += float(w0s.sum())
@@ -400,10 +410,10 @@ def _spark_auc_all(df: DataFrame, y01, probs: list,
     parts = ranged.mapInPandas(
         op, "pid int, k int, num double, w0 double, w1 double").collect()
 
-    out = np.full(K, np.nan)
     by_k: dict[int, list] = {}
     for r in parts:
         by_k.setdefault(r["k"], []).append(r)
+    out: dict = {}
     for k, rows in by_k.items():
         rows.sort(key=lambda r: r["pid"])
         num = off0 = W0 = W1 = 0.0
@@ -412,8 +422,44 @@ def _spark_auc_all(df: DataFrame, y01, probs: list,
             off0 += r["w0"]
             W0 += r["w0"]
             W1 += r["w1"]
-        out[k] = num / (W1 * W0) if W1 > 0 and W0 > 0 else float("nan")
+        auc = num / (W1 * W0) if W1 > 0 and W0 > 0 else float("nan")
+        out[k] = (auc, W1, W0)
     return out
+
+
+def segment_auc(df: DataFrame, y01, prob, segment_col: str,
+                weight_col: str | None = None) -> DataFrame:
+    """Per-SEGMENT rank AUC in one distributed pass — the standard
+    per-slice model-evaluation table (fairness / cohort monitoring).
+    Each row joins its segment's reduction instead of a global one:
+    rows are keyed (segment index, prob), range-partitioned so every
+    segment's tie groups are partition-local, and reduced by the same
+    streaming Mann-Whitney pass as the path-point form. Segment
+    cardinality is assumed dashboard-sized (it is collected to build
+    the index map); the DATA is never collected.
+
+    Returns a DataFrame (segment, n_pos, n_neg, auc) — auc weighted
+    when ``weight_col`` is given, NaN segments (single-class) omitted.
+    """
+    segs = sorted(r[0] for r in df.select(segment_col).distinct().collect()
+                  if r[0] is not None)
+    kmap = F.create_map(*[x for i, sv in enumerate(segs)
+                          for x in (F.lit(sv), F.lit(i))])
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
+    stacked = df.select(
+        y01.cast("double").alias("pos"), w.alias("w"),
+        kmap[F.col(segment_col)].alias("k"), prob.cast("double").alias("prob"))
+    ranged = (stacked.repartitionByRange("k", "prob")
+              .sortWithinPartitions("k", "prob")
+              .withColumn("pid", F.spark_partition_id()))
+    stats = _auc_reduce(ranged)
+    spark = df.sparkSession
+    rows = [(segs[k], float(w1), float(w0), float(auc))
+            for k, (auc, w1, w0) in sorted(stats.items())
+            if w1 > 0 and w0 > 0]
+    return spark.createDataFrame(
+        rows, "segment string, n_pos double, n_neg double, auc double")
 
 
 def _score_spark(fit: OwlFit, df: DataFrame, feature_cols, label_col, measure, sigma,

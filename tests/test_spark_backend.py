@@ -187,3 +187,23 @@ def test_spark_auc_partitioning_invariant(spark):
     a = _spark_auc_all(base.repartition(7), F.col("label"), probs)
     b = _spark_auc_all(base.repartition(2), F.col("label"), probs)
     assert a.tolist() == b.tolist()
+
+
+def test_segment_auc_matches_numpy_per_segment(spark):
+    from pyspark.sql import functions as F
+
+    from golem_spark.score import _auc_np, segment_auc
+
+    rng = np.random.default_rng(13)
+    n = 240
+    seg = rng.choice(["a", "b", "c"], size=n)
+    prob = np.round(rng.uniform(size=n), 1)  # force ties
+    y01 = (rng.uniform(size=n) < 0.5).astype(float)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"seg": seg, "prob": prob, "label": y01}))
+    out = {r["segment"]: r["auc"] for r in
+           segment_auc(df, F.col("label"), F.col("prob"), "seg").collect()}
+    for sv in ("a", "b", "c"):
+        m = seg == sv
+        np.testing.assert_allclose(out[sv], _auc_np(y01[m], prob[m]),
+                                   atol=1e-12)
