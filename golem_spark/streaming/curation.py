@@ -109,3 +109,76 @@ def run_contamination_stream(spark: SparkSession, docs_path: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# -- streaming mergeable sketch: per-source KMV distinct counts -------------
+
+KMV_OUT_SCHEMA = ("source string, n_kept long, kth_hash long, "
+                  "est_distinct double")
+KMV_STATE_SCHEMA = "hashes array<bigint>"
+
+_TWO60 = float(1 << 60)
+
+
+def kmv_by_group_stream(docs: DataFrame, value_col: str,
+                        k: int = 32, seed: int = 0) -> DataFrame:
+    """Continuously-maintained per-source KMV distinct-count sketch:
+    the state is the k smallest value hashes seen so far (a mergeable
+    sketch — exactly what a 100 TB ingestion dashboard keeps per
+    tenant), updated per micro-batch in O(batch + k log k). Emits the
+    current (n_kept, kth_hash, estimate) per source on every update;
+    after all data is processed the numbers equal the batch
+    kmv_distinct_by_group's."""
+    import hashlib
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (source,) = key
+        cur = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            vals = pdf[value_col].astype(str)
+            hs = [int(hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:15],
+                      16) for v in vals]
+            cur = sorted(set(cur) | set(hs))[:k]
+        state.update((cur,))
+        n_kept = len(cur)
+        kth = cur[-1] if cur else 0
+        est = (float(n_kept) if n_kept < k
+               else round((k - 1) * _TWO60 / float(kth), 6))
+        yield pd.DataFrame({"source": [source], "n_kept": [n_kept],
+                            "kth_hash": [kth], "est_distinct": [est]})
+
+    return (docs.groupBy("source")
+            .applyInPandasWithState(
+                update,
+                outputStructType=KMV_OUT_SCHEMA,
+                stateStructType=KMV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_kmv_stream(spark: SparkSession, docs_path: str, value_col: str,
+                   k: int = 32, query_name: str = "kmv_stream") -> DataFrame:
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.load(docs_path)
+    out = kmv_by_group_stream(stream, value_col, k=k)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    latest = spark.sql(f"SELECT * FROM {query_name}")
+    w = Window.partitionBy("source").orderBy(F.col("n_kept").desc(),
+                                             F.col("kth_hash").desc())
+    return (latest.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

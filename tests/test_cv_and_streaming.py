@@ -214,3 +214,22 @@ def test_contamination_stream_matches_batch(spark):
                   spark, f"{sf_dir}/documents.parquet", probe).collect()}
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_kmv_stream_matches_batch(spark):
+    """Streaming per-source KMV sketch (state = k smallest hashes,
+    mergeable) converges to the batch sketch exactly."""
+    from golem_spark.pipeline.sketch import kmv_distinct_by_group
+    from golem_spark.streaming.curation import run_kmv_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["source"]: (r["n_kept"], r["kth_hash"], r["est_distinct"])
+             for r in kmv_distinct_by_group(docs, "source", "text",
+                                            k=16).collect()}
+    stream = {r["source"]: (r["n_kept"], r["kth_hash"], r["est_distinct"])
+              for r in run_kmv_stream(
+                  spark, f"{sf_dir}/documents.parquet", "text",
+                  k=16).collect()}
+    assert batch == stream
+    assert len(batch) > 1
