@@ -59,3 +59,52 @@ def run_windowed_stream(spark: SparkSession, events_path: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def session_stats(df: DataFrame, gap: str = "1800 seconds",
+                  watermark: str | None = "2 hours") -> DataFrame:
+    """Per-user SESSION windows (gap-based, Structured Streaming's
+    session_window): one output row per (user, session) with event
+    count and session bounds. The built-in session-window state merges
+    adjacent windows as events arrive and is bounded by the watermark
+    horizon — the streaming twin of operators.relational.sessionize.
+
+    Boundary note vs the batch operator: sessionize starts a new
+    session when the inter-event gap is STRICTLY greater than the gap;
+    session_window merges events strictly closer than the gap — the two
+    differ only when a gap equals the threshold exactly (measure-zero
+    for real event times)."""
+    src = _with_event_time(df)
+    if watermark and src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return (src
+            .groupBy("user_id",
+                     F.session_window("event_time", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def run_session_stream(spark: SparkSession, events_path: str,
+                       gap: str = "1800 seconds",
+                       query_name: str = "event_sessions") -> DataFrame:
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if events_path.endswith(".parquet") and os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    stream = reader.load(events_path)
+    agg = session_stats(stream, gap)
+    # session-window aggregations reject update mode (windows merge);
+    # complete mode re-emits the final session table
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

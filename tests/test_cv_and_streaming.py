@@ -233,3 +233,32 @@ def test_kmv_stream_matches_batch(spark):
                   k=16).collect()}
     assert batch == stream
     assert len(batch) > 1
+
+
+def test_session_stream_matches_batch_sessionize(spark):
+    """Streaming gap-based session windows == the batch sessionize
+    operator's sessions (same users, same per-session event counts and
+    start times)."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.operators.relational import sessionize
+    from golem_spark.streaming.windows import run_session_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    batch = (sessionize(events.withColumn(
+        "tsd", F.col("ts").cast("timestamp").cast("double")),
+                        "user_id", "tsd", gap=1800.0)
+             .groupBy("user_id", "session_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("ts").alias("session_start")))
+    b = {(r["user_id"], r["session_start"]): r["n_events"]
+         for r in batch.collect()}
+    s = {(r["user_id"], r["session_start"]): r["n_events"]
+         for r in run_session_stream(
+             spark, f"{sf_dir}/events.parquet").collect()}
+    assert b == s
+    assert len(b) > 0
