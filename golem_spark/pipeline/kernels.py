@@ -2796,3 +2796,112 @@ _add(
     FROM sm
     """,
 )
+
+
+def _embedding_norm_outliers_query(t):
+    """Embedding-quality gate: flag vectors whose L2 norm is a robust
+    (median/MAD) outlier within their label group — the 'broken or
+    collapsed embedding' check a feature store runs before indexing.
+    Map-side norm expression, then the exact per-group median/MAD
+    machinery (sort-based, spill-safe)."""
+    from golem_spark.operators.relational import mad_outliers
+
+    emb = t["embeddings"].select(
+        "vec_id", "label",
+        F.round(F.sqrt(F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x * x)), 6).alias("norm"))
+    return (mad_outliers(emb, "label", "norm", n_mads=3.0)
+            .select("vec_id", "label", "norm",
+                    F.col("is_outlier").cast("int").alias("is_outlier"))
+            .orderBy("vec_id"))
+
+
+_add(
+    "p97_embedding_norm_outliers",
+    _embedding_norm_outliers_query,
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             ROUND(sqrt(list_dot_product(
+               list_transform(embedding, x -> x::DOUBLE),
+               list_transform(embedding, x -> x::DOUBLE))), 6) AS norm
+      FROM embeddings),
+    med AS (
+      SELECT label,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY norm) AS m
+      FROM e GROUP BY label),
+    dev AS (
+      SELECT e.*, ABS(norm - m) AS adev, m FROM e JOIN med USING (label)),
+    mad AS (
+      SELECT label,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY label)
+    SELECT vec_id, label, norm,
+           CASE WHEN ABS(norm - m) > 3.0 * mad THEN 1 ELSE 0 END
+             AS is_outlier
+    FROM dev JOIN mad USING (label)
+    ORDER BY vec_id
+    """,
+)
+
+
+def _dedup_impact_query(t, spark=None, sf_dir=None):
+    """Dedup impact report: corpus mass before vs after applying the
+    near-dup keep-list — docs and characters removed, as fractions.
+    The summary a dedup pass publishes. Reuses the shared pair frame;
+    one aggregate over documents left-joined to the drop set."""
+    keep = dedup.dedup_keep_list(
+        t["documents"], pairs=_minhash_pairs_cached(spark, sf_dir))
+    drops = keep.filter(~F.col("keep")).select("doc_id")
+    docs = t["documents"].select("doc_id", "n_chars")
+    lab = docs.join(F.broadcast(drops.withColumn("__d", F.lit(1))),
+                    "doc_id", "left")
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("__d"), F.lit(0))).cast("long")
+        .alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("__d").isNotNull(), F.col("n_chars"))
+              .otherwise(0)).cast("long").alias("chars_dropped"),
+        F.round(F.avg(F.coalesce(F.col("__d"), F.lit(0)).cast("double")), 6)
+        .alias("drop_rate"))
+
+
+_add(
+    "p98_dedup_impact",
+    _dedup_impact_query,
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs),
+    reach AS (
+      SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM edges) t
+      UNION
+      SELECT e.x AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.y),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node),
+    {_QUALITY_CTE},
+    ranked AS (
+      SELECT comp.doc_id, comp.rep, q.quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.rep
+               ORDER BY q.quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN q ON q.doc_id = comp.doc_id),
+    drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped,
+           SUM(n_chars)::BIGINT AS chars_total,
+           SUM(CASE WHEN d.doc_id IS NOT NULL THEN n_chars ELSE 0 END)::BIGINT
+             AS chars_dropped,
+           ROUND(AVG(CASE WHEN d.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS drop_rate
+    FROM documents LEFT JOIN drops d USING (doc_id)
+    """,
+)
