@@ -59,7 +59,9 @@ _DEDUP_SHARED: dict = {}
 
 
 def _minhash_pairs_cached(spark, sf_dir: str):
-    key = (sf_dir, "pairs")
+    # keyed by session identity too: a harness that recreates sessions
+    # in one process must not see frames from a stopped session
+    key = (id(spark), sf_dir, "pairs")
     if key not in _DEDUP_SHARED:
         docs = load_tables(spark, sf_dir)["documents"]
         _DEDUP_SHARED[key] = dedup.minhash_lsh_pairs(docs).persist()
@@ -67,7 +69,7 @@ def _minhash_pairs_cached(spark, sf_dir: str):
 
 
 def _components_cached(spark, sf_dir: str):
-    key = (sf_dir, "comp")
+    key = (id(spark), sf_dir, "comp")
     if key not in _DEDUP_SHARED:
         _DEDUP_SHARED[key] = dedup.dup_components(
             _minhash_pairs_cached(spark, sf_dir)).persist()
