@@ -447,7 +447,7 @@ def segment_auc(df: DataFrame, y01, prob, segment_col: str,
                           for x in (F.lit(sv), F.lit(i))])
     w = (F.col(weight_col).cast("double") if weight_col is not None
          else F.lit(1.0))
-    stacked = df.select(
+    stacked = df.filter(F.col(segment_col).isNotNull()).select(
         y01.cast("double").alias("pos"), w.alias("w"),
         kmap[F.col(segment_col)].alias("k"), prob.cast("double").alias("prob"))
     ranged = (stacked.repartitionByRange("k", "prob")
