@@ -1552,15 +1552,20 @@ _add(
 # -- CDC upsert, pivot, unpivot ---------------------------------------------
 
 def _upsert_query(t):
-    orders = t["orders"]
-    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
+    # prices ride as EXACT integer cents end-to-end: ROUND(x*1.1, 2) on
+    # doubles is engine-specific at half-cent boundaries (49 differing
+    # rows at sf0.1), and double sums are order-sensitive — integer
+    # cents with an integer-division reprice are identical everywhere
+    orders = t["orders"].withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    base = orders.select("o_orderkey", "o_orderstatus", "cents",
                          F.lit(0).alias("ver"))
-    # synthetic change set: odd keys repriced +10%, keys % 100 == 0 deleted
+    # synthetic change set: odd keys repriced +10% (half-up on cents,
+    # pure integer arithmetic), keys % 100 == 0 deleted
     changes = (orders.filter((F.col("o_orderkey") % 2 == 1)
                              | (F.col("o_orderkey") % 100 == 0))
                .select("o_orderkey", "o_orderstatus",
-                       F.round(F.col("o_totalprice") * 1.1, 2)
-                       .alias("o_totalprice"),
+                       F.expr("(cents * 11 + 5) div 10").alias("cents"),
                        F.lit(1).alias("ver"))
                .withColumn("op", F.when(F.col("o_orderkey") % 100 == 0,
                                         "delete").otherwise("upsert")))
@@ -1568,7 +1573,7 @@ def _upsert_query(t):
                                         op_col="op")
     return (merged.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("o_totalprice") / 1000, 3).alias("sum_k"),
+                 F.round(F.sum("cents") / F.lit(100000.0), 3).alias("sum_k"),
                  F.sum(F.col("ver")).alias("n_changed"))
             .orderBy("o_orderstatus"))
 
@@ -1577,23 +1582,26 @@ _add(
     "p60_upsert_snapshot",
     _upsert_query,
     """
-    WITH base AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver,
-             'upsert' AS op, 0 AS src
+    WITH src AS (
+      SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders),
+    base AS (
+      SELECT o_orderkey, o_orderstatus, cents, 0 AS ver,
+             'upsert' AS op, 0 AS src
+      FROM src),
     changes AS (
       SELECT o_orderkey, o_orderstatus,
-             ROUND(o_totalprice * 1.1, 2) AS o_totalprice, 1 AS ver,
+             (cents * 11 + 5) // 10 AS cents, 1 AS ver,
              CASE WHEN o_orderkey % 100 = 0 THEN 'delete'
                   ELSE 'upsert' END AS op, 1 AS src
-      FROM orders
+      FROM src
       WHERE o_orderkey % 2 = 1 OR o_orderkey % 100 = 0),
     merged AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
                                    ORDER BY ver DESC, src DESC) AS rn
       FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
     SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
-           ROUND(SUM(o_totalprice) / 1000, 3) AS sum_k,
+           ROUND(SUM(cents) / 100000.0, 3) AS sum_k,
            SUM(ver)::BIGINT AS n_changed
     FROM merged WHERE rn = 1 AND op <> 'delete'
     GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -2905,5 +2913,61 @@ _add(
            ROUND(AVG(CASE WHEN d.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
              AS drop_rate
     FROM documents LEFT JOIN drops d USING (doc_id)
+    """,
+)
+
+
+def _regional_revenue_query(t):
+    """TPC-H Q5 shape: revenue by nation within one region for one
+    year, customer and supplier BOTH local to the nation (the classic
+    6-table join-order exercise). Declared as plain DataFrame joins —
+    Catalyst broadcasts the region->nation dimension chain and AQE
+    picks the big-side order; the only large shuffle is
+    orders x lineitem on the join key."""
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nat = (t["nation"].join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    orders = (t["orders"]
+              .filter((F.col("o_orderdate") >= "1994-01-01")
+                      & (F.col("o_orderdate") < "1995-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount")
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(nat),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1.0) - F.col("l_discount"))) / 1000,
+                         3).alias("revenue_k"),
+                 F.count(F.lit(1)).cast("long").alias("n_items"))
+            .orderBy("n_name"))
+
+
+_add(
+    "p99_regional_revenue",
+    _regional_revenue_query,
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000, 3)
+             AS revenue_k,
+           COUNT(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1995-01-01'
+    GROUP BY n_name ORDER BY n_name
     """,
 )

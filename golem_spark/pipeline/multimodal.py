@@ -205,12 +205,18 @@ def extract_features(df: DataFrame, with_feat: bool = True) -> DataFrame:
                     byte_entropy[i] = float(-(p * np.log2(p)).sum())
                 if with_feat:
                     feats.append(fake_features(b).tolist())
+            # HALF-UP rounding to match SQL ROUND: numpy's np.round is
+            # half-EVEN, and integer-ratio byte means land exactly on
+            # .5e-6 boundaries at larger corpora (e.g. 93.6328125)
+            def r6(a):
+                return np.floor(a * 1e6 + 0.5) / 1e6
+
             out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": n_bytes,
-                "byte_mean": np.round(byte_mean, 6),
-                "byte_entropy": np.round(byte_entropy, 6),
+                "byte_mean": r6(byte_mean),
+                "byte_entropy": r6(byte_entropy),
             }
             if with_feat:
                 out["feat"] = feats
