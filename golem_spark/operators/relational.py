@@ -557,3 +557,20 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col, k: int,
     kexp = -F.log(u) / w  # smaller = more likely kept, Exp(w) race
     return (df.withColumn("__k", kexp)
             .orderBy("__k", key_col).limit(k).drop("__k"))
+
+
+def cube_agg(df: DataFrame, group_cols: list[str], aggs: list,
+             all_label: str = "(all)") -> DataFrame:
+    """All-subsets subtotals (GROUP BY CUBE): every combination of the
+    grouping columns, each rolled-up slot relabeled via ``grouping()``.
+    Same single-shuffle Expand + shared partial-aggregate execution as
+    :func:`rollup_agg` — 2^k grouping sets share one map-side combine,
+    never k separate scans."""
+    cubed = df.cube(*group_cols).agg(
+        *aggs, *[F.grouping(c).alias(f"__g_{c}") for c in group_cols])
+    out = cubed
+    for c in group_cols:
+        out = out.withColumn(
+            c, F.when(F.col(f"__g_{c}") == 1, F.lit(all_label))
+                .otherwise(F.col(c).cast("string")))
+    return out.drop(*[f"__g_{c}" for c in group_cols])

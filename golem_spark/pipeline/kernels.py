@@ -2971,3 +2971,26 @@ _add(
     GROUP BY n_name ORDER BY n_name
     """,
 )
+
+
+_add(
+    "p100_cube_metrics",
+    lambda t: relational.cube_agg(
+        t["orders"], ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).cast("long").alias("n"),
+         F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 / F.lit(100000000.0), 4).alias("sum_mm")])
+    .orderBy("o_orderstatus", "o_orderpriority"),
+    """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+           ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+           ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 / 100000000.0, 4) AS sum_mm
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
