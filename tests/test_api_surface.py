@@ -242,3 +242,19 @@ def test_driver_rotation_puts_unverified_first():
     assert ranks == sorted(ranks)
     assert set(names) == set(entry.oracle_sql())
     assert names == list(entry.oracle_sql())
+
+
+def test_score_weights_only_for_auc():
+    import numpy as np
+    import pytest
+
+    from golem_spark.path import owl
+    from golem_spark.score import score
+    from tests.conftest import random_problem
+
+    x, y, _ = random_problem(n=80, p=3, response="binomial", seed=9)
+    fit = owl(x, y.astype(float), family="binomial", n_sigma=2)
+    with pytest.raises(ValueError, match="weights"):
+        score(fit, x, y.astype(float), measure="mse", weights=np.ones(80))
+    with pytest.raises(ValueError, match="match the number"):
+        score(fit, x, y.astype(float), measure="auc", weights=np.ones(3))
