@@ -23,7 +23,11 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark("golem_spark_bench")
-    qs = entrymod.queries()
+    # name order, NOT the rotated driver order: rotation changes every
+    # round, and which query pays a shared family cache's one-time
+    # build depends on order — stable ordering keeps per-query timings
+    # comparable round over round
+    qs = dict(sorted(entrymod.queries().items()))
 
     # warm the JVM + parquet footers once so timings measure query work
     next(iter(qs.values()))(spark, sf_dir).collect()
