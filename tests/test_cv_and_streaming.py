@@ -262,3 +262,57 @@ def test_session_stream_matches_batch_sessionize(spark):
              spark, f"{sf_dir}/events.parquet").collect()}
     assert b == s
     assert len(b) > 0
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Multi-batch watermark semantics (every other streaming test here
+    is single-batch): feed two files one micro-batch apart — the second
+    carries an event OLDER than the advanced watermark. In APPEND mode
+    the first batch's windows finalize once the watermark passes them,
+    and the too-late event must NOT create or change a finalized
+    window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.windows import windowed_event_stats
+
+    d1 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:20:00",
+                              "2024-01-01 06:00:00"]),
+        "user_id": [1, 1, 2], "event_type": ["a", "a", "a"],
+        "value": [1.0, 1.0, 1.0], "props": ["{}", "{}", "{}"]})
+    # batch 2: one event 5+ hours older than the max seen time (far
+    # beyond the 2h watermark) into the already-finalized 00:00 window
+    d2 = pd.DataFrame({
+        "event_id": [4],
+        "ts": pd.to_datetime(["2024-01-01 00:30:00"]),
+        "user_id": [3], "event_type": ["a"],
+        "value": [100.0], "props": ["{}"]})
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(d1).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f1.parquet"))
+
+    from golem_spark.streaming.scoring import EVENTS_SCHEMA
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    agg = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("late_test").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2).coalesce(1).write.mode("overwrite").parquet(
+            str(src / "f2.parquet"))
+        q.processAllAvailable()
+        # one more empty-ish trigger so the watermark state finalizes
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["window_start"].isoformat(), r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM late_test").collect()}
+    # the 00:00 window finalized with ONLY the first batch's 2 events;
+    # the late value=100 event never appears
+    assert ("2024-01-01T00:00:00", 2, 2.0) in rows
+    assert not any(sv == 102.0 or sv == 100.0 for _, _, sv in rows)
