@@ -316,3 +316,44 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # the late value=100 event never appears
     assert ("2024-01-01T00:00:00", 2, 2.0) in rows
     assert not any(sv == 102.0 or sv == 100.0 for _, _, sv in rows)
+
+
+def test_budget_admission_state_carries_across_batches(spark, tmp_path):
+    """The per-source counter must CARRY across micro-batches: docs fed
+    in two doc_id-ordered files produce the same admissions as the
+    batch operator over the union."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import token_budget_pack
+    from golem_spark.streaming.curation import (DOCS_SCHEMA,
+                                                budget_admission)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    lo = docs.filter(F.col("doc_id") < 50)
+    hi = docs.filter(F.col("doc_id") >= 50)
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    lo.coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    out = budget_admission(stream, budget=2000)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("budget_two_batches").start())
+    try:
+        q.processAllAvailable()
+        hi.coalesce(1).write.parquet(str(src / "b.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+                   spark.sql("SELECT * FROM budget_two_batches").collect()}
+    batch_rows = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+                  token_budget_pack(docs.select("doc_id", "source",
+                                                "n_chars"),
+                                    budget=2000).collect()}
+    assert stream_rows == batch_rows
+    # the second batch actually continued non-zero per-source state
+    assert any(cb > 0 for d, (cb, _) in stream_rows.items() if d >= 50)
