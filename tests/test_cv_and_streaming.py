@@ -357,3 +357,46 @@ def test_budget_admission_state_carries_across_batches(spark, tmp_path):
     assert stream_rows == batch_rows
     # the second batch actually continued non-zero per-source state
     assert any(cb > 0 for d, (cb, _) in stream_rows.items() if d >= 50)
+
+
+def test_kmv_stream_merges_across_batches(spark, tmp_path):
+    """The k-min sketch state must MERGE across micro-batches and end
+    exactly equal to the batch sketch over the union."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.sketch import kmv_distinct_by_group
+    from golem_spark.streaming.curation import (DOCS_SCHEMA,
+                                                kmv_by_group_stream)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    out = kmv_by_group_stream(stream, "text", k=16)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("kmv_two_batches").start())
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            str(src / "b.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+
+    latest = spark.sql("SELECT * FROM kmv_two_batches")
+    w = Window.partitionBy("source").orderBy(F.col("n_kept").desc(),
+                                             F.col("kth_hash").desc())
+    stream_rows = {r["source"]: (r["n_kept"], r["kth_hash"])
+                   for r in latest.withColumn(
+                       "__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).collect()}
+    batch_rows = {r["source"]: (r["n_kept"], r["kth_hash"])
+                  for r in kmv_distinct_by_group(docs, "source", "text",
+                                                 k=16).collect()}
+    assert stream_rows == batch_rows
