@@ -512,9 +512,65 @@ def suggest_range_bounds(df: DataFrame, col: str,
     if n_partitions < 2:
         raise ValueError("n_partitions must be >= 2")
     qs = [k / n_partitions for k in range(1, n_partitions)]
-    out = group_quantiles(df.withColumn("__g", F.lit(1)), "__g", col, qs)
+    out = global_quantiles(df, col, qs)
     return out.select(F.round("q", 6).alias("q"),
                       F.col("value").alias("bound"))
+
+
+def global_quantiles(df: DataFrame, col: str, qs: list[float]) -> DataFrame:
+    """EXACT whole-dataset quantiles (percentile_disc semantics)
+    WITHOUT a single-task global sort: range-partition on the value
+    (each partition sorts in parallel), count rows per partition, turn
+    the tiny per-partition counts into broadcast rank offsets, and pick
+    the rows whose global rank hits ceil(q*n) — the two-phase
+    distributed ranking used throughout (pack_sequences, the AUC
+    reduction). The element at a global rank is partitioning-invariant,
+    so the result is deterministic under any layout.
+
+    Returns (q, value), one row per quantile.
+    """
+    if not qs or any(not 0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    vals = df.select(F.col(col).alias("__v"))
+    ranged = (vals.repartitionByRange("__v")
+              .sortWithinPartitions("__v")
+              .withColumn("__pid", F.spark_partition_id()))
+    ranged = ranged.persist()
+    counts = sorted(
+        ((r["__pid"], r["cnt"]) for r in
+         ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt"))
+         .collect()),
+        key=lambda t: t[0])
+    n = sum(c for _, c in counts)
+    if n == 0:
+        ranged.unpersist()
+        spark = df.sparkSession
+        return spark.createDataFrame([], "q double, value double")
+    offsets = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    import math
+
+    targets = {}
+    for q in sorted(set(float(v) for v in qs)):
+        targets.setdefault(max(1, math.ceil(q * n)), []).append(q)
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy("__v")
+    hit_ranks = list(targets)
+    hits = (ranged
+            .withColumn("__rank", F.row_number().over(w) + off_expr)
+            .filter(F.col("__rank").isin(hit_ranks))
+            .select("__rank", "__v"))
+    rows = {r["__rank"]: r["__v"] for r in hits.collect()}
+    ranged.unpersist()
+    spark = df.sparkSession
+    out = [(float(q), float(rows[rk])) for rk, qlist in targets.items()
+           for q in qlist]
+    out.sort()
+    return spark.createDataFrame(out, "q double, value double")
 
 
 def mad_outliers(df: DataFrame, group_col: str, value_col: str,

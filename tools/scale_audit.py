@@ -1,0 +1,95 @@
+"""Automated 100 TB plan audit: walk every queries() entry's physical
+plan and flag scale smells — the checks a reviewer runs by hand:
+
+- window-over-single-partition: a Window whose subtree contains
+  Exchange SinglePartition (the whole input on one task);
+- cartesian: CartesianProduct / non-broadcast nested-loop joins;
+- final global sorts (.orderBy for deterministic output) are NOT
+  flagged — they range-partition and exist for result presentation.
+
+Usage: python tools/scale_audit.py [sf_dir] [--json=PATH]
+Exit code 0 always (informational); the JSON artifact records every
+query's flags so a round-over-round diff shows plan regressions.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from golem_spark.session import get_spark
+
+
+def audit_plan(plan: str) -> list[str]:
+    """Flag plan shapes that break at corpus scale. An UNPARTITIONED
+    window (windowspecdefinition whose first argument is already an
+    ordering spec) moves its whole input onto one task — the real
+    smell; partitioned windows with scalar aggs in their subtree are
+    fine. BroadcastNestedLoopJoin is reported informationally: scalar
+    crossJoin(broadcast(1-row)) frames legitimately compile to it, so
+    its value is in round-over-round DIFFS, not absolutes."""
+    import re
+
+    flags = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
+        first_arg = m.group(1).strip()
+        if " ASC" in first_arg or " DESC" in first_arg:
+            flags.append("unpartitioned-window")
+            break
+    if "CartesianProduct" in plan:
+        flags.append("cartesian-product")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("broadcast-nested-loop-join (scalar crossJoins ok)")
+    return sorted(set(flags))
+
+
+# reviewed flags that are acceptable by design — the audit prints them
+# as "known" so only NEW flags read as regressions
+ACCEPTED = {
+    "k12_rank_auc": "declared kernel SQL (SURVEY 2b): global-rank AUC "
+                    "semantics demo; production AUC uses the "
+                    "range-partitioned one-pass reduction (score.py)",
+    "k13_infeasibility": "declared kernel SQL: sorted-prefix cumsum over "
+                         "the p-sized gradient — model-sized in "
+                         "production, data-sized only in the demo",
+    "k14_strong_rule_prefix": "declared kernel SQL: same p-sized "
+                              "sorted-prefix shape as k13",
+    "p19_tfidf_vectors": "term-id window runs over the min_df-filtered "
+                         "VOCABULARY (metadata-sized), not the corpus",
+}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark("scale_audit")
+    record = {}
+    n_flagged = 0
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            flags = audit_plan(plan)
+        except Exception as e:  # noqa: BLE001
+            flags = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        record[name] = flags
+        if flags:
+            n_flagged += 1
+            known = " (known: " + ACCEPTED[name] + ")" if name in ACCEPTED \
+                else ""
+            print(f"FLAG {name}: {flags}{known}")
+    print(f"\n{n_flagged} of {len(record)} query plans flagged at {sf_dir}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "flags": record}, fh, indent=1)
+        print(f"wrote {json_path}")
+
+
+if __name__ == "__main__":
+    main()
