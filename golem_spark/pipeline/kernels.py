@@ -2994,3 +2994,26 @@ _add(
     ORDER BY o_orderstatus, o_orderpriority
     """,
 )
+
+
+_GS_SQL = """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+           ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+           ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 / CAST(100000000.0 AS DOUBLE), 4) AS sum_mm
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+_add(
+    # explicit GROUPING SETS: the per-dimension marginal totals WITHOUT
+    # the cross cells — the combination rollup/cube cannot express;
+    # same single-shuffle Expand + shared partial aggregate execution
+    "p101_grouping_sets",
+    lambda t: t["orders"].sparkSession.sql(_GS_SQL),
+    _GS_SQL.replace("COUNT(*) AS n", "COUNT(*)::BIGINT AS n"),
+)
