@@ -7,6 +7,12 @@ tolerance + exact-repr check for floats so we see any rounding drift the
 driver's hash would see).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+       [--jobs=N] [--json=PATH]
+
+--jobs=N runs N (query, oracle) pairs concurrently (Spark schedules the
+jobs, each worker thread holds its own DuckDB connection) — ~3x faster
+full-surface runs; results are identical, only ordering of the OK/FAIL
+lines changes. --json writes the per-query evidence artifact.
 """
 
 from __future__ import annotations
@@ -84,29 +90,51 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--json") and not a.startswith("--jobs")]
     json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
                       if a.startswith("--json=")), None)
+    jobs = int(next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--jobs=")), "1"))
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("verify_oracle")
-    con = duck_connect(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_fail = 0
-    record = {}
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        if name not in oracles:
-            print(f"SKIP (no oracle) {name}")
-            continue
+    names = [n for n in qs
+             if (not only or n in only) and n in oracles]
+    for n in qs:
+        if (not only or n in only) and n not in oracles:
+            print(f"SKIP (no oracle) {n}")
+
+    import threading
+
+    _tl = threading.local()
+
+    def check(name):
+        # DuckDB connections are not thread-safe: one per worker
+        con = getattr(_tl, "con", None)
+        if con is None:
+            con = _tl.con = duck_connect(sf_dir)
         try:
-            sdf = fn(spark, sf_dir)
+            sdf = qs[name](spark, sf_dir)
             drel = con.sql(oracles[name])
             problems = compare(name, sdf, drel)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        return name, problems
+
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(check, names))
+    else:
+        results = [check(n) for n in names]
+
+    n_fail = 0
+    record = {}
+    for name, problems in results:
         record[name] = {"ok": not problems, "problems": problems}
         if problems:
             n_fail += 1
@@ -115,15 +143,16 @@ def main():
                 print(f"   {p}")
         else:
             print(f"OK   {name}")
-    print(f"\n{len(qs) - n_fail}/{len(qs)} passing at {sf_dir}")
+    print(f"\n{len(names) - n_fail}/{len(names)} passing at {sf_dir}")
     if json_path:
         # full-surface evidence artifact: the driver's gate caps at 50
         # queries, this records every oracle pair's local result
         import json
 
         with open(json_path, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "n_pass": len(qs) - n_fail,
-                       "n_total": len(qs), "queries": record}, fh, indent=1)
+            json.dump({"sf_dir": sf_dir, "n_pass": len(names) - n_fail,
+                       "n_total": len(names), "queries": record}, fh,
+                      indent=1)
         print(f"wrote {json_path}")
     sys.exit(1 if n_fail else 0)
 
