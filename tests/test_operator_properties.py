@@ -76,3 +76,28 @@ def test_pava_prox_is_isotonic_and_feasible(pairs):
     order = np.argsort(-np.abs(v), kind="stable")
     mags = np.abs(out)[order]
     assert np.all(mags[:-1] >= mags[1:] - 1e-12)
+
+
+def test_global_quantiles_matches_constant_group_and_empty(spark):
+    """relational.global_quantiles (two-phase parallel rank) must equal
+    the windowed group_quantiles run with a constant group, and handle
+    empty input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from golem_spark.operators.relational import (global_quantiles,
+                                                  group_quantiles)
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0, 100, size=500), 2)  # with ties
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    qs = [0.1, 0.5, 0.9, 1.0]
+    a = {r["q"]: r["value"] for r in
+         global_quantiles(df.repartition(7), "v", qs).collect()}
+    b = {r["q"]: r["value"] for r in
+         group_quantiles(df.withColumn("__g", F.lit(1)), "__g", "v",
+                         qs).collect()}
+    assert a == b
+    empty = global_quantiles(df.filter(F.col("v") < -1), "v", [0.5])
+    assert empty.count() == 0
