@@ -451,8 +451,10 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
     out = est.select(
         "k", "est_keys_a", "est_keys_b", "est_union", "jaccard",
         est_join.alias("est_join_rows"), "exact_join_rows",
-        F.round((est_join - F.col("exact_join_rows"))
-                / F.col("exact_join_rows"), 6).alias("rel_err"))
+        F.when(F.col("exact_join_rows") > 0,
+               F.round((est_join - F.col("exact_join_rows"))
+                       / F.col("exact_join_rows"), 6))
+        .otherwise(F.lit(0.0)).alias("rel_err"))
     return out
 
 
@@ -498,8 +500,10 @@ def kmv_join_estimate_sql(table_a: str, col_a: str, table_b: str,
            ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
                  * (rows_b::DOUBLE / est_keys_b), 3) AS est_join_rows,
            exact_join_rows,
-           ROUND((ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
-                        * (rows_b::DOUBLE / est_keys_b), 3)
-                  - exact_join_rows) / exact_join_rows, 6) AS rel_err
+           CASE WHEN exact_join_rows > 0 THEN
+             ROUND((ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
+                          * (rows_b::DOUBLE / est_keys_b), 3)
+                    - exact_join_rows) / exact_join_rows, 6)
+           ELSE 0.0 END AS rel_err
     FROM est
     """

@@ -27,7 +27,9 @@ WITH ka AS (SELECT DISTINCT (('0x' || substr(md5(concat_ws('_', CAST(o_orderkey 
            ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
                  * (rows_b::DOUBLE / est_keys_b), 3) AS est_join_rows,
            exact_join_rows,
-           ROUND((ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
-                        * (rows_b::DOUBLE / est_keys_b), 3)
-                  - exact_join_rows) / exact_join_rows, 6) AS rel_err
+           CASE WHEN exact_join_rows > 0 THEN
+             ROUND((ROUND(jaccard * est_union * (rows_a::DOUBLE / est_keys_a)
+                          * (rows_b::DOUBLE / est_keys_b), 3)
+                    - exact_join_rows) / exact_join_rows, 6)
+           ELSE 0.0 END AS rel_err
     FROM est

@@ -270,3 +270,17 @@ def test_unigram_kl_identity_and_positive(spark):
     diff = unigram_kl(docs, "src0", "src1").collect()[0]
     assert diff["kl_ab"] >= 0.0 and diff["kl_ba"] >= 0.0
     assert diff["vocab"] > 0
+
+
+def test_kmv_join_estimate_disjoint_keys(spark):
+    """Disjoint key sets: Jaccard 0, zero estimated and exact join."""
+    import pandas as pd
+
+    from golem_spark.pipeline.sketch import kmv_join_estimate
+
+    a = spark.createDataFrame(pd.DataFrame({"ka": list(range(0, 40))}))
+    b = spark.createDataFrame(pd.DataFrame({"kb": list(range(100, 140))}))
+    r = kmv_join_estimate(a, "ka", b, "kb", k=128).collect()[0]
+    assert r["jaccard"] == 0.0
+    assert r["est_join_rows"] == 0.0
+    assert r["exact_join_rows"] == 0
