@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from golem_spark.session import load_tables
-from golem_spark.operators import relational
+from golem_spark.operators import graph, relational
 from golem_spark.pipeline import dedup, similarity, text
 
 _DUCK_TOKS = r"list_distinct(string_split_regex(trim(text), '\s+'))"
@@ -3016,4 +3016,32 @@ _add(
     "p101_grouping_sets",
     lambda t: t["orders"].sparkSession.sql(_GS_SQL),
     _GS_SQL.replace("COUNT(*) AS n", "COUNT(*)::BIGINT AS n"),
+)
+
+
+_add(
+    # exact triangle count on the part co-purchase graph: oriented
+    # low->high edges, wedge join on the middle vertex, closing-edge
+    # semi-join (Suri & Vassilvitskii WWW'11) — each triangle counted
+    # once, no neighborhood enumeration
+    "p102_triangle_count",
+    lambda t: graph.triangle_count(graph.copurchase_edges(
+        t["lineitem"].filter(F.col("l_orderkey") % 20 == 0))),
+    """
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    und AS (
+      SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    wedges AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a),
+    closed AS (
+      SELECT w.* FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = w.x AND e.b = w.z))
+    SELECT (SELECT COUNT(*) FROM und)::BIGINT AS n_edges,
+           (SELECT COUNT(*) FROM wedges)::BIGINT AS n_wedges,
+           (SELECT COUNT(*) FROM closed)::BIGINT AS n_triangles
+    """,
 )
