@@ -101,3 +101,21 @@ def test_global_quantiles_matches_constant_group_and_empty(spark):
     assert a == b
     empty = global_quantiles(df.filter(F.col("v") < -1), "v", [0.5])
     assert empty.count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    import pandas as pd
+
+    from golem_spark.operators.graph import triangle_count
+
+    # K4 (complete graph on 4 vertices): 6 edges, 4 triangles; edges
+    # given in mixed orientation with duplicates to exercise dedup
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(pd.DataFrame(k4, columns=["src", "dst"]))
+    r = triangle_count(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (6, 4)
+    # a 4-cycle has 4 edges, no triangles
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df2 = spark.createDataFrame(pd.DataFrame(cyc, columns=["src", "dst"]))
+    r2 = triangle_count(df2).collect()[0]
+    assert (r2["n_edges"], r2["n_triangles"]) == (4, 0)
