@@ -99,6 +99,42 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     return ranks
 
 
+def _oriented_closed_wedges(edges: DataFrame):
+    """(persisted oriented edge frame, closed-wedge (x,y,z) frame,
+    n_edges) shared by the triangle analytics."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    und = und.persist()
+    n_edges = und.count()
+    wedges = (und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+              .join(und.select(F.col("a").alias("y"),
+                               F.col("b").alias("z")), "y"))
+    return und, wedges, n_edges
+
+
+def node_triangle_counts(edges: DataFrame, top_k: int = 20) -> DataFrame:
+    """Per-node triangle participation (embeddedness): each closed
+    oriented wedge (x < y < z) contributes one triangle to ALL three
+    corners. Same edge-keyed join shape as :func:`triangle_count`, then
+    a corner explode + combinable groupBy + TakeOrdered partial top-k
+    (ties broken by node id). Returns (node, n_triangles)."""
+    und, wedges, _ = _oriented_closed_wedges(edges)
+    closed = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"], "left_semi")
+    corners = closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    out = (corners.groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+           .orderBy(F.desc("n_triangles"), "node")
+           .limit(top_k))
+    rows = out.collect()
+    und.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows or [], "node long, n_triangles long")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact global triangle count over an undirected edge list via the
     ORIENTED edge join: orient every edge low->high, join wedges
@@ -112,15 +148,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns one row: (n_edges, n_wedges, n_triangles).
     """
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b"))
-           .distinct())
-    und = und.persist()
-    n_edges = und.count()
-    wedges = (und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-              .join(und.select(F.col("a").alias("y"),
-                               F.col("b").alias("z")), "y"))
+    und, wedges, n_edges = _oriented_closed_wedges(edges)
     # closing-edge membership as a left-join indicator so wedge count
     # and triangle count come from ONE pass over the wedge join
     closed = wedges.join(

@@ -1,0 +1,17 @@
+WITH parts AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    und AS (
+      SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    closed AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = e1.a AND e.b = e2.b)),
+    corners AS (
+      SELECT x AS node FROM closed
+      UNION ALL SELECT y FROM closed
+      UNION ALL SELECT z FROM closed)
+    SELECT node, COUNT(*)::BIGINT AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 20
