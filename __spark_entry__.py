@@ -72,13 +72,13 @@ def _verification_rank() -> dict[str, int]:
 def _rotated(names: list[str]) -> list[str]:
     rank = _verification_rank()
     # never-verified first (rank -1), then oldest-verified round first.
-    # Tie-breaks: among never-verified, NEWEST registration first — a
-    # freshly added query is the riskiest and should reach the driver's
-    # gate in its first round; among verified ones, registration order.
+    # Tie-break is registration order (oldest waiting first) in BOTH
+    # groups: the long-waiting backlog must drain through the driver's
+    # 50-query window before any freshly registered query takes a slot
+    # (VERDICT r5 item 1). New registrations per round are capped so the
+    # backlog + new queries fit the window.
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (
-        rank.get(n, -1),
-        -idx[n] if n not in rank else idx[n]))
+    return sorted(names, key=lambda n: (rank.get(n, -1), idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

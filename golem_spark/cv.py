@@ -220,7 +220,9 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                                 label_col=label_col, measure=m)
         return cell, out, cell_fit
 
-    if max_workers > 1 or pinned_sigma:
+    if max_workers > 1:
+        # with a pinned sigma the full fits don't gate the cells, so they
+        # can overlap the cell fits on the same pool
         mw = max_workers + (len(qs) if pinned_sigma else 0)
         with ThreadPoolExecutor(max_workers=max(mw, 2)) as pool:
             full_futs = ({qv: pool.submit(full_fit, qv) for qv in qs}
@@ -228,7 +230,11 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
             raw = list(pool.map(run_cell, cells))
             full_fits.update({qv: f.result() for qv, f in full_futs.items()})
     else:
+        # max_workers=1 means fully serial — run the cells, then any
+        # pinned-sigma full fits, with no thread pool at all
         raw = [run_cell(c) for c in cells]
+        if pinned_sigma:
+            full_fits.update({qv: full_fit(qv) for qv in qs})
     results = [(cell, out) for cell, out, _ in raw]
 
     trained = _aggregate_cv(results, full_fits, qs, measures, number * repeats)

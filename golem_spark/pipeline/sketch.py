@@ -376,6 +376,19 @@ def kmv_distinct_by_group(df: DataFrame, group_col: str, col: str,
     return est.join(F.broadcast(exact), group_col)
 
 
+def kmv_key_sketch(df: DataFrame, col: str, k: int = 128,
+                   seed: int = 0) -> DataFrame:
+    """The k smallest distinct key hashes of ``df[col]`` — one
+    distinct + partial-top-k pass (compiles to TakeOrderedAndProject:
+    k rows per partition cross the network, never a global sort).
+    Shared building block of :func:`kmv_join_estimate`; exposed so the
+    plan-shape gate in tests/test_plans.py can audit it directly.
+    """
+    h = _md5_int(F.concat_ws("_", F.col(col).cast("string"),
+                             F.lit(str(seed))))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
 def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
                       col_b: str, k: int = 128, seed: int = 0) -> DataFrame:
     """Join-cardinality estimation from KMV sketches (Beyer et al.
@@ -400,13 +413,8 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
     if k < 2:
         raise ValueError("k must be >= 2")
 
-    def kmin(df, col):
-        h = _md5_int(F.concat_ws("_", F.col(col).cast("string"),
-                                 F.lit(str(seed))))
-        return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
-
-    ka = kmin(dfa, col_a).persist()
-    kb = kmin(dfb, col_b).persist()
+    ka = kmv_key_sketch(dfa, col_a, k, seed).persist()
+    kb = kmv_key_sketch(dfb, col_b, k, seed).persist()
     ku = ka.union(kb).distinct().orderBy("h").limit(k)
     both = ka.join(kb, "h")  # hashes in BOTH sketches
 
@@ -455,7 +463,13 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
                F.round((est_join - F.col("exact_join_rows"))
                        / F.col("exact_join_rows"), 6))
         .otherwise(F.lit(0.0)).alias("rel_err"))
-    return out
+    # The result is one scalar row: evaluate it eagerly so the persisted
+    # sketches can be released before returning (repeated calls would
+    # otherwise accumulate cached frames for the session lifetime).
+    rows = out.collect()
+    ka.unpersist()
+    kb.unpersist()
+    return dfa.sparkSession.createDataFrame(rows, out.schema)
 
 
 def kmv_join_estimate_sql(table_a: str, col_a: str, table_b: str,

@@ -109,6 +109,71 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp)
 
 
+def _rank_vocab(vocab: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Assign ``term_idx`` = dense global rank by (df DESC, tok ASC)
+    WITHOUT a vocabulary-global window.
+
+    Two-phase distributed ranking over literal range boundaries:
+
+    1. hash-sample ~4k (df, tok) keys (deterministic md5 predicate),
+       sort them on the driver, keep every (len/n_buckets)-th as a
+       boundary — embedded as plan LITERALS, so every pass and every
+       recompute sees identical bucket assignment;
+    2. count rows per bucket (n_buckets rows to the driver) -> prefix
+       offsets, broadcast back as a literal map;
+    3. row_number over Window.partitionBy(bucket) + offset — each
+       bucket ranks in parallel; buckets are ~|vocab|/n_buckets up to
+       sampling error, never the whole vocabulary on one task.
+
+    The comparison used for bucket assignment is exactly the rank
+    order's ((dfb > df) OR (dfb = df AND tok >= tokb)), so bucket
+    boundaries are order-consistent and ranks are exact.
+    """
+    from pyspark.sql import Window
+
+    from golem_spark.pipeline._cache import _swap_cache
+
+    vocab = _swap_cache("tfidf_vocab", vocab)
+    nv = vocab.count()
+    rate = max(1, nv // 4096)
+    tok_h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+        .cast("long")
+    sampled = sorted(
+        ((-r["df"], r["tok"]) for r in
+         vocab.filter(tok_h % rate == 0).select("df", "tok").collect()))
+    step = max(1, len(sampled) // n_buckets)
+    bounds = [(-negdf, tok) for negdf, tok in sampled[step::step]]
+
+    def bucket_of():
+        # bucket = number of boundaries at-or-before this row in
+        # (df DESC, tok ASC) order; boundaries are literals.
+        b = F.lit(0)
+        for dfb, tokb in bounds:
+            passed = (F.col("df") < F.lit(dfb)) | (
+                (F.col("df") == F.lit(dfb)) & (F.col("tok") >= F.lit(tokb)))
+            b = b + passed.cast("int")
+        return b
+
+    with_b = vocab.withColumn("__b", bucket_of())
+    counts = sorted(
+        ((r["__b"], r["cnt"]) for r in
+         with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt"))
+         .collect()))
+    offsets, acc = {}, 0
+    for bid, cnt in counts:
+        offsets[bid] = acc
+        acc += cnt
+    if not offsets:
+        offsets = {0: 0}
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__b")]
+    w = Window.partitionBy("__b").orderBy(F.desc("df"), "tok")
+    return (with_b
+            .withColumn("term_idx",
+                        F.row_number().over(w) + off_expr - 1)
+            .drop("__b"))
+
+
 def tfidf_vectors(df: DataFrame, text_col: str = "text",
                   min_df: int = 2) -> DataFrame:
     """Per-document TF-IDF as SPARSE (indices, values) arrays — the
@@ -121,21 +186,22 @@ def tfidf_vectors(df: DataFrame, text_col: str = "text",
     engines. Weight = tf * (ln((N+1)/(df+1)) + 1) (smoothed idf).
 
     Scale notes: tf and df are plain groupBy aggregates (map-side
-    combinable); the ROW_NUMBER vocabulary ordering is a
-    single-partition window over the VOCAB frame only (bounded —
-    millions of terms, not corpus-sized); per-doc arrays are built with
-    collect_list + array_sort, never a driver collect.
+    combinable); term ids come from a TWO-PHASE distributed rank (the
+    ``operators/relational.py::global_quantiles`` pattern): a
+    deterministic hash-sample of (df, tok) keys picks ~64 literal range
+    boundaries, a bucket-count pass turns them into broadcast rank
+    offsets, and a per-BUCKET row_number finishes the global rank — no
+    vocabulary-global single-task window (a web-scale vocab can be 10^8
+    rows). Boundary literals are embedded in the plan, and the rank
+    order (df DESC, tok) is total, so term ids are partitioning- and
+    recompute-invariant. Per-doc arrays are built with collect_list +
+    array_sort, never a driver collect.
     """
-    from pyspark.sql import Window
-
     toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.count()
-    vocab = (dfreq.filter(F.col("df") >= min_df)
-             .withColumn("term_idx",
-                         F.row_number().over(
-                             Window.orderBy(F.desc("df"), "tok")) - 1))
+    vocab = _rank_vocab(dfreq.filter(F.col("df") >= min_df))
     idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
     cells = (tf.join(vocab, "tok")
              .select("doc_id", "term_idx",

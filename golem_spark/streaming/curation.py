@@ -114,8 +114,8 @@ def run_contamination_stream(spark: SparkSession, docs_path: str,
 # -- streaming mergeable sketch: per-source KMV distinct counts -------------
 
 KMV_OUT_SCHEMA = ("source string, n_kept long, kth_hash long, "
-                  "est_distinct double")
-KMV_STATE_SCHEMA = "hashes array<bigint>"
+                  "est_distinct double, update_seq long")
+KMV_STATE_SCHEMA = "hashes array<bigint>, update_seq long"
 
 _TWO60 = float(1 << 60)
 
@@ -136,19 +136,27 @@ def kmv_by_group_stream(docs: DataFrame, value_col: str,
         import pandas as pd
 
         (source,) = key
-        cur = list(state.get[0]) if state.exists else []
+        if state.exists:
+            cur, seq = list(state.get[0]), int(state.get[1])
+        else:
+            cur, seq = [], 0
         for pdf in pdfs:
             vals = pdf[value_col].astype(str)
             hs = [int(hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:15],
                       16) for v in vals]
             cur = sorted(set(cur) | set(hs))[:k]
-        state.update((cur,))
+        # monotonic per-source update counter: once a sketch is full,
+        # n_kept stays k and kth_hash only shrinks, so (n_kept, kth_hash)
+        # alone cannot identify the newest snapshot — the counter can.
+        seq += 1
+        state.update((cur, seq))
         n_kept = len(cur)
         kth = cur[-1] if cur else 0
         est = (float(n_kept) if n_kept < k
                else round((k - 1) * _TWO60 / float(kth), 6))
         yield pd.DataFrame({"source": [source], "n_kept": [n_kept],
-                            "kth_hash": [kth], "est_distinct": [est]})
+                            "kth_hash": [kth], "est_distinct": [est],
+                            "update_seq": [seq]})
 
     return (docs.groupBy("source")
             .applyInPandasWithState(
@@ -178,7 +186,6 @@ def run_kmv_stream(spark: SparkSession, docs_path: str, value_col: str,
     finally:
         q.stop()
     latest = spark.sql(f"SELECT * FROM {query_name}")
-    w = Window.partitionBy("source").orderBy(F.col("n_kept").desc(),
-                                             F.col("kth_hash").desc())
+    w = Window.partitionBy("source").orderBy(F.col("update_seq").desc())
     return (latest.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+            .filter(F.col("__rn") == 1).drop("__rn", "update_seq"))

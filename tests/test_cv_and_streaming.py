@@ -372,7 +372,10 @@ def test_kmv_stream_merges_across_batches(spark, tmp_path):
             .select("doc_id", "text", "lang", "source", "n_chars"))
     src = tmp_path / "kmv_src"
     src.mkdir()
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+    # split by doc_id RANGE, not parity: source is doc_id%20, so a parity
+    # split would put every source entirely in one batch and state-carry
+    # would never be exercised (each source appears in both halves here).
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(
         str(src / "a.parquet"))
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", "1").format("parquet")
@@ -382,7 +385,7 @@ def test_kmv_stream_merges_across_batches(spark, tmp_path):
          .format("memory").queryName("kmv_two_batches").start())
     try:
         q.processAllAvailable()
-        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(
             str(src / "b.parquet"))
         q.processAllAvailable()
     finally:
@@ -390,12 +393,19 @@ def test_kmv_stream_merges_across_batches(spark, tmp_path):
     from pyspark.sql import Window
 
     latest = spark.sql("SELECT * FROM kmv_two_batches")
-    w = Window.partitionBy("source").orderBy(F.col("n_kept").desc(),
-                                             F.col("kth_hash").desc())
+    # newest snapshot per source = max update_seq (NOT kth_hash desc: once
+    # a sketch is full, later updates only shrink the kth hash).
+    w = Window.partitionBy("source").orderBy(F.col("update_seq").desc())
     stream_rows = {r["source"]: (r["n_kept"], r["kth_hash"])
                    for r in latest.withColumn(
                        "__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1).collect()}
+    # every source appears in both micro-batches → its newest snapshot
+    # has seq 2; a counter (or sketch) that failed to carry across
+    # batches would cap at 1.
+    seqs = [r["mx"] for r in latest.groupBy("source").agg(
+        F.max("update_seq").alias("mx")).collect()]
+    assert seqs and min(seqs) == 2 and max(seqs) == 2
     batch_rows = {r["source"]: (r["n_kept"], r["kth_hash"])
                   for r in kmv_distinct_by_group(docs, "source", "text",
                                                  k=16).collect()}

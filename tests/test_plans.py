@@ -225,12 +225,14 @@ def test_kmv_join_estimate_uses_partial_topk(spark):
     """p94 scale gate: every k-min sketch must compile to
     TakeOrderedAndProject (per-partition partial top-k, k rows per
     partition cross the network) — a global Sort before the limit would
-    shuffle both key sets in full."""
-    from golem_spark.pipeline.sketch import kmv_join_estimate
+    shuffle both key sets in full. kmv_join_estimate evaluates eagerly
+    (to release its persisted sketches), so the gate audits the shared
+    sketch builder it is assembled from."""
+    from golem_spark.pipeline.sketch import kmv_key_sketch
     from golem_spark.session import load_tables
 
     t = load_tables(spark, "/root/testdata/sf0.001")
-    q = kmv_join_estimate(t["orders"], "o_orderkey",
-                          t["lineitem"], "l_orderkey", k=16)
+    q = kmv_key_sketch(t["orders"], "o_orderkey", k=16)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -56,8 +56,6 @@ ACCEPTED = {
                          "production, data-sized only in the demo",
     "k14_strong_rule_prefix": "declared kernel SQL: same p-sized "
                               "sorted-prefix shape as k13",
-    "p19_tfidf_vectors": "term-id window runs over the min_df-filtered "
-                         "VOCABULARY (metadata-sized), not the corpus",
 }
 
 
