@@ -561,9 +561,16 @@ def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
     applied to corpus text.
 
     Plan shape: posexplode + an exclusive per-doc running sum assigns
-    chunk ids (one shuffle on doc_id), chunks rebuild with a combinable
-    collect_list, and the share check is the usual chunk-text-keyed
-    groupBy. Returns (doc_id, n_chunks, n_shared, dup_frac).
+    chunk ids (one shuffle on doc_id; the chunk-start min window reuses
+    the same exchange), then each chunk reduces to a COMBINABLE
+    fingerprint — the low/high 30-bit halves of ONE md5(rel_pos:token)
+    summed independently, plus the token count — instead of rebuilding
+    chunk text with collect_list (which shuffles every token's text
+    twice). rel_pos occurs exactly once per 0..len-1, so the
+    (fp1, fp2, len) triple determines the token sequence up to a sum
+    collision (~2^-60 joint) — and both engines compute the identical
+    sums, so the comparison is engine-consistent regardless. Returns
+    (doc_id, n_chunks, n_shared, dup_frac).
     """
     from pyspark.sql import Window
 
@@ -574,14 +581,18 @@ def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
          .rowsBetween(Window.unboundedPreceding, -1))
     chunked = toks.withColumn(
         "chunk_idx", F.coalesce(F.sum(flag).over(w), F.lit(0)))
-    chunks = (chunked.groupBy("doc_id", "chunk_idx")
-              .agg(F.array_join(
-                  F.transform(
-                      F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                      lambda x: x["tok"]), " ").alias("chunk")))
-    gdf = chunks.groupBy("chunk").agg(
+    rel = (F.col("pos")
+           - F.min("pos").over(Window.partitionBy("doc_id", "chunk_idx")))
+    h = _md5_int(F.concat_ws(":", rel.cast("string"), F.col("tok")))
+    chunks = (chunked
+              .withColumn("__h", h)
+              .groupBy("doc_id", "chunk_idx")
+              .agg(F.sum(F.col("__h") % F.lit(1 << 30)).alias("fp1"),
+                   F.sum(F.shiftright("__h", 30)).alias("fp2"),
+                   F.count(F.lit(1)).alias("fp_len")))
+    gdf = chunks.groupBy("fp1", "fp2", "fp_len").agg(
         F.countDistinct("doc_id").alias("gdf"))
-    return (chunks.join(gdf, "chunk")
+    return (chunks.join(gdf, ["fp1", "fp2", "fp_len"])
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0))

@@ -2361,17 +2361,26 @@ _add(
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS chunk_idx
       FROM flagged),
+    rel AS (
+      SELECT doc_id, chunk_idx,
+             {_DUCK_MD5INT.format(
+                 x="(pos - MIN(pos) OVER (PARTITION BY doc_id, chunk_idx))"
+                   "::VARCHAR || ':' || tok")} AS h
+      FROM chunked),
     chunks AS (
       SELECT doc_id, chunk_idx,
-             string_agg(tok, ' ' ORDER BY pos) AS chunk
-      FROM chunked GROUP BY doc_id, chunk_idx),
+             SUM(h % 1073741824) AS fp1,
+             SUM(h // 1073741824) AS fp2,
+             COUNT(*) AS fp_len
+      FROM rel GROUP BY doc_id, chunk_idx),
     gdf AS (
-      SELECT chunk, COUNT(DISTINCT doc_id) AS gdf FROM chunks GROUP BY chunk)
+      SELECT fp1, fp2, fp_len, COUNT(DISTINCT doc_id) AS gdf
+      FROM chunks GROUP BY fp1, fp2, fp_len)
     SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
            SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
            ROUND(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)::DOUBLE
                  / greatest(COUNT(*), 1), 6) AS dup_frac
-    FROM chunks JOIN gdf USING (chunk)
+    FROM chunks JOIN gdf USING (fp1, fp2, fp_len)
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
