@@ -1,6 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
 total wall-clock seconds.
+
+``--jobs=N`` runs N worker threads against the SAME JVM, each in its own
+FAIR scheduler pool (round-robin split of the name-ordered list, so each
+worker still runs ITS queries in name order). Per-query timings under
+concurrency share CPU and are not comparable to serial timings — the
+summary therefore reports BOTH the serial-equivalent sum ("value", the
+round-over-round comparison number) and the pooled wall clock
+("pooled_wall_sec", what a session actually waits). The driver's default
+invocation (no flag) is byte-compatible with previous rounds.
 """
 
 from __future__ import annotations
@@ -9,6 +18,7 @@ import json
 import os
 import re
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,8 +31,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    jobs = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--jobs="):
+            jobs = max(1, int(a.split("=", 1)[1]))
 
-    spark = get_spark("golem_spark_bench")
+    spark = get_spark(
+        "golem_spark_bench",
+        extra_conf={"spark.scheduler.mode": "FAIR"} if jobs > 1 else None)
     # name order, NOT the rotated driver order: rotation changes every
     # round, and which query pays a shared family cache's one-time
     # build depends on order — stable ordering keeps per-query timings
@@ -33,15 +49,36 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qs.items():
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count() if df is not None else 0
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    lock = threading.Lock()
+
+    def run_list(items, pool_name=None):
+        if pool_name is not None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                                pool_name)
+        for name, fn in items:
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count() if df is not None else 0
+            dt = time.monotonic() - t0
+            with lock:
+                timings[name] = round(dt, 4)
+            print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    wall0 = time.monotonic()
+    if jobs == 1:
+        run_list(list(qs.items()))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(qs.items())
+        queues = [items[i::jobs] for i in range(jobs)]
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            futs = [pool.submit(run_list, queues[i], f"bench{i}")
+                    for i in range(jobs)]
+            for f in futs:
+                f.result()
+    pooled_wall = time.monotonic() - wall0
+    total = sum(timings.values())
 
     # Full per-query detail first (large line, for humans/the judge), then
     # a SHORT final JSON line so the driver's bounded tail buffer always
@@ -51,14 +88,18 @@ def main() -> None:
     print(json.dumps({"detail": "per_query_wall_clock", "queries": timings,
                       "sf": sf}))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
-    print(json.dumps({
+    summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 4),
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
         "sf": sf,
-    }))
+    }
+    if jobs > 1:
+        summary["jobs"] = jobs
+        summary["pooled_wall_sec"] = round(pooled_wall, 4)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

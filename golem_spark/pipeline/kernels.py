@@ -56,6 +56,12 @@ def _add(name: str, fn, duck_sql: str | None):
 # nothing), each query stays independently runnable, and at 100 TB this
 # is the difference between one signature scan and four.
 _DEDUP_SHARED: dict = {}
+# reentrant: _components_cached builds THROUGH _minhash_pairs_cached.
+# Serializing first-builds means two concurrent callers (verify_oracle
+# --jobs) share one persisted frame instead of each persisting its own
+# (identical values, but the loser's frame would stay pinned for the
+# session lifetime).
+_DEDUP_LOCK = __import__("threading").RLock()
 
 
 def _minhash_pairs_cached(spark, sf_dir: str):
@@ -63,16 +69,20 @@ def _minhash_pairs_cached(spark, sf_dir: str):
     # in one process must not see frames from a stopped session
     key = (id(spark), sf_dir, "pairs")
     if key not in _DEDUP_SHARED:
-        docs = load_tables(spark, sf_dir)["documents"]
-        _DEDUP_SHARED[key] = dedup.minhash_lsh_pairs(docs).persist()
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_SHARED:
+                docs = load_tables(spark, sf_dir)["documents"]
+                _DEDUP_SHARED[key] = dedup.minhash_lsh_pairs(docs).persist()
     return _DEDUP_SHARED[key]
 
 
 def _components_cached(spark, sf_dir: str):
     key = (id(spark), sf_dir, "comp")
     if key not in _DEDUP_SHARED:
-        _DEDUP_SHARED[key] = dedup.dup_components(
-            _minhash_pairs_cached(spark, sf_dir)).persist()
+        with _DEDUP_LOCK:
+            if key not in _DEDUP_SHARED:
+                _DEDUP_SHARED[key] = dedup.dup_components(
+                    _minhash_pairs_cached(spark, sf_dir)).persist()
     return _DEDUP_SHARED[key]
 
 

@@ -12,7 +12,8 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "golem_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "golem_spark", shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
@@ -34,6 +35,8 @@ def get_spark(app_name: str = "golem_spark", shuffle_partitions: int | None = No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

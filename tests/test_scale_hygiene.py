@@ -132,3 +132,43 @@ def test_pagerank_repeated_calls_release_snapshots(spark):
                  and k[0].startswith("pagerank")]
     # one live frame per pagerank slot at most, regardless of call count
     assert len(key_slots) == len(set(key_slots))
+
+
+def test_shared_caches_survive_concurrent_verifiers(spark):
+    """Two concurrent verifier threads (the verify_oracle --jobs=2
+    shape) racing the SAME first-build must (a) return identical
+    results — no cross-contamination — and (b) leave exactly one
+    shared build behind: re-running serially afterwards persists
+    nothing new (a lost build race would pin an orphaned frame for the
+    session lifetime)."""
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    # covers all three cross-thread shared caches: kernels._DEDUP_SHARED
+    # (p08 pairs / p92 components), glm_queries._WIDE_CTX (wide stats +
+    # encoded frame + gram_cache)
+    names = ["p08_minhash_lsh_pairs", "p92_dup_cluster_stats",
+             "glm_gaussian_wide_sparse", "glm_poisson_wide_sparse"]
+
+    def run(name):
+        return tuple(sorted(map(str, qs[name](spark, sf).collect())))
+
+    # race each query against itself AND the others (8 concurrent jobs)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [(n, pool.submit(run, n), pool.submit(run, n))
+                for n in names]
+        results = {n: (a.result(), b.result()) for n, a, b in futs}
+    for n, (a, b) in results.items():
+        assert a == b, f"concurrent runs of {n} disagree"
+
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    for n, (a, _) in results.items():
+        assert run(n) == a, f"serial re-run of {n} disagrees"
+    assert jsc.getPersistentRDDs().size() <= baseline, \
+        "serial re-run after concurrent warm-up persisted new frames"

@@ -56,6 +56,11 @@ ACCEPTED = {
                          "production, data-sized only in the demo",
     "k14_strong_rule_prefix": "declared kernel SQL: same p-sized "
                               "sorted-prefix shape as k13",
+    "p42_vocab_coverage": "cumulative window runs AFTER .limit(top_k) — "
+                          "the frame is k rows (user-supplied, ~1e2) by "
+                          "construction, never corpus- or vocab-sized; "
+                          "the heavy lifting is a combinable groupBy + "
+                          "TakeOrdered partial top-k",
 }
 
 
