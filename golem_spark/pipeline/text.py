@@ -750,6 +750,16 @@ def unigram_kl(df: DataFrame, source_a: str, source_b: str,
             .select("source", F.explode(tokens_col(text_col)).alias("tok")))
     counts = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).alias("cnt"))
+    return unigram_kl_from_counts(counts, source_a, source_b,
+                                  k_smooth=k_smooth)
+
+
+def unigram_kl_from_counts(counts: DataFrame, source_a: str, source_b: str,
+                           k_smooth: float = 0.5) -> DataFrame:
+    """The KL math of :func:`unigram_kl` over a pre-aggregated
+    (source, tok, cnt) frame — shared by the batch query and the
+    streaming drift monitor (streaming/monitors.py), so stream==batch
+    equality is by construction of the same expressions."""
     a = (counts.filter(F.col("source") == source_a)
          .select("tok", F.col("cnt").alias("ca")))
     b = (counts.filter(F.col("source") == source_b)

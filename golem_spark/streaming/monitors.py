@@ -1,0 +1,84 @@
+"""Streaming corpus monitors: incremental twins of the batch quantile
+and drift diagnostics (p93_sampled_quantiles, p96_source_kl_drift).
+
+Both follow the foreachBatch ACCUMULATOR-SINK shape — the scalable
+pattern for monotonically-growing monitoring state that is too large
+for executor-memory state stores (a web-scale vocabulary, a 0.1%
+sample of 100 TB):
+
+- each micro-batch reduces ITSELF (combinable: a deterministic
+  hash-sample filter, a token-count groupBy) and APPENDS the reduced
+  partial to a parquet store — per-batch work is batch-sized, appended
+  state is sample-/vocab-sized, never corpus-sized;
+- the current monitor value is computed on demand by folding the store
+  (a groupBy-sum over partial counts, a quantile over the sample) with
+  the SAME functions the batch queries use, so stream==batch equality
+  holds exactly: the md5 hash-sample is deterministic per key (not
+  df.sample), and token counts are additive across any batch split.
+
+On a production cluster the parquet store would be a table with
+compaction; the fold cost is bounded by store size, not stream history,
+because each append is already reduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golem_spark.operators.relational import group_quantiles, hash_sample
+from golem_spark.pipeline.text import tokens_col, unigram_kl_from_counts
+
+
+def sampled_quantiles_sink(store_dir: str, key_col: str = "l_orderkey",
+                           rate: float = 0.1, seed: int = 3):
+    """foreachBatch sink: append each micro-batch's deterministic
+    md5-hash sample (same predicate as relational.hash_sample, so the
+    retained KEYS are identical however the stream is micro-batched)
+    to ``store_dir``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (hash_sample(batch_df, key_col, rate, seed=seed)
+         .write.mode("append").parquet(store_dir))
+
+    return sink
+
+
+def sampled_quantiles_result(spark: SparkSession, store_dir: str,
+                             group_col: str, value_col: str,
+                             qs=(0.5, 0.9)) -> DataFrame:
+    """Current per-group quantiles over the accumulated sample store —
+    the identical group_quantiles the batch query (p93) runs on its
+    sample side."""
+    return group_quantiles(spark.read.parquet(store_dir),
+                           group_col, value_col, list(qs))
+
+
+def kl_drift_sink(store_dir: str, source_a: str, source_b: str,
+                  text_col: str = "text"):
+    """foreachBatch sink: reduce each micro-batch to (source, tok, cnt)
+    partial token counts for the two monitored sources and append them.
+    Counts are additive, so the folded store equals the batch counts
+    over the union of all micro-batches regardless of batching."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df
+         .filter(F.col("source").isin([source_a, source_b]))
+         .select("source", F.explode(tokens_col(text_col)).alias("tok"))
+         .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+         .write.mode("append").parquet(store_dir))
+
+    return sink
+
+
+def kl_drift_result(spark: SparkSession, store_dir: str,
+                    source_a: str, source_b: str,
+                    k_smooth: float = 0.5) -> DataFrame:
+    """Current symmetric-KL drift from the accumulated partial counts —
+    folds the store with a combinable groupBy-sum, then runs the SAME
+    unigram_kl_from_counts expressions as the batch query (p96)."""
+    merged = (spark.read.parquet(store_dir)
+              .groupBy("source", "tok")
+              .agg(F.sum("cnt").alias("cnt")))
+    return unigram_kl_from_counts(merged, source_a, source_b,
+                                  k_smooth=k_smooth)

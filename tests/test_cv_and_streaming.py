@@ -410,3 +410,81 @@ def test_kmv_stream_merges_across_batches(spark, tmp_path):
                   for r in kmv_distinct_by_group(docs, "source", "text",
                                                  k=16).collect()}
     assert stream_rows == batch_rows
+
+
+def test_sampled_quantiles_stream_equals_batch(spark, tmp_path):
+    """p93's streaming twin: the foreachBatch accumulator sink (append
+    each micro-batch's deterministic hash-sample to a parquet store)
+    must end EXACTLY equal to the batch sample quantiles — the md5
+    sample keeps identical keys however the stream is micro-batched."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.operators.relational import group_quantiles, hash_sample
+    from golem_spark.streaming.monitors import (sampled_quantiles_result,
+                                                sampled_quantiles_sink)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cut = 3000
+    src = tmp_path / "li_src"
+    store = str(tmp_path / "sample_store")
+    src.mkdir()
+    li.filter(F.col("l_orderkey") < cut).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    li.filter(F.col("l_orderkey") >= cut).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    stream = (spark.readStream.schema(li.schema)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    q = (stream.writeStream
+         .foreachBatch(sampled_quantiles_sink(store, "l_orderkey",
+                                              rate=0.1, seed=3))
+         .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, sampled_quantiles_result(
+        spark, store, "l_returnflag", "l_extendedprice").collect()))
+    want = sorted(map(tuple, group_quantiles(
+        hash_sample(li, "l_orderkey", 0.1, seed=3),
+        "l_returnflag", "l_extendedprice", [0.5, 0.9]).collect()))
+    assert got == want and len(got) >= 2
+
+
+def test_kl_drift_stream_equals_batch(spark, tmp_path):
+    """p96's streaming twin: per-batch partial token counts appended to
+    the store, folded with a groupBy-sum, must reproduce the batch
+    symmetric-KL EXACTLY (counts are additive across any batch split;
+    the fold runs the same unigram_kl_from_counts expressions)."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import unigram_kl
+    from golem_spark.streaming.monitors import (kl_drift_result,
+                                                kl_drift_sink)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    src = tmp_path / "docs_src"
+    store = str(tmp_path / "kl_store")
+    src.mkdir()
+    # range split: both monitored sources appear in both micro-batches
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    q = (stream.writeStream
+         .foreachBatch(kl_drift_sink(store, "src0", "src1"))
+         .option("checkpointLocation", str(tmp_path / "ckpt_kl"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = kl_drift_result(spark, store, "src0", "src1").collect()
+    want = unigram_kl(docs, "src0", "src1").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["vocab"] > 0
