@@ -153,14 +153,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH candidate pairs: band signatures (4 bands x 2 rows) blocked by
-    (lang, length-bucket); documents sharing any band bucket within a
-    block become a candidate pair. Output (doc_a, doc_b, n_shared_bands).
-
-    Blocking bounds bucket skew: the shuffle key is (block, band, bkey),
-    so a pathologically common signature cannot concentrate a corpus-
-    sized bucket on one reducer."""
+def band_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (doc_id, lang, len_bucket, band, bkey) bucket-membership frame
+    minhash_lsh_pairs self-joins on — exposed so the skew-stress test can
+    measure actual bucket sizes on an adversarial corpus (the shuffle-key
+    distribution IS the per-reducer bound at scale)."""
     sig = minhash_signatures(df, text_col).join(
         df.select("doc_id", *_block_key()), "doc_id")
     # ONE pass: emit all band keys as an array and posexplode — the
@@ -171,8 +168,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.concat_ws("_", *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
                            for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)])
-    allb = sig.select("doc_id", "lang", "len_bucket",
+    return sig.select("doc_id", "lang", "len_bucket",
                       F.posexplode(band_arr).alias("band", "bkey"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: band signatures (4 bands x 2 rows) blocked by
+    (lang, length-bucket); documents sharing any band bucket within a
+    block become a candidate pair. Output (doc_a, doc_b, n_shared_bands).
+
+    Blocking bounds bucket skew: the shuffle key is (block, band, bkey),
+    so a pathologically common signature cannot concentrate a corpus-
+    sized bucket on one reducer."""
+    allb = band_buckets(df, text_col)
     a = allb.alias("a")
     b2 = allb.alias("b")
     return (a.join(b2, on=[F.col("a.lang") == F.col("b.lang"),
