@@ -35,6 +35,7 @@ def _q(fn):
             return fn(tables, spark=spark, sf_dir=sf_dir)
         return fn(tables)
 
+    run.__wrapped__ = fn  # the rotation fingerprints the real impl
     return run
 
 

@@ -391,8 +391,12 @@ def kmv_key_sketch(df: DataFrame, col: str, k: int = 128,
 
 def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
                       col_b: str, k: int = 128, seed: int = 0) -> DataFrame:
-    """Join-cardinality estimation from KMV sketches (Beyer et al.
-    SIGMOD'07 multi-set extension) — the optimizer-statistics shape:
+    """EAGER join-cardinality estimation from KMV sketches (Beyer et
+    al. SIGMOD'07 multi-set extension): runs the Spark jobs AT CALL
+    TIME and returns the one-row result as a small driver-materialized
+    frame (so the two persisted sketches can be released before
+    returning — repeated calls don't accumulate cached frames). Do not
+    call during pure plan construction. The optimizer-statistics shape:
     estimate |A JOIN B| BEFORE running the join, from two k-sized
     sketches plus each side's row count.
 
@@ -466,9 +470,11 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
     # The result is one scalar row: evaluate it eagerly so the persisted
     # sketches can be released before returning (repeated calls would
     # otherwise accumulate cached frames for the session lifetime).
-    rows = out.collect()
-    ka.unpersist()
-    kb.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        ka.unpersist()
+        kb.unpersist()
     return dfa.sparkSession.createDataFrame(rows, out.schema)
 
 

@@ -128,7 +128,13 @@ def kmv_by_group_stream(docs: DataFrame, value_col: str,
     tenant), updated per micro-batch in O(batch + k log k). Emits the
     current (n_kept, kth_hash, estimate) per source on every update;
     after all data is processed the numbers equal the batch
-    kmv_distinct_by_group's."""
+    kmv_distinct_by_group's.
+
+    .. warning:: STATE SCHEMA BREAK (round 6): ``KMV_STATE_SCHEMA``
+       gained ``update_seq``, so state persisted by a checkpoint from
+       before that change is incompatible — restart such streams with a
+       FRESH checkpoint location. The update function guards the read
+       and raises a clear error instead of misreading old state."""
     import hashlib
 
     def update(key, pdfs, state):
@@ -137,7 +143,13 @@ def kmv_by_group_stream(docs: DataFrame, value_col: str,
 
         (source,) = key
         if state.exists:
-            cur, seq = list(state.get[0]), int(state.get[1])
+            st = tuple(state.get)
+            if len(st) != 2 or st[1] is None:
+                raise ValueError(
+                    "kmv_by_group_stream: persisted state lacks "
+                    "update_seq (pre-round-6 checkpoint) — restart the "
+                    "stream with a fresh checkpointLocation")
+            cur, seq = list(st[0]), int(st[1])
         else:
             cur, seq = [], 0
         for pdf in pdfs:

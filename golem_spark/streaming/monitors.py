@@ -7,9 +7,14 @@ for executor-memory state stores (a web-scale vocabulary, a 0.1%
 sample of 100 TB):
 
 - each micro-batch reduces ITSELF (combinable: a deterministic
-  hash-sample filter, a token-count groupBy) and APPENDS the reduced
-  partial to a parquet store — per-batch work is batch-sized, appended
-  state is sample-/vocab-sized, never corpus-sized;
+  hash-sample filter, a token-count groupBy) and writes the reduced
+  partial to a ``batch=<id>`` partition of a parquet store — per-batch
+  work is batch-sized, appended state is sample-/vocab-sized, never
+  corpus-sized. Keying the write on foreachBatch's batch_id makes the
+  sink IDEMPOTENT: foreachBatch is at-least-once, so a micro-batch
+  replayed after failure/checkpoint recovery simply overwrites its own
+  partition instead of double-counting tokens / duplicating sample
+  rows — the exact stream==batch equality survives replays;
 - the current monitor value is computed on demand by folding the store
   (a groupBy-sum over partial counts, a quantile over the sample) with
   the SAME functions the batch queries use, so stream==batch equality
@@ -26,20 +31,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from golem_spark.operators.relational import group_quantiles, hash_sample
 from golem_spark.pipeline.text import tokens_col, unigram_kl_from_counts
 
 
+def _batch_dir(store_dir: str, batch_id: int) -> str:
+    """Partition path for one micro-batch: overwriting it (instead of
+    appending to the store root) is what makes replays idempotent."""
+    return os.path.join(store_dir, f"batch={int(batch_id)}")
+
+
 def sampled_quantiles_sink(store_dir: str, key_col: str = "l_orderkey",
                            rate: float = 0.1, seed: int = 3):
-    """foreachBatch sink: append each micro-batch's deterministic
+    """foreachBatch sink: write each micro-batch's deterministic
     md5-hash sample (same predicate as relational.hash_sample, so the
     retained KEYS are identical however the stream is micro-batched)
-    to ``store_dir``."""
+    to the batch's own ``batch=<id>`` partition of ``store_dir`` —
+    a replayed batch overwrites itself, never duplicates."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (hash_sample(batch_df, key_col, rate, seed=seed)
-         .write.mode("append").parquet(store_dir))
+         .write.mode("overwrite").parquet(_batch_dir(store_dir, batch_id)))
 
     return sink
 
@@ -49,7 +63,8 @@ def sampled_quantiles_result(spark: SparkSession, store_dir: str,
                              qs=(0.5, 0.9)) -> DataFrame:
     """Current per-group quantiles over the accumulated sample store —
     the identical group_quantiles the batch query (p93) runs on its
-    sample side."""
+    sample side. Partition discovery adds the ``batch`` column; it is
+    ignored by the fold."""
     return group_quantiles(spark.read.parquet(store_dir),
                            group_col, value_col, list(qs))
 
@@ -57,7 +72,8 @@ def sampled_quantiles_result(spark: SparkSession, store_dir: str,
 def kl_drift_sink(store_dir: str, source_a: str, source_b: str,
                   text_col: str = "text"):
     """foreachBatch sink: reduce each micro-batch to (source, tok, cnt)
-    partial token counts for the two monitored sources and append them.
+    partial token counts for the two monitored sources and write them
+    to the batch's own ``batch=<id>`` partition (idempotent replays).
     Counts are additive, so the folded store equals the batch counts
     over the union of all micro-batches regardless of batching."""
 
@@ -66,7 +82,7 @@ def kl_drift_sink(store_dir: str, source_a: str, source_b: str,
          .filter(F.col("source").isin([source_a, source_b]))
          .select("source", F.explode(tokens_col(text_col)).alias("tok"))
          .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-         .write.mode("append").parquet(store_dir))
+         .write.mode("overwrite").parquet(_batch_dir(store_dir, batch_id)))
 
     return sink
 

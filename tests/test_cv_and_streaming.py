@@ -488,3 +488,48 @@ def test_kl_drift_stream_equals_batch(spark, tmp_path):
     want = unigram_kl(docs, "src0", "src1").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0]["vocab"] > 0
+
+
+def test_monitor_sinks_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) after checkpoint recovery must NOT change the folded
+    monitor state — the batch_id-partitioned overwrite makes the sinks
+    idempotent (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.operators.relational import group_quantiles, hash_sample
+    from golem_spark.pipeline.text import unigram_kl
+    from golem_spark.streaming.monitors import (kl_drift_result,
+                                                kl_drift_sink,
+                                                sampled_quantiles_result,
+                                                sampled_quantiles_sink)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    b0 = li.filter(F.col("l_orderkey") < 3000)
+    b1 = li.filter(F.col("l_orderkey") >= 3000)
+    store = str(tmp_path / "q_store")
+    sink = sampled_quantiles_sink(store, "l_orderkey", rate=0.1, seed=3)
+    sink(b0, 0)
+    sink(b0, 0)  # replayed batch: must overwrite, not duplicate
+    sink(b1, 1)
+    sink(b1, 1)
+    got = sorted(map(tuple, sampled_quantiles_result(
+        spark, store, "l_returnflag", "l_extendedprice").collect()))
+    want = sorted(map(tuple, group_quantiles(
+        hash_sample(li, "l_orderkey", 0.1, seed=3),
+        "l_returnflag", "l_extendedprice", [0.5, 0.9]).collect()))
+    assert got == want
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    d0 = docs.filter(F.col("doc_id") < 250)
+    d1 = docs.filter(F.col("doc_id") >= 250)
+    kstore = str(tmp_path / "kl_store")
+    ksink = kl_drift_sink(kstore, "src0", "src1")
+    ksink(d0, 0)
+    ksink(d0, 0)  # replay: token counts must not double
+    ksink(d1, 1)
+    got_kl = [tuple(r) for r in
+              kl_drift_result(spark, kstore, "src0", "src1").collect()]
+    want_kl = [tuple(r) for r in unigram_kl(docs, "src0", "src1").collect()]
+    assert got_kl == want_kl
