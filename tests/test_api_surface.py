@@ -230,16 +230,22 @@ def test_freeze_guard_refuses_on_failing_stat_oracles(monkeypatch):
 
 def test_driver_rotation_puts_unverified_first():
     """The driver's correctness gate checks only the HEAD of queries();
-    ordering must put never-driver-verified queries first (newest
-    registration first within them) so every query reaches the gate
-    within a couple of rounds (VERDICT r4 item 3)."""
+    ordering must put never-driver-verified AND changed-since-verified
+    queries first (effective rank -1, from the content-fingerprint
+    stamps), then least-recently-verified (VERDICT r4 item 3 + r6
+    item 3)."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
+    fns, sql = entry._bases()
     rank = entry._verification_rank()
-    ranks = [rank.get(n, -1) for n in names]
-    # sorted by rank: all -1 (never-verified) before any verified round
-    assert ranks == sorted(ranks)
+    stored = entry._stored_fingerprints()
+    eff = [-1 if stored.get(n) != entry.query_fingerprint(n, fns[n],
+                                                          sql.get(n))
+           else rank.get(n, -1) for n in names]
+    assert eff == sorted(eff)
+    # the front group must fit the driver's verification window
+    assert sum(1 for r in eff if r == -1) <= entry.DRIVER_WINDOW
     assert set(names) == set(entry.oracle_sql())
     assert names == list(entry.oracle_sql())
 
