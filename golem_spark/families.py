@@ -140,11 +140,19 @@ class Poisson(Family):
     name = "poisson"
 
     def primal(self, y, lp):
-        return -float(np.sum(y * lp - trunc_exp(lp) - _lgamma(y + 1)))
+        # a diverged line-search candidate can push sum(trunc_exp(lp))
+        # past float max; return an explicit +inf objective (rejected by
+        # backtracking) instead of letting the overflow warn — converged
+        # iterates never hit the clamp, so fitted numerics are unchanged
+        with np.errstate(over="ignore"):
+            val = np.sum(y * lp - trunc_exp(lp) - _lgamma(y + 1))
+        return -float(val) if np.isfinite(val) else float(np.inf)
 
     def dual(self, y, lp):
-        e = trunc_exp(lp)
-        return -float(np.sum(e * (lp - 1) - _lgamma(y + 1)))
+        with np.errstate(over="ignore"):
+            e = trunc_exp(lp)
+            val = np.sum(e * (lp - 1) - _lgamma(y + 1))
+        return -float(val) if np.isfinite(val) else float(np.inf)
 
     def pseudo_gradient(self, y, lp):
         return trunc_exp(lp) - y

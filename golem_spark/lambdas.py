@@ -98,11 +98,22 @@ def lambda_sequence(kind: str, n: int, mp: int, q: float = 0.2,
             adj = lam.copy()
             csum = 0.0
             for k in range(1, mp):
-                csum += adj[k - 1] ** 2
+                prev = float(adj[k - 1])
+                if prev > 1e150 or csum > 1e290:
+                    # the adjustment diverges when mp >> n (csum/w
+                    # compounds); past ~1e150 the sequence can never
+                    # return below its running minimum (lam ratios are
+                    # bounded), so stop before prev**2 overflows — the
+                    # +inf tail is erased by the monotonize step below
+                    adj[k:] = np.inf
+                    break
+                csum += prev * prev
                 w = max(n - k - 1.0, 1.0)
                 adj[k] = lam[k] * math.sqrt(1.0 + csum / w)
             kmin = int(np.argmin(adj))
             adj[kmin:] = adj[kmin]
+            assert np.isfinite(adj[kmin]), "gaussian lambda adjustment " \
+                "produced a non-finite minimum"
             lam = adj
         return lam
     if kind == "oscar":

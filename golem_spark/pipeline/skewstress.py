@@ -1,0 +1,152 @@
+"""Adversarial skew-stress fixtures + measurements for the bucketed
+dedup paths (VERDICT r5 item 4 / r6 item 1).
+
+The 100 TB claim under test: the candidate-generating self-joins in
+:func:`golem_spark.pipeline.dedup.minhash_lsh_pairs` and
+:func:`golem_spark.pipeline.similarity.embedding_near_dup_pairs` keep
+per-reducer work bounded because their shuffle keys — (lang,
+len_bucket, band, bkey) and the SRP bucket id — spread even
+pathological corpora, so quadratic work happens only inside buckets.
+
+These helpers generate corpora engineered to defeat that spreading —
+one dominant language (no language-block relief), a single length
+bucket (no length relief), a shared boilerplate prefix in EVERY
+document (a hot MinHash component), and an embedding cloud with 90% of
+vectors around one direction (a hot SRP cell) — then measure the
+ACTUAL bucket histogram and candidate-pair counts. The numbers turn
+the "bounded buckets" claim from an assertion into a measurement: the
+skew-stress pytest asserts them and tools/scale_audit.py records them
+in the per-round SCALE_AUDIT artifact.
+
+Generators are pure Spark column expressions (md5-derived determinism,
+no driver-side data), so the same fixture scales to any n_docs on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _md5_unit(*cols):
+    """Deterministic pseudo-uniform double in [-1, 1) from md5 — the
+    engine-portable noise primitive (same trick as dedup._md5_int)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", *cols)), 1, 15), 16, 10) \
+        .cast("double")
+    return h / F.lit(float(1 << 60)) * F.lit(2.0) - F.lit(1.0)
+
+
+def adversarial_documents(spark: SparkSession, n_docs: int = 4000,
+                          n_boiler: int = 6, n_unique: int = 10,
+                          hot_lang_pct: int = 95, seed: int = 7) -> DataFrame:
+    """A corpus built to concentrate LSH buckets: ``hot_lang_pct``% of
+    documents share one language, every document is the same length
+    (one len_bucket), and every document starts with the same
+    ``n_boiler`` boilerplate tokens (>=100x hotter than any organic
+    token), followed by ``n_unique`` deterministic unique tokens.
+
+    Columns match the documents table contract used by the dedup stack:
+    (doc_id, text, lang, source, n_chars)."""
+    ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    boiler = " ".join(f"boilerplate{j}" for j in range(n_boiler))
+    idc = F.col("doc_id").cast("string")
+    uniq = F.concat_ws(" ", *[
+        F.concat(F.lit("u"), F.substring(
+            F.md5(F.concat_ws("_", idc, F.lit(str(j)), F.lit(str(seed)))),
+            1, 10))
+        for j in range(n_unique)])
+    text = F.concat_ws(" ", F.lit(boiler), uniq)
+    lang = (F.when(F.pmod(F.col("doc_id"), 100) < hot_lang_pct, F.lit("en"))
+            .otherwise(F.concat(F.lit("l"), F.pmod(F.col("doc_id"), 4))))
+    return ids.select(
+        "doc_id", text.alias("text"), lang.alias("lang"),
+        F.lit("adversarial").alias("source"),
+        F.length(text).alias("n_chars"))
+
+
+def adversarial_embeddings(spark: SparkSession, n_vecs: int = 4000,
+                           dim: int = 16, hot_pct: int = 90,
+                           noise: float = 0.35, seed: int = 11) -> DataFrame:
+    """An embedding cloud built to concentrate SRP buckets: ``hot_pct``%
+    of vectors are one shared direction plus bounded noise (correlated
+    but mostly below the 0.95 near-dup threshold), the rest pure noise.
+    Columns match the embeddings table contract (vec_id, embedding)."""
+    ids = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    idc = F.col("vec_id").cast("string")
+    hot = (F.pmod(F.col("vec_id"), 100) < hot_pct).cast("double")
+    emb = F.array(*[
+        (hot + F.lit(noise)
+         * _md5_unit(idc, F.lit(str(j)), F.lit(str(seed)))).cast("float")
+        for j in range(dim)])
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+def lsh_bucket_stats(docs: DataFrame) -> dict:
+    """Measured skew profile of the MinHash-LSH candidate join on
+    ``docs``: the (lang, len_bucket, band, bkey) bucket histogram that
+    IS the per-reducer bound, the candidate-pair count the buckets
+    emit, and the block-quadratic worst case they are measured against
+    (what a blocking-only join without band keys would pay)."""
+    from golem_spark.pipeline.dedup import (_block_key, band_buckets,
+                                            minhash_lsh_pairs)
+
+    n_docs = docs.count()
+    buckets = (band_buckets(docs)
+               .groupBy("lang", "len_bucket", "band", "bkey")
+               .agg(F.count(F.lit(1)).alias("sz")))
+    prof = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz") * (F.col("sz") - 1) / 2)
+              .otherwise(F.lit(0))).cast("long").alias("bucket_pairs"),
+    ).collect()[0]
+    block_quad = (docs.select(*_block_key())
+                  .groupBy("lang", "len_bucket")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)
+                       .cast("long").alias("q")).collect()[0]["q"])
+    cand = minhash_lsh_pairs(docs).count()
+    return {
+        "n_docs": n_docs,
+        "n_buckets": int(prof["n_buckets"]),
+        "max_bucket": int(prof["max_bucket"]),
+        "bucket_pairs": int(prof["bucket_pairs"]),
+        "candidate_pairs": int(cand),
+        "block_quadratic_pairs": int(block_quad),
+        "pair_fraction": round(prof["bucket_pairs"] / max(block_quad, 1), 6),
+        "max_bucket_fraction": round(prof["max_bucket"] / max(n_docs, 1), 6),
+    }
+
+
+def embedding_bucket_stats(vecs: DataFrame, n_planes: int = 10,
+                           threshold: float = 0.95) -> dict:
+    """Measured skew profile of the SRP-bucketed embedding near-dup
+    join: bucket histogram, within-bucket pair count (the join's real
+    work), and surviving near-dup pairs."""
+    from golem_spark.pipeline.similarity import (_with_sig_norm,
+                                                 embedding_near_dup_pairs)
+
+    n_vecs = vecs.count()
+    sig = _with_sig_norm(vecs, "embedding", "vec_id", n_planes)
+    prof = (sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.max("sz").alias("max_bucket"),
+                 F.sum(F.when(F.col("sz") > 1,
+                              F.col("sz") * (F.col("sz") - 1) / 2)
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("bucket_pairs")).collect()[0])
+    survivors = embedding_near_dup_pairs(
+        vecs, threshold=threshold, n_planes=n_planes).count()
+    quad = n_vecs * (n_vecs - 1) // 2
+    return {
+        "n_vecs": n_vecs,
+        "n_planes": n_planes,
+        "n_buckets": int(prof["n_buckets"]),
+        "max_bucket": int(prof["max_bucket"]),
+        "bucket_pairs": int(prof["bucket_pairs"]),
+        "near_dup_pairs": int(survivors),
+        "quadratic_pairs": int(quad),
+        "pair_fraction": round(prof["bucket_pairs"] / max(quad, 1), 6),
+        "max_bucket_fraction": round(prof["max_bucket"] / max(n_vecs, 1), 6),
+    }
