@@ -2,6 +2,15 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
 total wall-clock seconds.
 
+Each query runs TWICE in the same JVM; the reported ``value`` /
+``queries`` numbers are the SECOND (steady-state) run, with the first
+run kept in the detail line's ``queries_cold`` column. Two rounds in a
+row the headline "regression" was pure JVM warm-up placement (p83 in
+r5, glm_weighted_auc in r6: 13.6 s cold vs 2.0-2.7 s steady) — the
+steady-state number is the round-over-round comparison; the cold
+column keeps one-time costs (codegen, shared family-cache builds)
+visible (VERDICT r6 item 2).
+
 ``--jobs=N`` runs N worker threads against the SAME JVM, each in its own
 FAIR scheduler pool (round-robin split of the name-ordered list, so each
 worker still runs ITS queries in name order). Per-query timings under
@@ -49,6 +58,7 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     lock = threading.Lock()
 
     def run_list(items, pool_name=None):
@@ -56,13 +66,21 @@ def main() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool",
                                                 pool_name)
         for name, fn in items:
+            # rep 1 pays codegen/broadcast/shared-cache warm-up; rep 2
+            # is the steady-state comparison number
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count() if df is not None else 0
-            dt = time.monotonic() - t0
+            dt_cold = time.monotonic() - t0
+            t1 = time.monotonic()
+            df2 = fn(spark, sf_dir)
+            n2 = df2.count() if df2 is not None else 0
+            dt = time.monotonic() - t1
             with lock:
                 timings[name] = round(dt, 4)
-            print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+                cold[name] = round(dt_cold, 4)
+            print(f"# {name}: {dt:.3f}s (cold {dt_cold:.3f}s) "
+                  f"rows={n2 if df2 is not None else n}", file=sys.stderr)
 
     wall0 = time.monotonic()
     if jobs == 1:
@@ -86,7 +104,7 @@ def main() -> None:
     # single giant line got front-clipped -> parsed: null). The short line
     # keeps only the slowest queries so it stays well under the tail size.
     print(json.dumps({"detail": "per_query_wall_clock", "queries": timings,
-                      "sf": sf}))
+                      "queries_cold": cold, "sf": sf}))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     summary = {
         "metric": "total_query_wall_clock",
@@ -94,6 +112,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "cold_total_sec": round(sum(cold.values()), 4),
         "sf": sf,
     }
     if jobs > 1:
