@@ -882,3 +882,39 @@ def test_cluster_stats_consistent_with_components(spark, docs):
         assert r["min_doc"] == r["rep"]  # rep is the min label
         assert r["n_dropped"] == r["size"] - 1
         assert r["size"] >= 2  # components only exist for paired docs
+
+
+@pytest.mark.parametrize("shape", [
+    "all_ties",        # every df equal: rank decided entirely by tok
+    "zipf_head",       # heavy head + long tied tail crossing boundaries
+    "singleton",       # 1 token: no boundaries -> all-one-bucket path
+    "tiny",            # vocab smaller than n_buckets
+    "two_values",      # df in {1, 2} only: boundary rows are ties
+])
+def test_two_phase_vocab_rank_equals_global_window(spark, shape):
+    """The two-phase distributed term ranking (text._rank_vocab: sampled
+    literal boundaries + per-bucket row_number + broadcast offsets) must
+    equal the single global window it replaced, on vocab shapes chosen
+    to stress the boundary logic (VERDICT r6 item 5): ties everywhere,
+    ties straddling bucket boundaries, empty boundary lists, buckets of
+    size one."""
+    from golem_spark.pipeline.text import _rank_vocab
+
+    if shape == "all_ties":
+        rows = [(f"t{i:03d}", 1) for i in range(300)]
+    elif shape == "zipf_head":
+        rows = [(f"w{i:04d}", max(1, 300 // (i + 1))) for i in range(500)]
+    elif shape == "singleton":
+        rows = [("only", 7)]
+    elif shape == "tiny":
+        rows = [("b", 2), ("a", 2), ("c", 1)]
+    else:  # two_values
+        rows = [(f"x{i:03d}", 1 + (i % 2)) for i in range(257)]
+    pdf = pd.DataFrame(rows, columns=["tok", "df"])
+    vocab = spark.createDataFrame(pdf)
+
+    got = {r["tok"]: r["term_idx"]
+           for r in _rank_vocab(vocab, n_buckets=8).collect()}
+    want = {tok: i for i, (tok, _) in enumerate(
+        sorted(rows, key=lambda t: (-t[1], t[0])))}
+    assert got == want
