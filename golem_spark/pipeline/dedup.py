@@ -579,7 +579,23 @@ def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
     collision (~2^-60 joint) — and both engines compute the identical
     sums, so the comparison is engine-consistent regardless. Returns
     (doc_id, n_chunks, n_shared, dup_frac).
+
+    Composition: the per-document chunking+fingerprint phase
+    (:func:`cdc_chunk_fingerprints`) is doc-local, so it can run
+    per-micro-batch; the cross-document fold
+    (:func:`cdc_dup_from_chunks`) is a combinable groupBy over the
+    fingerprint triples — the split the streaming twin
+    (streaming/monitors.py::cdc_dedup_sink) exploits.
     """
+    return cdc_dup_from_chunks(cdc_chunk_fingerprints(df, divisor, text_col))
+
+
+def cdc_chunk_fingerprints(df: DataFrame, divisor: int = 8,
+                           text_col: str = "text") -> DataFrame:
+    """Per-document CDC chunk fingerprints (doc_id, chunk_idx, fp1,
+    fp2, fp_len) — the doc-LOCAL phase of :func:`cdc_dup_fraction`
+    (every row derives from one document, so any partition of the
+    corpus into micro-batches computes identical rows)."""
     from pyspark.sql import Window
 
     toks = df.select("doc_id", F.posexplode(tokens_col(text_col))
@@ -592,12 +608,19 @@ def cdc_dup_fraction(df: DataFrame, divisor: int = 8,
     rel = (F.col("pos")
            - F.min("pos").over(Window.partitionBy("doc_id", "chunk_idx")))
     h = _md5_int(F.concat_ws(":", rel.cast("string"), F.col("tok")))
-    chunks = (chunked
-              .withColumn("__h", h)
-              .groupBy("doc_id", "chunk_idx")
-              .agg(F.sum(F.col("__h") % F.lit(1 << 30)).alias("fp1"),
-                   F.sum(F.shiftright("__h", 30)).alias("fp2"),
-                   F.count(F.lit(1)).alias("fp_len")))
+    return (chunked
+            .withColumn("__h", h)
+            .groupBy("doc_id", "chunk_idx")
+            .agg(F.sum(F.col("__h") % F.lit(1 << 30)).alias("fp1"),
+                 F.sum(F.shiftright("__h", 30)).alias("fp2"),
+                 F.count(F.lit(1)).alias("fp_len")))
+
+
+def cdc_dup_from_chunks(chunks: DataFrame) -> DataFrame:
+    """Cross-document fold of :func:`cdc_chunk_fingerprints` output:
+    per-fingerprint document frequency, then per-doc shared-chunk
+    fraction. Combinable groupBys only — runs identically over a batch
+    frame or an accumulated per-micro-batch store."""
     gdf = chunks.groupBy("fp1", "fp2", "fp_len").agg(
         F.countDistinct("doc_id").alias("gdf"))
     return (chunks.join(gdf, ["fp1", "fp2", "fp_len"])

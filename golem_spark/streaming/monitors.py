@@ -98,3 +98,30 @@ def kl_drift_result(spark: SparkSession, store_dir: str,
               .agg(F.sum("cnt").alias("cnt")))
     return unigram_kl_from_counts(merged, source_a, source_b,
                                   k_smooth=k_smooth)
+
+
+def cdc_dedup_sink(store_dir: str, divisor: int = 8,
+                   text_col: str = "text"):
+    """foreachBatch sink: reduce each micro-batch of documents to its
+    CDC chunk fingerprints (doc-LOCAL — every fingerprint row derives
+    from one document, so per-batch computation is exact) and write
+    them to the batch's own ``batch=<id>`` partition (idempotent
+    replays). The accumulated store is per-chunk mergeable state: three
+    longs per chunk, never chunk text."""
+    from golem_spark.pipeline.dedup import cdc_chunk_fingerprints
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (cdc_chunk_fingerprints(batch_df, divisor, text_col)
+         .write.mode("overwrite").parquet(_batch_dir(store_dir, batch_id)))
+
+    return sink
+
+
+def cdc_dedup_result(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current cross-document CDC dedup signal over the accumulated
+    fingerprint store — the SAME cdc_dup_from_chunks fold the batch
+    query (p83) runs, so stream==batch equality holds exactly (chunking
+    is per-document; the fold's groupBys are combinable)."""
+    from golem_spark.pipeline.dedup import cdc_dup_from_chunks
+
+    return cdc_dup_from_chunks(spark.read.parquet(store_dir))

@@ -533,3 +533,45 @@ def test_monitor_sinks_idempotent_on_replay(spark, tmp_path):
               kl_drift_result(spark, kstore, "src0", "src1").collect()]
     want_kl = [tuple(r) for r in unigram_kl(docs, "src0", "src1").collect()]
     assert got_kl == want_kl
+
+
+def test_cdc_dedup_stream_equals_batch(spark, tmp_path):
+    """p83's streaming twin (VERDICT r6 item 6): per-micro-batch CDC
+    chunk fingerprints appended to the store (chunking is doc-local, so
+    batch-at-a-time computation is exact) and folded with the batch
+    query's own cdc_dup_from_chunks must reproduce cdc_dup_fraction
+    EXACTLY, however the stream is micro-batched."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.dedup import cdc_dup_fraction
+    from golem_spark.streaming.monitors import (cdc_dedup_result,
+                                                cdc_dedup_sink)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    src = tmp_path / "docs_src"
+    store = str(tmp_path / "cdc_store")
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    q = (stream.writeStream
+         .foreachBatch(cdc_dedup_sink(store))
+         .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, cdc_dedup_result(spark, store).collect()))
+    want = sorted(map(tuple, cdc_dup_fraction(docs).collect()))
+    assert got == want and len(got) >= 400
+    # replaying a batch through the sink must not change the fold
+    sink = cdc_dedup_sink(store)
+    sink(docs.filter(F.col("doc_id") < 250), 0)
+    again = sorted(map(tuple, cdc_dedup_result(spark, store).collect()))
+    assert again == want
