@@ -3095,3 +3095,94 @@ _add(
     ORDER BY n_triangles DESC, node LIMIT 20
     """,
 )
+
+
+# PII injection shared by p104's Spark and DuckDB sides: synthetic
+# documents carry no organic PII, so the query plants one deterministic
+# instance of each category per document — the oracle then checks both
+# the counts AND the redacted text hash (a redaction off by one char
+# flips the md5).
+def _pii_injected(docs):
+    return docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com call 555-123-4567 ssn 123-45-6789 "
+                       "from 10.0.0.15")))
+
+
+_add(
+    "p104_pii_scrub",
+    lambda t: (text.pii_scrub(_pii_injected(t["documents"]))
+               .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+                       F.md5("text_scrubbed").alias("scrub_hash"))
+               .orderBy("doc_id")),
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@example.com call 555-123-4567 ssn 123-45-6789 from 10.0.0.15'
+             AS text
+      FROM documents),
+    pats AS (
+      SELECT doc_id, text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+             '\b\d{3}-\d{2}-\d{4}\b' AS p_ssn,
+             '(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b' AS p_phone,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS p_ip
+      FROM inj)
+    SELECT doc_id,
+           len(regexp_extract_all(text, p_email))::BIGINT AS n_email,
+           len(regexp_extract_all(text, p_ssn))::BIGINT AS n_ssn,
+           len(regexp_extract_all(text, p_phone))::BIGINT AS n_phone,
+           len(regexp_extract_all(text, p_ip))::BIGINT AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text, p_email, '<EMAIL>', 'g'), p_ssn, '<SSN>', 'g'),
+               p_phone, '<PHONE>', 'g'), p_ip, '<IP>', 'g')) AS scrub_hash
+    FROM pats ORDER BY doc_id
+    """,
+)
+
+_add(
+    "p105_corpus_mix",
+    lambda t: (text.mix_corpus(t["documents"],
+                               {"src0": 50, "src1": 30, "src2": 20})
+               .orderBy("source")),
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    wt AS (SELECT * FROM (VALUES ('src0', 50), ('src1', 30), ('src2', 20))
+           AS v(source, w)),
+    mass AS (
+      SELECT toks.source, wt.w::BIGINT AS w, SUM(n_tok)::BIGINT AS mass,
+             COUNT(*)::BIGINT AS n_docs
+      FROM toks JOIN wt ON toks.source = wt.source
+      GROUP BY toks.source, wt.w),
+    tt AS (SELECT MIN((100 * mass) // w)::BIGINT AS t FROM mass),
+    rated AS (
+      SELECT source, w, mass, n_docs,
+             ((w * t) // 100)::BIGINT AS target_tokens
+      FROM mass, tt),
+    rr AS (
+      SELECT *,
+             LEAST(1000000,
+                   ((1000 * target_tokens) // mass) * 1000
+                   + (1000 * ((1000 * target_tokens) % mass)) // mass
+                   )::BIGINT AS rate_ppm
+      FROM rated),
+    keep AS (
+      SELECT toks.source, COUNT(*)::BIGINT AS kept_docs,
+             SUM(n_tok)::BIGINT AS kept_tokens
+      FROM toks JOIN rr ON toks.source = rr.source
+      WHERE (('0x' || substr(md5(doc_id::VARCHAR || '_mix'), 1, 15))::BIGINT)
+            % 1000000 < rate_ppm
+      GROUP BY toks.source)
+    SELECT rr.source, w, mass, n_docs, rate_ppm, target_tokens,
+           COALESCE(kept_docs, 0)::BIGINT AS kept_docs,
+           COALESCE(kept_tokens, 0)::BIGINT AS kept_tokens
+    FROM rr LEFT JOIN keep ON rr.source = keep.source
+    ORDER BY rr.source
+    """,
+)

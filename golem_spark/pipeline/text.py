@@ -784,3 +784,115 @@ def unigram_kl_from_counts(counts: DataFrame, source_a: str, source_b: str,
                 6).alias("kl_ab"),
         F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))),
                 6).alias("kl_ba"))
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \b, \d —
+# no lookaround. Order matters: emails before phones (an email's digits
+# must not be half-redacted), SSN before phone (3-2-4 vs 3-3-4 digit
+# shapes), IPs last (their octets never match the stricter shapes above).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # \b can't anchor before an optional "(" (it is a non-word char), so
+    # the parenthesized area code is an explicit alternation branch
+    ("phone", r"(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass (the Dolma/CCNet-style scrub step every
+    published-corpus pipeline runs before release): replace emails,
+    SSNs, US-style phone numbers and IPv4 addresses with typed
+    placeholder tokens, and report per-document match counts per
+    category.
+
+    Pure per-row regexp column expressions — embarrassingly parallel,
+    zero shuffle, linear in corpus bytes; exactly the map-only shape a
+    100 TB scrub needs. Counts are taken BEFORE redaction (each
+    category counts matches in the original text, so categories don't
+    consume each other's counts), redaction applies the patterns in
+    PII_PATTERNS order. Output: (doc_id, n_<category>..., text_scrubbed).
+    """
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    scrubbed = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("doc_id", *counts, scrubbed.alias("text_scrubbed"))
+
+
+# -- deterministic corpus mixing --------------------------------------------
+
+
+def mix_corpus(df: DataFrame, weights: dict[str, int],
+               text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Deterministic data mixing: downsample sources so the kept corpus
+    matches target mixture ``weights`` (integer percents per source) —
+    the step that turns N crawls/dumps into ONE pretraining mix with a
+    declared data card.
+
+    Math (all integer, so both engines agree exactly): with mass_s =
+    total tokens of source s, the largest achievable mixed-corpus size
+    is T = min_s floor(100 * mass_s / w_s) (the binding source keeps
+    everything); each source's target is floor(w_s * T / 100) tokens,
+    implemented as a deterministic md5 keep rule (hash(doc_id) % 1e6 <
+    rate_ppm with rate_ppm = floor(1e6 * w_s * T / (100 * mass_s))) —
+    reproducible across runs, engines and partitionings, unlike
+    df.sample. Doc-level Bernoulli keeps token mass near target
+    (sampling noise reported, not hidden): output one row per weighted
+    source with (rate_ppm, target_tokens, kept docs/tokens, mass).
+
+    Scale shape: ONE token-count scan + a |sources|-row aggregate
+    (broadcast back as literals via the plan), then a map-side keep
+    filter and a second combinable aggregate. No data-keyed shuffle of
+    the corpus itself.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers per source")
+    wmap = F.create_map(*[F.lit(x) for kv in sorted(weights.items())
+                          for x in kv])
+    toks = df.filter(F.col(source_col).isin(list(weights)))\
+             .select(F.col("doc_id"), F.col(source_col).alias("source"),
+                     F.size(tokens_col(text_col)).cast("long").alias("n_tok"))
+    mass = (toks.groupBy("source")
+            .agg(F.sum("n_tok").alias("mass"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("w", wmap[F.col("source")].cast("long")))
+    # T = min_s (100*mass_s div w_s): a |sources|-row agg, broadcast on.
+    # All divisions are INTEGER div (not floor(double)) so the ppm rates
+    # stay exact past 2^53 token masses — both engines floor-divide.
+    # floor(1e6*target/mass) is computed as two chained div/mod steps of
+    # 1000x each, keeping every intermediate below 1000*mass — no int64
+    # overflow even at 10^13+ tokens per source (1e6*target would wrap).
+    t_frame = mass.agg(F.min(F.expr("(100 * mass) div w"))
+                       .cast("long").alias("t"))
+    rated = (mass.crossJoin(F.broadcast(t_frame))
+             .withColumn("target_tokens",
+                         F.expr("(w * t) div 100").cast("long"))
+             .withColumn("rate_ppm",
+                         F.least(
+                             F.lit(1000000).cast("long"),
+                             F.expr("((1000 * target_tokens) div mass) "
+                                    "* 1000 + (1000 * pmod(1000 * "
+                                    "target_tokens, mass)) div mass")
+                             .cast("long"))))
+    keep = (toks.join(F.broadcast(rated.select("source", "rate_ppm")),
+                      "source")
+            .filter(_md5_int(F.concat_ws("_", F.col("doc_id").cast("string"),
+                                         F.lit("mix"))) % 1000000
+                    < F.col("rate_ppm"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("kept_docs"),
+                 F.sum("n_tok").alias("kept_tokens")))
+    return (rated.join(keep, "source", "left")
+            .select("source", "w", "mass", "n_docs", "rate_ppm",
+                    "target_tokens",
+                    F.coalesce("kept_docs", F.lit(0)).cast("long")
+                    .alias("kept_docs"),
+                    F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                    .alias("kept_tokens")))

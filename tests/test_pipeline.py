@@ -918,3 +918,56 @@ def test_two_phase_vocab_rank_equals_global_window(spark, shape):
     want = {tok: i for i, (tok, _) in enumerate(
         sorted(rows, key=lambda t: (-t[1], t[0])))}
     assert got == want
+
+
+def test_pii_scrub_order_and_counts(spark):
+    """Redaction must not half-consume another category's match (emails
+    carry digits; SSN vs phone digit shapes are disjoint), counts are
+    taken on the ORIGINAL text, and clean text passes through
+    untouched."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail bob.smith+x@sub.example.org now",
+            "call (415)-555-0134 or 415 555 0134 ip 10.12.0.255 end",
+            "ssn 987-65-4320 vs phone 987-654-4320 mixed",
+            "no pii here just text 3.14 and 1,000 numbers",
+        ]})
+    out = {r["doc_id"]: r for r in
+           text.pii_scrub(spark.createDataFrame(pdf)).collect()}
+    assert (out[0]["n_email"], out[0]["text_scrubbed"]) == \
+        (1, "mail <EMAIL> now")
+    assert out[1]["n_phone"] == 2 and out[1]["n_ipv4"] == 1
+    assert out[1]["text_scrubbed"] == "call <PHONE> or <PHONE> ip <IP> end"
+    assert (out[2]["n_ssn"], out[2]["n_phone"]) == (1, 1)
+    assert out[2]["text_scrubbed"] == "ssn <SSN> vs phone <PHONE> mixed"
+    assert all(out[3][c] == 0 for c in
+               ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+    assert out[3]["text_scrubbed"] == pdf["text"][3]
+
+
+def test_mix_corpus_hits_targets_and_is_deterministic(spark):
+    """The binding source keeps everything (rate 1e6), every other
+    source's kept token mass lands near its target (doc-level Bernoulli
+    noise only), and the keep rule is partitioning-invariant."""
+    # sf0.1 (250 docs/source): enough mass for the Bernoulli kept token
+    # count to concentrate near its target
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    weights = {"src0": 50, "src1": 30, "src2": 20}
+    out = {r["source"]: r for r in text.mix_corpus(docs, weights).collect()}
+    assert set(out) == set(weights)
+    # T = min(100*mass/w) makes at least one source binding
+    assert any(r["rate_ppm"] == 1000000 for r in out.values())
+    for r in out.values():
+        assert r["kept_tokens"] <= r["mass"]
+        if r["rate_ppm"] == 1000000:
+            assert (r["kept_docs"], r["kept_tokens"]) == \
+                (r["n_docs"], r["mass"])
+        else:
+            # within ~35% of target at these tiny doc counts (Bernoulli)
+            assert abs(r["kept_tokens"] - r["target_tokens"]) \
+                <= max(0.35 * r["target_tokens"], 200)
+    again = {r["source"]: r for r in
+             text.mix_corpus(docs.repartition(13), weights).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+        {k: tuple(v) for k, v in again.items()}
