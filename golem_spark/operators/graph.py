@@ -53,36 +53,49 @@ def pagerank(edges: DataFrame, iterations: int = 2,
         (edges.select(F.col("src").alias("node"))
          .union(edges.select(F.col("dst").alias("node")))
          .distinct()))
-    deg = _swap_cache("pagerank_deg",
-                      edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    n_nodes_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = (nodes.crossJoin(F.broadcast(n_nodes_df))
-             .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # iteration-invariant tables, built ONCE: the (src, dst, deg)
+    # outlink frame (the old shape re-ran the edges-deg join every
+    # iteration) and the dangling node set (nodes with no out-edges —
+    # membership never changes, only the mass on it does)
+    outlinks = _swap_cache("pagerank_outlinks",
+                           edges.join(deg, "src")
+                           .select("src", "dst", "deg"))
+    dang_nodes = _swap_cache(
+        "pagerank_dangling",
+        nodes.join(deg.withColumnRenamed("src", "node"),
+                   "node", "left_anti"))
+    # n_nodes and the per-iteration dangling mass are single scalars:
+    # evaluating them eagerly and embedding them as plan LITERALS costs
+    # one tiny job each but removes two broadcast-exchange builds per
+    # iteration from the critical path (the mass job reads the already-
+    # persisted ranks snapshot, so nothing upstream recomputes)
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     prev_persisted = None
     for it in range(iterations):
-        contrib = (edges.join(deg, "src")
+        if it > 0:
+            dmass = (ranks.join(dang_nodes, "node", "left_semi")
+                     .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                     .collect()[0][0])
+        else:
+            # uniform start: every dangling node holds exactly 1/n
+            dmass = dang_nodes.count() * (1.0 / n_nodes)
+        contrib = (outlinks
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy("dst")
                    .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow")))
-        # dangling nodes (no out-edges) leak their mass; recover it as a
-        # uniform redistribution so sum(pr) stays 1
-        dangling = (ranks.join(deg.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
-                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass")))
         ranks = (nodes
                  .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-                 .crossJoin(F.broadcast(n_nodes_df))
-                 .crossJoin(F.broadcast(dangling))
                  .select("node",
-                         ((F.lit(1.0 - damping) + F.lit(damping)
-                           * F.col("dmass")) / F.col("n_nodes")
+                         (F.lit((1.0 - damping + damping * dmass) / n_nodes)
                           + F.lit(damping) * F.coalesce(F.col("inflow"),
                                                         F.lit(0.0)))
                          .alias("pr")))
-        # each iteration's ranks is consumed TWICE next round (contrib
-        # join + dangling mass) and transitively by every later round:
-        # persist node-sized snapshots eagerly, then release the
-        # previous one (same truncation discipline as dup_components)
+        # each iteration's ranks feeds the next round's dangling-mass
+        # scalar AND contribution join: persist node-sized snapshots
+        # eagerly, then release the previous one (same truncation
+        # discipline as dup_components)
         if it < iterations - 1:
             ranks = ranks.persist()
             ranks.count()
