@@ -3186,3 +3186,71 @@ _add(
     ORDER BY rr.source
     """,
 )
+
+
+def _bpe_fold_sql(pair_cte: str) -> str:
+    """DuckDB twin of text._apply_merge's fold: DuckDB 1.0's two-arg
+    list_reduce can't carry a struct accumulator, so the fold state is
+    a STRING 'emitted tokens|pending symbol' (symbols are [A-Za-z0-9]+
+    by the operator's contract, so ' ' and '|' are safe sentinels). The
+    first element arrives as a raw symbol and is normalized into the
+    state on every step."""
+    st = "CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END"
+    out = f"split_part({st},'|',1)"
+    prev = f"split_part({st},'|',2)"
+    merged = f"{pair_cte}.s1 || {pair_cte}.s2"
+    return f"""list_reduce(syms, (acc, x) ->
+      CASE
+        WHEN ({st}) LIKE '%|' THEN ({st}) || x
+        WHEN {prev} = {pair_cte}.s1 AND x = {pair_cte}.s2 THEN
+          (CASE WHEN {out} = '' THEN {merged}
+                ELSE {out} || ' ' || {merged} END) || '|'
+        ELSE
+          (CASE WHEN {out} = '' THEN {prev}
+                ELSE {out} || ' ' || {prev} END) || '|' || x
+      END)"""
+
+
+def bpe_oracle_sql(n_merges: int) -> str:
+    """Generated oracle for p106: the merge chain unrolled as CTEs —
+    pair{k} picks iteration k's most frequent adjacent pair ((count
+    DESC, s1, s2) tie-break, exactly the Spark side's), seq{k} rewrites
+    the sequences with the string-state fold."""
+    final = ("(CASE WHEN strpos(stv,'|')=0 THEN stv "
+             "WHEN split_part(stv,'|',2)='' THEN split_part(stv,'|',1) "
+             "WHEN split_part(stv,'|',1)='' THEN split_part(stv,'|',2) "
+             "ELSE split_part(stv,'|',1)||' '||split_part(stv,'|',2) END)")
+    ctes = [r"""words AS (
+      SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[A-Za-z0-9]+$') GROUP BY w)""",
+            r"""seq0 AS (
+      SELECT cnt,
+             string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ')
+             AS syms
+      FROM words)"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""pair{k} AS (
+      SELECT p[1] AS s1, p[2] AS s2, SUM(cnt)::BIGINT AS n
+      FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS p
+            FROM seq{k - 1}) u
+      WHERE p[2] IS NOT NULL
+      GROUP BY 1, 2 ORDER BY n DESC, s1, s2 LIMIT 1)""")
+        if k < n_merges:
+            ctes.append(f"""seq{k} AS (
+      SELECT cnt, string_split({final.replace("stv", f"f{k}")}, ' ') AS syms
+      FROM (SELECT cnt, {_bpe_fold_sql(f"pair{k}")} AS f{k}
+            FROM seq{k - 1}, pair{k}) ff)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, s1 AS lhs, s2 AS rhs, n AS pair_count "
+        f"FROM pair{k}" for k in range(1, n_merges + 1))
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    {unions}\n    ORDER BY step")
+
+
+_add(
+    "p106_bpe_merges",
+    lambda t: text.bpe_merges(t["documents"], n_merges=4).orderBy("step"),
+    bpe_oracle_sql(4),
+)

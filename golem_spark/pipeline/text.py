@@ -896,3 +896,94 @@ def mix_corpus(df: DataFrame, weights: dict[str, int],
                     .alias("kept_docs"),
                     F.coalesce("kept_tokens", F.lit(0)).cast("long")
                     .alias("kept_tokens")))
+
+
+# -- BPE merge learning ------------------------------------------------------
+
+
+def _apply_merge(syms, s1: str, s2: str):
+    """Left-to-right greedy non-overlapping merge of adjacent (s1, s2)
+    in a symbol array — the classic BPE merge step ('a a a a a' with
+    (a,a) -> 'aa aa a') as a single F.aggregate fold: state = (emitted
+    symbols, one pending symbol); a pending s1 followed by s2 emits the
+    merged symbol and clears, else the pending symbol flushes."""
+    merged = s1 + s2
+    init = F.struct(F.array().cast("array<string>").alias("out"),
+                    F.lit("").alias("prev"))
+
+    def step(acc, x):
+        return (F.when(acc["prev"] == "",
+                       F.struct(acc["out"].alias("out"), x.alias("prev")))
+                .when((acc["prev"] == s1) & (x == s2),
+                      F.struct(F.concat(acc["out"],
+                                        F.array(F.lit(merged))).alias("out"),
+                               F.lit("").alias("prev")))
+                .otherwise(F.struct(F.concat(acc["out"],
+                                             F.array(acc["prev"])).alias("out"),
+                                    x.alias("prev"))))
+
+    def fin(acc):
+        return F.when(acc["prev"] == "", acc["out"]) \
+                .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_merges(df: DataFrame, n_merges: int = 4,
+               text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus —
+    distributed byte-pair-encoding tokenizer training (Sennrich et al.
+    2016), the vocabulary-construction step of every LLM data pipeline.
+
+    Classic algorithm on the WORD-FREQUENCY table (so all work after
+    the first scan is vocab-sized, never corpus-sized): words start as
+    character sequences; each iteration counts adjacent symbol pairs
+    weighted by word frequency (one combinable explode+groupBy), picks
+    the most frequent pair (count DESC, then lexicographic — an exact
+    cross-engine tie-break), and rewrites every word's sequence with
+    the greedy left-to-right merge (map-side fold, no shuffle). The
+    winning pair is collected to the driver each iteration (ONE row —
+    the algorithm is inherently sequential in the merge order), so the
+    call is EAGER: it runs 2 small Spark jobs per merge at call time.
+
+    Words are restricted to ``[A-Za-z0-9]+`` (the fold's state encoding
+    and the oracle's sentinel characters require symbols free of
+    whitespace and '|'). Returns (step, lhs, rhs, pair_count) — the
+    merge table a tokenizer would persist.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    from golem_spark.pipeline._cache import _swap_cache
+
+    words = (df.select(F.explode(tokens_col(text_col)).alias("w"))
+             .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    seqs = _swap_cache(
+        "bpe_seqs",
+        words.select("cnt", F.split(F.regexp_replace(F.col("w"), "(.)",
+                                                     "$1 "),
+                                    " ", -1).alias("syms"))
+        .select("cnt", F.slice("syms", 1, F.size("syms") - 1).alias("syms")))
+    rules = []
+    for step_i in range(1, n_merges + 1):
+        pairs = (seqs.select(
+            "cnt",
+            F.explode(F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("s1"), b.alias("s2"))))
+            .alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "s1", "s2").limit(1).collect())
+        if not pairs:
+            break
+        s1, s2, n = pairs[0]["s1"], pairs[0]["s2"], int(pairs[0]["n"])
+        rules.append((step_i, s1, s2, n))
+        if step_i < n_merges:
+            seqs = _swap_cache(
+                "bpe_seqs",
+                seqs.select("cnt", _apply_merge(F.col("syms"), s1, s2)
+                            .alias("syms")))
+    return df.sparkSession.createDataFrame(
+        rules, "step int, lhs string, rhs string, pair_count long")

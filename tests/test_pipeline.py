@@ -971,3 +971,54 @@ def test_mix_corpus_hits_targets_and_is_deterministic(spark):
              text.mix_corpus(docs.repartition(13), weights).collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
         {k: tuple(v) for k, v in again.items()}
+
+
+def test_bpe_merges_match_classic_reference(spark):
+    """bpe_merges must reproduce the classic Sennrich et al. algorithm
+    exactly: same merge rules, same counts, same (count DESC, pair ASC)
+    tie-break — checked against an independent pure-Python reference on
+    a corpus with repeated-symbol runs (the case where naive string
+    replace diverges from the greedy fold)."""
+    import re
+    from collections import Counter
+
+    corpus = ["low lower lowest low low",
+              "newest newer new width wider",
+              "aaa aaaa aa baaab",  # runs: greedy LTR merge order matters
+              "mississippi missive"]
+
+    def classic_bpe(texts, n_merges):
+        words = Counter()
+        for tx in texts:
+            for w in tx.split():
+                if re.fullmatch(r"[A-Za-z0-9]+", w):
+                    words[w] += 1
+        seqs = {w: list(w) for w in words}
+        rules = []
+        for step in range(1, n_merges + 1):
+            pc = Counter()
+            for w, syms in seqs.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += words[w]
+            if not pc:
+                break
+            (s1, s2), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((step, s1, s2, n))
+            for w, syms in seqs.items():
+                out, i = [], 0
+                while i < len(syms):  # greedy left-to-right
+                    if (i + 1 < len(syms) and syms[i] == s1
+                            and syms[i + 1] == s2):
+                        out.append(s1 + s2)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[w] = out
+        return rules
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+    got = [tuple(r) for r in
+           text.bpe_merges(docs, n_merges=8).orderBy("step").collect()]
+    assert got == classic_bpe(corpus, 8)
