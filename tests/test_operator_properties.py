@@ -119,3 +119,17 @@ def test_triangle_count_known_graphs(spark):
     df2 = spark.createDataFrame(pd.DataFrame(cyc, columns=["src", "dst"]))
     r2 = triangle_count(df2).collect()[0]
     assert (r2["n_edges"], r2["n_triangles"]) == (4, 0)
+
+
+@given(st.integers(1, 10**14), st.integers(0, 10**14))
+@settings(max_examples=500, deadline=None)
+def test_mix_corpus_split_division_identity(mass, target):
+    """mix_corpus's overflow-safe ppm rate — two chained div/mod steps
+    of 1000x — equals floor(1e6 * target / mass) exactly, while every
+    intermediate stays <= 1000 * mass (no int64 wrap at 10^13+ token
+    masses where the naive 1e6 multiply would overflow)."""
+    target = min(target, mass)  # targets never exceed the source mass
+    a = 1000 * target
+    two_step = (a // mass) * 1000 + (1000 * (a % mass)) // mass
+    assert two_step == (10**6 * target) // mass
+    assert max(a, 1000 * (a % mass)) <= 1000 * mass
