@@ -112,8 +112,9 @@ def main() -> None:
             # the BNLJ flag is informational by design (scalar
             # crossJoins legitimately compile to it); every other flag
             # needs an ACCEPTED annotation to count as explained
-            if not known and any(not f.startswith("BroadcastNestedLoopJoin")
-                                 for f in flags):
+            if not known and any(
+                    not f.startswith("broadcast-nested-loop-join")
+                    for f in flags):
                 unexplained += 1
             print(f"FLAG {name}: {flags}{known}")
     print(f"\n{n_flagged} of {len(record)} query plans flagged at {sf_dir}; "
