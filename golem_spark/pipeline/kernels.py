@@ -3211,11 +3211,15 @@ def _bpe_fold_sql(pair_cte: str) -> str:
       END)"""
 
 
-def bpe_oracle_sql(n_merges: int) -> str:
-    """Generated oracle for p106: the merge chain unrolled as CTEs —
-    pair{k} picks iteration k's most frequent adjacent pair ((count
-    DESC, s1, s2) tie-break, exactly the Spark side's), seq{k} rewrites
-    the sequences with the string-state fold."""
+def _bpe_chain_ctes(n_merges: int, last_seq: bool = False) -> list[str]:
+    """The unrolled BPE merge chain as CTEs — pair{k} picks iteration
+    k's most frequent adjacent pair ((count DESC, s1, s2) tie-break,
+    exactly the Spark side's), seq{k} rewrites the sequences with the
+    string-state fold. ``last_seq`` also materializes seq{n_merges}
+    (the fully-encoded vocabulary — the learning oracle stops at the
+    last pair, the encoding oracle needs the final sequences). Every
+    seq carries the word ``w`` so encoders can join back to documents.
+    """
     final = ("(CASE WHEN strpos(stv,'|')=0 THEN stv "
              "WHEN split_part(stv,'|',2)='' THEN split_part(stv,'|',1) "
              "WHEN split_part(stv,'|',1)='' THEN split_part(stv,'|',2) "
@@ -3226,7 +3230,7 @@ def bpe_oracle_sql(n_merges: int) -> str:
         FROM documents) t
       WHERE regexp_matches(w, '^[A-Za-z0-9]+$') GROUP BY w)""",
             r"""seq0 AS (
-      SELECT cnt,
+      SELECT w, cnt,
              string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ')
              AS syms
       FROM words)"""]
@@ -3237,20 +3241,54 @@ def bpe_oracle_sql(n_merges: int) -> str:
             FROM seq{k - 1}) u
       WHERE p[2] IS NOT NULL
       GROUP BY 1, 2 ORDER BY n DESC, s1, s2 LIMIT 1)""")
-        if k < n_merges:
+        if k < n_merges or last_seq:
             ctes.append(f"""seq{k} AS (
-      SELECT cnt, string_split({final.replace("stv", f"f{k}")}, ' ') AS syms
-      FROM (SELECT cnt, {_bpe_fold_sql(f"pair{k}")} AS f{k}
+      SELECT w, cnt, string_split({final.replace("stv", f"f{k}")}, ' ')
+             AS syms
+      FROM (SELECT w, cnt, {_bpe_fold_sql(f"pair{k}")} AS f{k}
             FROM seq{k - 1}, pair{k}) ff)""")
+    return ctes
+
+
+def bpe_oracle_sql(n_merges: int) -> str:
+    """Generated oracle for p106 (merge-rule learning)."""
     unions = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, s1 AS lhs, s2 AS rhs, n AS pair_count "
         f"FROM pair{k}" for k in range(1, n_merges + 1))
-    return ("WITH " + ",\n    ".join(ctes)
+    return ("WITH " + ",\n    ".join(_bpe_chain_ctes(n_merges))
             + f"\n    {unions}\n    ORDER BY step")
+
+
+def bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Generated oracle for p107 (corpus encoding with the learned
+    merges): the final seq{n} CTE maps every distinct word to its
+    subword sequence; documents join to that map and aggregate."""
+    ctes = _bpe_chain_ctes(n_merges, last_seq=True)
+    ctes.append(f"""enc AS (
+      SELECT w, len(syms)::BIGINT AS n_sub FROM seq{n_merges})""")
+    ctes.append(r"""docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[A-Za-z0-9]+$'))""")
+    return ("WITH " + ",\n    ".join(ctes) + """
+    SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(n_sub)::BIGINT AS n_subwords,
+           SUM(length(w))::BIGINT AS n_chars,
+           ROUND(SUM(length(w))::DOUBLE / SUM(n_sub), 6)
+             AS chars_per_subword
+    FROM docw JOIN enc USING (w)
+    GROUP BY doc_id ORDER BY doc_id""")
 
 
 _add(
     "p106_bpe_merges",
     lambda t: text.bpe_merges(t["documents"], n_merges=4).orderBy("step"),
     bpe_oracle_sql(4),
+)
+
+_add(
+    "p107_bpe_encode",
+    lambda t: text.bpe_encode(t["documents"], n_merges=4).orderBy("doc_id"),
+    bpe_encode_oracle_sql(4),
 )

@@ -987,3 +987,48 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
                             .alias("syms")))
     return df.sparkSession.createDataFrame(
         rules, "step int, lhs string, rhs string, pair_count long")
+
+
+def bpe_encode(df: DataFrame, n_merges: int = 4,
+               text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with freshly-learned BPE merges — the
+    encode half of the tokenizer story (:func:`bpe_merges` is the
+    learn half): apply the ``n_merges`` learned rules IN LEARNED ORDER
+    to every word, one greedy left-to-right fold per rule. Applying
+    rules once each in priority order is the standard fast BPE encode:
+    a rule's sides exist only after earlier merges, so a later merge
+    can never re-enable an earlier rule.
+
+    Scale shape: rules are learned once (vocab-sized, see bpe_merges),
+    then the fold chain runs over the DISTINCT word table (vocab-sized,
+    map-only) and documents join back to that word->subword-count map —
+    the corpus itself is scanned twice (word extraction + join-back
+    aggregate), never folded per occurrence. Returns per-document
+    (n_words, n_subwords, n_chars, chars_per_subword) — the
+    compression-ratio profile a tokenizer report shows.
+    """
+    from golem_spark.pipeline._cache import _swap_cache
+
+    rules = [(r["lhs"], r["rhs"]) for r in
+             bpe_merges(df, n_merges, text_col).collect()]
+    docw = df.select("doc_id",
+                     F.explode(tokens_col(text_col)).alias("w")) \
+             .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+    syms = F.split(F.regexp_replace(F.col("w"), "(.)", "$1 "), " ", -1)
+    syms = F.slice(syms, 1, F.size(syms) - 1)
+    for lhs, rhs in rules:
+        syms = _apply_merge(syms, lhs, rhs)
+    enc = _swap_cache(
+        "bpe_enc",
+        docw.select("w").distinct()
+        .select("w", F.size(syms).cast("long").alias("n_sub"),
+                F.length("w").cast("long").alias("n_chars")))
+    return (docw.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").alias("n_subwords"),
+                 F.sum("n_chars").alias("n_chars"))
+            .select("doc_id", "n_words", "n_subwords", "n_chars",
+                    F.round(F.col("n_chars").cast("double")
+                            / F.col("n_subwords"), 6)
+                    .alias("chars_per_subword")))

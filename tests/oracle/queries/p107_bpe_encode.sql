@@ -73,9 +73,32 @@ WITH words AS (
       FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS p
             FROM seq3) u
       WHERE p[2] IS NOT NULL
-      GROUP BY 1, 2 ORDER BY n DESC, s1, s2 LIMIT 1)
-    SELECT 1 AS step, s1 AS lhs, s2 AS rhs, n AS pair_count FROM pair1
-    UNION ALL SELECT 2 AS step, s1 AS lhs, s2 AS rhs, n AS pair_count FROM pair2
-    UNION ALL SELECT 3 AS step, s1 AS lhs, s2 AS rhs, n AS pair_count FROM pair3
-    UNION ALL SELECT 4 AS step, s1 AS lhs, s2 AS rhs, n AS pair_count FROM pair4
-    ORDER BY step
+      GROUP BY 1, 2 ORDER BY n DESC, s1, s2 LIMIT 1),
+    seq4 AS (
+      SELECT w, cnt, string_split((CASE WHEN strpos(f4,'|')=0 THEN f4 WHEN split_part(f4,'|',2)='' THEN split_part(f4,'|',1) WHEN split_part(f4,'|',1)='' THEN split_part(f4,'|',2) ELSE split_part(f4,'|',1)||' '||split_part(f4,'|',2) END), ' ')
+             AS syms
+      FROM (SELECT w, cnt, list_reduce(syms, (acc, x) ->
+      CASE
+        WHEN (CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END) LIKE '%|' THEN (CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END) || x
+        WHEN split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',2) = pair4.s1 AND x = pair4.s2 THEN
+          (CASE WHEN split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',1) = '' THEN pair4.s1 || pair4.s2
+                ELSE split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',1) || ' ' || pair4.s1 || pair4.s2 END) || '|'
+        ELSE
+          (CASE WHEN split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',1) = '' THEN split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',2)
+                ELSE split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',1) || ' ' || split_part(CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END,'|',2) END) || '|' || x
+      END) AS f4
+            FROM seq3, pair4) ff),
+    enc AS (
+      SELECT w, len(syms)::BIGINT AS n_sub FROM seq4),
+    docw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[A-Za-z0-9]+$'))
+    SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(n_sub)::BIGINT AS n_subwords,
+           SUM(length(w))::BIGINT AS n_chars,
+           ROUND(SUM(length(w))::DOUBLE / SUM(n_sub), 6)
+             AS chars_per_subword
+    FROM docw JOIN enc USING (w)
+    GROUP BY doc_id ORDER BY doc_id

@@ -1022,3 +1022,40 @@ def test_bpe_merges_match_classic_reference(spark):
     got = [tuple(r) for r in
            text.bpe_merges(docs, n_merges=8).orderBy("step").collect()]
     assert got == classic_bpe(corpus, 8)
+
+
+def test_bpe_encode_matches_per_word_replay(spark):
+    """bpe_encode's per-doc subword counts must equal replaying the
+    learned rules word-by-word with the classic greedy merge, and the
+    compression ratio must be chars/subwords exactly."""
+    corpus = ["low lower lowest low low",
+              "aaa aaaa aa baaab lowest"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+    rules = [(r["lhs"], r["rhs"]) for r in
+             text.bpe_merges(docs, n_merges=6).orderBy("step").collect()]
+
+    def encode(word):
+        syms = list(word)
+        for s1, s2 in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in
+           text.bpe_encode(docs, n_merges=6).collect()}
+    for doc_id, tx in enumerate(corpus):
+        words = tx.split()
+        n_sub = sum(len(encode(w)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_subwords"] == n_sub
+        assert got[doc_id]["n_chars"] == n_chars
+        assert got[doc_id]["chars_per_subword"] == round(n_chars / n_sub, 6)
