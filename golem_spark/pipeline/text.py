@@ -1032,3 +1032,44 @@ def bpe_encode(df: DataFrame, n_merges: int = 4,
                     F.round(F.col("n_chars").cast("double")
                             / F.col("n_subwords"), 6)
                     .alias("chars_per_subword")))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        return_set: bool = False) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    w-gram window, keep each window's minimum hash; the selected set is
+    a position-robust fingerprint with guaranteed detection of matches
+    longer than w+k-1 tokens. Deviation from the paper noted: ties pick
+    the LEFTMOST minimum (md5 ties are ~2^-60, and leftmost is what
+    both engines' min-scan gives deterministically); the fingerprint
+    set dedupes by hash VALUE.
+
+    Pure per-row array expressions (the window scan is O(n_grams * w)
+    per document, corpus-parallel, zero shuffle). Documents with fewer
+    than k tokens have no fingerprints and are omitted. Returns
+    (doc_id, n_grams, n_windows, n_selected, fp_checksum) where
+    fp_checksum = sum of selected hashes mod 2^31-1; ``return_set``
+    adds the sorted selected-hash array itself (``fps``) for
+    overlap joins."""
+    m = 2147483647
+    toks = tokens_col(text_col)
+    base = df.filter(F.size(toks) >= k)
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.transform(F.sequence(F.lit(1), n_grams),
+                        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    h = F.transform(grams, _md5_int)
+    n_win = F.greatest(n_grams - (w - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), n_win),
+                       lambda j: F.array_min(F.slice(h, j, w)))
+    sel = F.array_distinct(mins)
+    checksum = F.aggregate(sel, F.lit(0).cast("long"),
+                           lambda acc, x: acc + (x % F.lit(m))) % F.lit(m)
+    out = base.select(
+        "doc_id", n_grams.cast("long").alias("n_grams"),
+        n_win.cast("long").alias("n_windows"),
+        F.size(sel).cast("long").alias("n_selected"),
+        checksum.alias("fp_checksum"),
+        F.array_sort(sel).alias("fps"))
+    return out if return_set else out.drop("fps")

@@ -1059,3 +1059,27 @@ def test_bpe_encode_matches_per_word_replay(spark):
         assert got[doc_id]["n_subwords"] == n_sub
         assert got[doc_id]["n_chars"] == n_chars
         assert got[doc_id]["chars_per_subword"] == round(n_chars / n_sub, 6)
+
+
+def test_winnowing_guarantee_and_shift_robustness(spark):
+    """Schleimer et al.'s detection guarantee: two documents sharing a
+    run of >= w+k-1 tokens (here 6) must share at least one selected
+    fingerprint, even when the run sits at different positions; and
+    identical docs fingerprint identically. Disjoint docs share
+    nothing (md5 grams)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"{shared} filler one two",
+            f"pre1 pre2 pre3 {shared}",     # same run, shifted
+            f"{shared} filler one two",     # identical to 0
+            "totally different words here nothing shared at all ok",
+        ]})
+    out = {r["doc_id"]: r for r in text.winnow_fingerprints(
+        spark.createDataFrame(pdf), return_set=True).collect()}
+    assert out[0]["fps"] == out[2]["fps"]
+    assert out[0]["fp_checksum"] == out[2]["fp_checksum"]
+    assert set(out[0]["fps"]) & set(out[1]["fps"])      # guarantee
+    assert not set(out[0]["fps"]) & set(out[3]["fps"])  # disjoint
+    assert out[0]["n_selected"] <= out[0]["n_windows"]
