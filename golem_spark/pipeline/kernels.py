@@ -3321,3 +3321,58 @@ _add(
     FROM win ORDER BY doc_id
     """,
 )
+
+
+# -- data-quality validation / profiling (Deequ-style) ----------------------
+
+from golem_spark.operators import profiling  # noqa: E402
+
+_LINEITEM_RULES = [
+    ("qty_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_bounds", "l_discount >= 0.0 AND l_discount <= 0.1"),
+    ("tax_bounds", "l_tax >= 0.0 AND l_tax <= 0.08"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+    ("keys_not_null", "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"),
+    ("return_flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+]
+
+
+_add(
+    "p109_expectation_report",
+    lambda t: profiling.expectation_report(t["lineitem"], _LINEITEM_RULES),
+    "SELECT * FROM (\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS rule_idx, '{name}' AS rule,"
+        f" (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows,"
+        f" (SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(({expr}),"
+        f" FALSE))::BIGINT AS n_violations,"
+        f" ROUND((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(({expr}),"
+        f" FALSE))::DOUBLE / greatest((SELECT COUNT(*) FROM lineitem), 1),"
+        f" 6) AS violation_rate,"
+        f" (SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(({expr}),"
+        f" FALSE)) = 0 AS passed"
+        for i, (name, expr) in enumerate(_LINEITEM_RULES))
+    + "\n    ) ORDER BY rule_idx",
+)
+
+_PROFILE_COLS = ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_suppkey", "l_linenumber"]
+
+_add(
+    "p110_profile_columns",
+    lambda t: profiling.profile_columns(t["lineitem"], _PROFILE_COLS),
+    "SELECT * FROM (\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS col_idx, '{c}' AS \"column\","
+        f" (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows,"
+        f" (SELECT COUNT(*) FROM lineitem WHERE {c} IS NULL)::BIGINT"
+        f" AS n_nulls,"
+        f" ROUND((SELECT COUNT(*) FROM lineitem WHERE {c} IS NULL)::DOUBLE"
+        f" / greatest((SELECT COUNT(*) FROM lineitem), 1), 6) AS null_rate,"
+        f" (SELECT COUNT(DISTINCT {c}) FROM lineitem)::BIGINT AS n_distinct,"
+        f" (SELECT MIN({c})::VARCHAR FROM lineitem) AS min_value,"
+        f" (SELECT MAX({c})::VARCHAR FROM lineitem) AS max_value"
+        for i, c in enumerate(_PROFILE_COLS))
+    + "\n    ) ORDER BY col_idx",
+)

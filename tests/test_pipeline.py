@@ -1083,3 +1083,39 @@ def test_winnowing_guarantee_and_shift_robustness(spark):
     assert set(out[0]["fps"]) & set(out[1]["fps"])      # guarantee
     assert not set(out[0]["fps"]) & set(out[3]["fps"])  # disjoint
     assert out[0]["n_selected"] <= out[0]["n_windows"]
+
+
+def test_expectation_report_null_semantics_and_single_scan(spark):
+    """A NULL rule result must count as a violation (null-aware
+    validation — a null row silently passes 'x > 0' under plain SQL
+    semantics), rule order is preserved, and the whole report runs in
+    ONE table scan no matter how many rules ride along."""
+    from golem_spark.operators.profiling import (expectation_report,
+                                                 profile_columns)
+
+    pdf = pd.DataFrame({"a": [1.0, -2.0, None, 4.0],
+                        "b": ["x", "y", "x", None]})
+    df = spark.createDataFrame(pdf)
+    rules = [("a_positive", "a > 0"), ("b_in_domain", "b IN ('x', 'y')"),
+             ("a_big", "a >= 100")]
+    out = expectation_report(df, rules).collect()
+    assert [r["rule"] for r in out] == [n for n, _ in rules]
+    by = {r["rule"]: r for r in out}
+    # -2.0 fails, NULL fails (null-aware), 1.0/4.0 pass
+    assert by["a_positive"]["n_violations"] == 2
+    assert by["b_in_domain"]["n_violations"] == 1  # NULL b
+    assert by["a_big"]["n_violations"] == 4 and not by["a_big"]["passed"]
+    assert by["a_positive"]["violation_rate"] == 0.5
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = expectation_report(
+        li, [("q", "l_quantity >= 1"), ("p", "l_extendedprice > 0"),
+             ("t", "l_tax >= 0")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+    prof = {r["column"]: r for r in profile_columns(
+        df, ["a", "b"]).collect()}
+    assert prof["a"]["n_nulls"] == 1 and prof["a"]["n_distinct"] == 3
+    assert prof["b"]["min_value"] == "x" and prof["b"]["max_value"] == "y"
+    assert prof["a"]["null_rate"] == 0.25
