@@ -125,3 +125,35 @@ def cdc_dedup_result(spark: SparkSession, store_dir: str) -> DataFrame:
     from golem_spark.pipeline.dedup import cdc_dup_from_chunks
 
     return cdc_dup_from_chunks(spark.read.parquet(store_dir))
+
+
+def expectation_sink(store_dir: str, rules):
+    """foreachBatch sink for continuous data-quality monitoring: reduce
+    each micro-batch to its per-rule (n_rows, n_violations) partial —
+    conditional sums, combinable across any batch split — and write it
+    to the batch's own ``batch=<id>`` partition (idempotent replays).
+    The 100 TB shape: per-batch work is one scan of the batch, appended
+    state is |rules| rows per batch."""
+    from golem_spark.operators.profiling import expectation_report
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (expectation_report(batch_df, rules)
+         .select("rule_idx", "rule", "n_rows", "n_violations")
+         .write.mode("overwrite").parquet(_batch_dir(store_dir, batch_id)))
+
+    return sink
+
+
+def expectation_result(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current global expectation report from the accumulated partials:
+    integer sums fold exactly, then the SAME rate/passed derivation as
+    the batch expectation_report — stream==batch equality is exact."""
+    return (spark.read.parquet(store_dir)
+            .groupBy("rule_idx", "rule")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_violations").alias("n_violations"))
+            .select("rule_idx", "rule", "n_rows", "n_violations",
+                    F.round(F.col("n_violations")
+                            / F.greatest(F.col("n_rows"), F.lit(1)), 6)
+                    .alias("violation_rate"),
+                    (F.col("n_violations") == 0).alias("passed")))

@@ -575,3 +575,44 @@ def test_cdc_dedup_stream_equals_batch(spark, tmp_path):
     sink(docs.filter(F.col("doc_id") < 250), 0)
     again = sorted(map(tuple, cdc_dedup_result(spark, store).collect()))
     assert again == want
+
+
+def test_expectation_stream_equals_batch(spark, tmp_path):
+    """p109's streaming twin: per-batch (n_rows, n_violations) partials
+    summed over the store must equal the batch expectation_report
+    exactly — violation counts are integers, additive across any
+    micro-batching; replays are idempotent."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.operators.profiling import expectation_report
+    from golem_spark.streaming.monitors import (expectation_result,
+                                                expectation_sink)
+
+    rules = [("qty_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+             ("price_positive", "l_extendedprice > 0"),
+             ("tax_bounds", "l_tax >= 0.0 AND l_tax <= 0.08")]
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src = tmp_path / "li_src"
+    store = str(tmp_path / "exp_store")
+    src.mkdir()
+    li.filter(F.col("l_orderkey") < 3000).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    li.filter(F.col("l_orderkey") >= 3000).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    stream = (spark.readStream.schema(li.schema)
+              .option("maxFilesPerTrigger", "1").format("parquet")
+              .load(str(src) + "/*"))
+    q = (stream.writeStream.foreachBatch(expectation_sink(store, rules))
+         .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, expectation_result(spark, store).collect()))
+    want = sorted(map(tuple, expectation_report(li, rules).collect()))
+    assert got == want and len(got) == 3
+    # replay batch 0: fold unchanged
+    expectation_sink(store, rules)(li.filter(F.col("l_orderkey") < 3000), 0)
+    assert sorted(map(tuple,
+                      expectation_result(spark, store).collect())) == want
