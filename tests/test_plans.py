@@ -236,3 +236,29 @@ def test_kmv_join_estimate_uses_partial_topk(spark):
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_pii_scrub_and_winnowing_are_shuffle_free(tables):
+    """The round-7 per-row text operators must compile to pure map
+    plans: pii_scrub (regex redaction) and winnow_fingerprints (k-gram
+    window minima) are embarrassingly parallel by design — any Exchange
+    here is a plan regression that turns a linear 100 TB scrub into a
+    shuffle."""
+    from golem_spark.pipeline.text import pii_scrub, winnow_fingerprints
+
+    assert "Exchange" not in _plan(pii_scrub(tables["documents"]))
+    assert "Exchange" not in _plan(winnow_fingerprints(tables["documents"]))
+
+
+def test_expectation_report_single_scan_single_exchange(tables):
+    """The Deequ-style report reduces N rules in ONE aggregation: one
+    parquet scan, one single-partition exchange for the final scalar
+    merge (the aggregate is map-side partial first)."""
+    from golem_spark.operators.profiling import expectation_report
+
+    plan = _plan(expectation_report(
+        tables["lineitem"],
+        [("q", "l_quantity >= 1"), ("p", "l_extendedprice > 0"),
+         ("t", "l_tax >= 0.0 AND l_tax <= 0.08")]))
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()  # map-side combine before the merge
