@@ -1119,3 +1119,37 @@ def test_expectation_report_null_semantics_and_single_scan(spark):
     assert prof["a"]["n_nulls"] == 1 and prof["a"]["n_distinct"] == 3
     assert prof["b"]["min_value"] == "x" and prof["b"]["max_value"] == "y"
     assert prof["a"]["null_rate"] == 0.25
+
+
+def test_apply_merge_fold_matches_python_greedy_on_random_runs(spark):
+    """_apply_merge (the F.aggregate fold behind BPE learn/encode) must
+    equal the classic greedy left-to-right merge on randomized
+    symbol sequences over a tiny alphabet — the regime dense with
+    overlapping-run edge cases ('a a a a', 'b a b a b', ...). 300
+    random sequences x 3 merge pairs, one Spark job per pair."""
+    import random
+
+    from golem_spark.pipeline.text import _apply_merge
+
+    rng = random.Random(42)
+    seqs = [[rng.choice("ab") for _ in range(rng.randint(1, 12))]
+            for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i long, syms array<string>")
+
+    def greedy(syms, s1, s2):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                out.append(s1 + s2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for s1, s2 in (("a", "a"), ("a", "b"), ("b", "a")):
+        got = {r["i"]: list(r["m"]) for r in df.select(
+            "i", _apply_merge(F.col("syms"), s1, s2).alias("m")).collect()}
+        for i, s in enumerate(seqs):
+            assert got[i] == greedy(s, s1, s2), (i, s, s1, s2)
