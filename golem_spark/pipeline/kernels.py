@@ -3376,3 +3376,84 @@ _add(
         for i, c in enumerate(_PROFILE_COLS))
     + "\n    ) ORDER BY col_idx",
 )
+
+
+def _curation_pipeline_query(t):
+    """End-to-end curation composition — the showcase that the
+    operators compose into the pipeline a corpus release actually runs:
+    exact dedup (keep min doc_id per content hash) -> quality gate
+    (text.quality_score >= 0.4) -> per-source token budget
+    (text.token_budget_pack, 3000 chars, doc_id order) -> per-source
+    data card (kept docs/chars, mean kept quality). Every stage is an
+    already-oracle-verified operator (p05, p02, p90, p91 semantics);
+    this query verifies their COMPOSITION end to end."""
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    first = Window.partitionBy(F.md5("text"))
+    deduped = (docs
+               .withColumn("__keep_id", F.min("doc_id").over(first))
+               .filter(F.col("doc_id") == F.col("__keep_id"))
+               .drop("__keep_id"))
+    scored = text.quality_score(deduped).filter(F.col("quality") >= 0.4)
+    packed = text.token_budget_pack(scored, budget=3000).filter(
+        F.col("kept") == 1)
+    # mean quality in exact integer micro-units (floor division):
+    # quality is 6-dp-rounded, so quality*1e6 is integral up to FP noise
+    # — floor(+0.5) recovers the exact integer, and the per-source mean
+    # divides integers, immune to the half-boundary ROUND(double) class
+    micro = F.floor(F.col("quality") * 1e6 + F.lit(0.5)).cast("long")
+    return (packed.withColumn("__qm", micro)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("chars_kept"),
+                 F.sum("__qm").alias("__qsum"))
+            .select("source", "n_kept", "chars_kept",
+                    F.expr("__qsum div n_kept").cast("long")
+                    .alias("mean_quality_micro"))
+            .orderBy("source"))
+
+
+_add(
+    "p111_curation_pipeline",
+    _curation_pipeline_query,
+    r"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT d.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents d) x
+      WHERE doc_id = keep_id),
+    q AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_char,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+                                                   'g')))::DOUBLE AS punct,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> list_contains(['the','a','of','to','and','in','is',
+                                     'it','that','for'], x)))::DOUBLE
+               AS n_stop
+      FROM dedup),
+    scored AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(least(n_tok / 100.0, 1.0) * 0.4
+                   + (1.0 - least(punct / greatest(n_char, 1.0) * 10.0,
+                                  1.0)) * 0.3
+                   + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3,
+                   6) AS quality
+      FROM q),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.4),
+    packed AS (
+      SELECT *,
+             (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+              - n_chars) AS cum_before
+      FROM gated)
+    SELECT source, COUNT(*)::BIGINT AS n_kept,
+           SUM(n_chars)::BIGINT AS chars_kept,
+           (SUM(floor(quality * 1e6 + 0.5)::BIGINT)
+            // COUNT(*))::BIGINT AS mean_quality_micro
+    FROM packed WHERE cum_before < 3000
+    GROUP BY source ORDER BY source
+    """,
+)
