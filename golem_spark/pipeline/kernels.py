@@ -3457,3 +3457,64 @@ _add(
     GROUP BY source ORDER BY source
     """,
 )
+
+
+# -- product quantization (p112 codebook audit, p113 ADC search) ------------
+
+_PQ_CTES = r"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    cb AS (SELECT vec_id AS code_id, ev AS cv FROM e WHERE vec_id < 16),
+    d0 AS (
+      SELECT e.vec_id, s.sub, cb.code_id,
+             [e.ev[s.sub*16 + i] - cb.cv[s.sub*16 + i]
+              FOR i IN range(1, 17)] AS dv
+      FROM e CROSS JOIN cb
+      CROSS JOIN (SELECT unnest(range(4)) AS sub) s),
+    d AS (
+      SELECT vec_id, sub, code_id,
+             ROUND(list_dot_product(dv, dv), 6) AS d2
+      FROM d0),
+    best AS (
+      SELECT vec_id, sub, code_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d2, code_id) AS rn
+      FROM d)
+"""
+
+_add(
+    "p112_pq_assign",
+    lambda t: similarity.pq_assignment_stats(t["embeddings"]),
+    _PQ_CTES + r"""
+    SELECT sub::BIGINT AS sub, code_id::BIGINT AS code,
+           COUNT(*)::BIGINT AS n_assigned,
+           SUM(vec_id)::BIGINT AS id_sum,
+           SUM(floor(d2 * 1e6 + 0.5)::BIGINT)::BIGINT AS sse_micro
+    FROM best WHERE rn = 1
+    GROUP BY sub, code_id ORDER BY sub, code
+    """,
+)
+
+_add(
+    "p113_pq_topk",
+    lambda t: similarity.pq_topk(t["embeddings"], query_ids=(0, 1, 2), k=5),
+    _PQ_CTES + r""",
+    lut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             floor(d2 * 1e6 + 0.5)::BIGINT AS qm
+      FROM d WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT l.query_id, b.vec_id, SUM(l.qm) AS dm
+      FROM best b JOIN lut l ON b.sub = l.sub AND b.code_id = l.code_id
+      WHERE b.rn = 1 AND b.vec_id <> l.query_id
+      GROUP BY l.query_id, b.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(dm / 1e6, 6) AS approx_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dm, vec_id) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, approx_d2 FROM ranked WHERE rn <= 5
+    ORDER BY query_id, approx_d2, vec_id
+    """,
+)

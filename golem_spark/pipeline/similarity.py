@@ -419,3 +419,147 @@ def kmeans_step(df: DataFrame, k: int = 8, vec_col: str = "embedding",
                  .alias("mean_cos"),
                  F.round((F.count(F.lit(1)) * F.lit(1000000).cast("long")
                           - F.sum("ci")) / 1e6, 6).alias("inertia")))
+
+
+# -- product quantization (Jegou, Douze, Schmid TPAMI'11) -------------------
+
+def _sq_dist(a, b):
+    """Squared L2 distance between two double arrays, accumulated in
+    array order (the cross-engine determinism contract of this
+    module)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_codebook_row(df: DataFrame, k_codes: int,
+                     vec_col: str, id_col: str) -> DataFrame:
+    """ONE-row frame holding the whole PQ codebook as a sorted
+    array<struct(code_id, cv)> — the k_codes deterministic seed vectors
+    (``id_col`` < k_codes), full-dimension. Model-sized (k_codes x dim
+    doubles), so broadcasting the single row costs nothing and every
+    per-vector encode below stays a pure array expression: ZERO shuffle
+    of the corpus."""
+    seeds = (df.filter(F.col(id_col) < k_codes)
+             .select(F.struct(F.col(id_col).cast("long").alias("code_id"),
+                              _as_double(F.col(vec_col)).alias("cv"))
+                     .alias("s")))
+    return seeds.agg(F.array_sort(F.collect_list("s")).alias("codebook"))
+
+
+def pq_encode(df: DataFrame, n_sub: int = 4, sub_dim: int = 16,
+              k_codes: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization encode: split each vector into ``n_sub``
+    contiguous subvectors of ``sub_dim`` dims; per subspace, assign the
+    nearest codeword (squared L2, rounded to 6 decimals before the
+    argmin; ties -> lowest code id). The codebook is the seed vectors
+    (``id_col`` < k_codes) sliced the same way — deterministic, so the
+    oracle can recompute it.
+
+    Plan shape: the codebook is ONE broadcast row (array of structs);
+    encoding is a per-row array expression over it — no corpus shuffle,
+    no groupBy. Output long form (vec_id, sub, code, d2), n_sub rows
+    per vector, which both the assignment-stats query and the ADC
+    search consume.
+    """
+    cb = _pq_codebook_row(df, k_codes, vec_col, id_col)
+    e = _as_double(F.col(vec_col))
+
+    def best_for(sub):
+        lo = sub * sub_dim + 1
+        cand = F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                F.round(_sq_dist(F.slice(e, lo, sub_dim),
+                                 F.slice(c["cv"], lo, sub_dim)), 6)
+                .alias("d2"),
+                c["code_id"].alias("code")))
+        return F.array_min(cand)
+
+    with_best = (df.crossJoin(F.broadcast(cb))
+                 .select(F.col(id_col),
+                         F.array(*[best_for(s) for s in range(n_sub)])
+                         .alias("bests")))
+    return (with_best
+            .select(id_col, F.posexplode("bests").alias("sub", "b"))
+            .select(id_col, F.col("sub").cast("long").alias("sub"),
+                    F.col("b.code").alias("code"),
+                    F.col("b.d2").alias("d2")))
+
+
+def pq_assignment_stats(df: DataFrame, n_sub: int = 4, sub_dim: int = 16,
+                        k_codes: int = 16, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-(subspace, codeword) assignment histogram + quantization
+    error: (sub, code, n_assigned, id_sum, sse_micro). The codebook
+    audit a PQ index build reports — cell balance predicts ADC
+    recall, sse is the quantization loss. d2 is 6-dp-rounded at encode
+    time, so the SSE accumulates as EXACT integer micro-units
+    (order-independent).
+
+    Plan shape: shuffle-free encode, then ONE combinable groupBy of
+    n_sub rows/vector down to at most n_sub*k_codes output rows."""
+    enc = pq_encode(df, n_sub, sub_dim, k_codes, vec_col, id_col)
+    micro = F.floor(F.col("d2") * 1e6 + F.lit(0.5)).cast("long")
+    return (enc.select("sub", "code", id_col, micro.alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 F.sum(id_col).cast("long").alias("id_sum"),
+                 F.sum("m").alias("sse_micro"))
+            .orderBy("sub", "code"))
+
+
+def pq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
+            n_sub: int = 4, sub_dim: int = 16, k_codes: int = 16,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate squared L2 from
+    each query to every encoded vector as the SUM over subspaces of the
+    query->codeword lookup table — the classic memory-resident ANN
+    scale path (codes are n_sub bytes/vector; the LUT is
+    n_queries x n_sub x k_codes, model-sized, broadcast).
+
+    Plan shape: corpus encode is shuffle-free; the LUT join is a
+    broadcast hash join on (sub, code) — map-side; then ONE groupBy
+    (query_id, vec_id) summing EXACT micro-int cells (each LUT entry is
+    6-dp-rounded, so the sum is order-independent), and a per-query
+    top-k window over query-partitioned data. Ties -> lowest vec_id.
+
+    Returns (query_id, vec_id, approx_d2) ordered by query, distance.
+    """
+    from pyspark.sql import Window
+
+    cb = _pq_codebook_row(df, k_codes, vec_col, id_col)
+    e = _as_double(F.col(vec_col))
+    qids = list(query_ids)
+
+    def lut_for(sub):
+        lo = sub * sub_dim + 1
+        return F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                c["code_id"].alias("code"),
+                F.floor(F.round(_sq_dist(F.slice(e, lo, sub_dim),
+                                         F.slice(c["cv"], lo, sub_dim)), 6)
+                        * 1e6 + F.lit(0.5)).cast("long").alias("qm")))
+
+    lut = (df.filter(F.col(id_col).isin(qids))
+           .crossJoin(F.broadcast(cb))
+           .select(F.col(id_col).alias("query_id"),
+                   F.posexplode(F.array(*[lut_for(s) for s in range(n_sub)]))
+                   .alias("sub", "cell"))
+           .select("query_id", F.col("sub").cast("long").alias("sub"),
+                   F.explode("cell").alias("c"))
+           .select("query_id", "sub", F.col("c.code").alias("code"),
+                   F.col("c.qm").alias("qm")))
+
+    enc = pq_encode(df, n_sub, sub_dim, k_codes, vec_col, id_col)
+    scored = (enc.join(F.broadcast(lut), on=["sub", "code"])
+              .filter(F.col(id_col) != F.col("query_id"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("qm").alias("dm"))
+              .select("query_id", id_col,
+                      F.round(F.col("dm") / 1e6, 6).alias("approx_d2")))
+    w = Window.partitionBy("query_id").orderBy("approx_d2", F.col(id_col))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk")
+            .orderBy("query_id", "approx_d2", id_col))

@@ -1153,3 +1153,90 @@ def test_apply_merge_fold_matches_python_greedy_on_random_runs(spark):
             "i", _apply_merge(F.col("syms"), s1, s2).alias("m")).collect()}
         for i, s in enumerate(seqs):
             assert got[i] == greedy(s, s1, s2), (i, s, s1, s2)
+
+
+# -- product quantization ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _np_pq(vecs, ids, n_sub=4, sub_dim=16, k_codes=16):
+    """Independent numpy replay of the PQ contract: 6-dp-rounded
+    squared L2, argmin ties -> lowest code id."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = vecs[order]
+    cb = vecs[ids < k_codes]
+    cb_ids = ids[ids < k_codes]
+    codes = {}
+    for vid, v in zip(ids, vecs):
+        for s in range(n_sub):
+            lo, hi = s * sub_dim, (s + 1) * sub_dim
+            d2 = np.round(((v[lo:hi] - cb[:, lo:hi]) ** 2).sum(axis=1), 6)
+            j = np.lexsort((cb_ids, d2))[0]
+            codes[(vid, s)] = (int(cb_ids[j]), float(d2[j]))
+    return codes
+
+
+def test_pq_encode_matches_numpy_replay(emb):
+    pdf = emb.toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    expect = _np_pq(vecs, ids)
+    got = similarity.pq_encode(emb).collect()
+    assert len(got) == 4 * len(ids)
+    for r in got:
+        code, d2 = expect[(r["vec_id"], r["sub"])]
+        assert r["code"] == code, (r, code)
+        assert abs(r["d2"] - d2) < 1e-9
+
+
+def test_pq_seeds_encode_to_themselves(emb):
+    """Every seed vector's nearest codeword in every subspace is itself
+    (d2 = 0) — the basic sanity of a codebook drawn from the data."""
+    rows = (similarity.pq_encode(emb)
+            .filter(F.col("vec_id") < 16).collect())
+    assert len(rows) == 16 * 4
+    for r in rows:
+        assert r["d2"] == 0.0
+        assert r["code"] == r["vec_id"]
+
+
+def test_pq_topk_adc_matches_numpy_lut(emb):
+    """ADC distances are exactly the micro-int LUT sums of the numpy
+    replay — the full triangle (Spark == numpy here, Spark == DuckDB in
+    the oracle gate)."""
+    pdf = emb.toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    codes = _np_pq(vecs, ids)
+    by_id = {int(i): v for i, v in zip(ids, vecs)}
+    qids, k, n_sub, sub_dim, k_codes = (0, 1, 2), 5, 4, 16, 16
+    cb_ids = sorted(i for i in by_id if i < k_codes)
+    expect = {}
+    for q in qids:
+        lut = {}
+        for s in range(n_sub):
+            lo, hi = s * sub_dim, (s + 1) * sub_dim
+            for c in cb_ids:
+                d2 = round(float(((by_id[q][lo:hi] - by_id[c][lo:hi]) ** 2)
+                                 .sum()), 6)
+                lut[(s, c)] = int(np.floor(d2 * 1e6 + 0.5))
+        dist = {}
+        for v in by_id:
+            if v == q:
+                continue
+            dist[v] = sum(lut[(s, codes[(v, s)][0])] for s in range(n_sub))
+        top = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        expect[q] = [(v, round(m / 1e6, 6)) for v, m in top]
+    got = similarity.pq_topk(emb, query_ids=qids, k=k).collect()
+    assert len(got) == len(qids) * k
+    for r in got:
+        assert (r["vec_id"], r["approx_d2"]) in expect[r["query_id"]]

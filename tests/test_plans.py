@@ -270,3 +270,29 @@ def test_expectation_report_single_scan_single_exchange(tables):
          ("t", "l_tax >= 0.0 AND l_tax <= 0.08")]))
     assert plan.count("Scan parquet") == 1
     assert "partial" in plan.lower()  # map-side combine before the merge
+
+
+def test_pq_encode_no_corpus_shuffle(tables):
+    """PQ encode is a per-row array expression over ONE broadcast
+    codebook row: the only exchanges allowed are the broadcast itself
+    and the SinglePartition fold of the 16 seed rows — never a
+    hashpartitioning shuffle of the corpus."""
+    from golem_spark.pipeline.similarity import pq_encode
+
+    plan = _plan(pq_encode(tables["embeddings"]))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_topk_broadcasts_lut_and_combines(tables):
+    """ADC search joins the corpus codes to the model-sized LUT with a
+    broadcast hash join (never a shuffled join), and the per-
+    (query, vector) distance sum has map-side partial aggregation."""
+    from golem_spark.pipeline.similarity import pq_topk
+
+    plan = _plan(pq_topk(tables["embeddings"]))
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+    # corpus-sized shuffles: the distance-sum groupBy and the per-query
+    # top-k window — anything beyond those two is a plan regression
+    assert plan.count("Exchange hashpartitioning") <= 2
