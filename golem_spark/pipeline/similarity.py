@@ -509,6 +509,36 @@ def pq_assignment_stats(df: DataFrame, n_sub: int = 4, sub_dim: int = 16,
             .orderBy("sub", "code"))
 
 
+def _pq_query_lut(df: DataFrame, cb: DataFrame, qids: list,
+                  n_sub: int, sub_dim: int,
+                  vec_col: str, id_col: str) -> DataFrame:
+    """Query->codeword ADC lookup tables: (query_id, sub, code, qm)
+    with qm the 6-dp-rounded squared L2 in exact integer micro-units.
+    n_queries x n_sub x k_codes rows — model-sized, always broadcast
+    by callers."""
+    e = _as_double(F.col(vec_col))
+
+    def lut_for(sub):
+        lo = sub * sub_dim + 1
+        return F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                c["code_id"].alias("code"),
+                F.floor(F.round(_sq_dist(F.slice(e, lo, sub_dim),
+                                         F.slice(c["cv"], lo, sub_dim)), 6)
+                        * 1e6 + F.lit(0.5)).cast("long").alias("qm")))
+
+    return (df.filter(F.col(id_col).isin(qids))
+            .crossJoin(F.broadcast(cb))
+            .select(F.col(id_col).alias("query_id"),
+                    F.posexplode(F.array(*[lut_for(s) for s in range(n_sub)]))
+                    .alias("sub", "cell"))
+            .select("query_id", F.col("sub").cast("long").alias("sub"),
+                    F.explode("cell").alias("c"))
+            .select("query_id", "sub", F.col("c.code").alias("code"),
+                    F.col("c.qm").alias("qm")))
+
+
 def pq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
             n_sub: int = 4, sub_dim: int = 16, k_codes: int = 16,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -529,32 +559,111 @@ def pq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     from pyspark.sql import Window
 
     cb = _pq_codebook_row(df, k_codes, vec_col, id_col)
-    e = _as_double(F.col(vec_col))
-    qids = list(query_ids)
-
-    def lut_for(sub):
-        lo = sub * sub_dim + 1
-        return F.transform(
-            F.col("codebook"),
-            lambda c: F.struct(
-                c["code_id"].alias("code"),
-                F.floor(F.round(_sq_dist(F.slice(e, lo, sub_dim),
-                                         F.slice(c["cv"], lo, sub_dim)), 6)
-                        * 1e6 + F.lit(0.5)).cast("long").alias("qm")))
-
-    lut = (df.filter(F.col(id_col).isin(qids))
-           .crossJoin(F.broadcast(cb))
-           .select(F.col(id_col).alias("query_id"),
-                   F.posexplode(F.array(*[lut_for(s) for s in range(n_sub)]))
-                   .alias("sub", "cell"))
-           .select("query_id", F.col("sub").cast("long").alias("sub"),
-                   F.explode("cell").alias("c"))
-           .select("query_id", "sub", F.col("c.code").alias("code"),
-                   F.col("c.qm").alias("qm")))
-
+    lut = _pq_query_lut(df, cb, list(query_ids), n_sub, sub_dim,
+                        vec_col, id_col)
     enc = pq_encode(df, n_sub, sub_dim, k_codes, vec_col, id_col)
     scored = (enc.join(F.broadcast(lut), on=["sub", "code"])
               .filter(F.col(id_col) != F.col("query_id"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("qm").alias("dm"))
+              .select("query_id", id_col,
+                      F.round(F.col("dm") / 1e6, 6).alias("approx_d2")))
+    w = Window.partitionBy("query_id").orderBy("approx_d2", F.col(id_col))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk")
+            .orderBy("query_id", "approx_d2", id_col))
+
+
+def _ivf_seeds_row(df: DataFrame, n_seeds: int,
+                   vec_col: str, id_col: str) -> DataFrame:
+    """ONE-row frame holding the IVF coarse quantizer as a sorted
+    array<struct(seed_id, sv, snrm)> — the n_seeds deterministic seed
+    vectors with their precomputed norms. Model-sized; broadcast by
+    callers so cell assignment is a pure per-row array expression."""
+    seeds = (df.filter(F.col(id_col) < n_seeds)
+             .select(F.struct(F.col(id_col).cast("long").alias("seed_id"),
+                              _as_double(F.col(vec_col)).alias("sv"),
+                              _norm(_as_double(F.col(vec_col))).alias("snrm"))
+                     .alias("s")))
+    return seeds.agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+
+
+def ivfpq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
+               n_seeds: int = 16, n_probe: int = 2,
+               n_sub: int = 4, sub_dim: int = 16, k_codes: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVFADC (Jegou, Douze, Schmid TPAMI'11 SIV): the composed
+    at-scale ANN index. IVF coarse quantization routes every vector to
+    its cosine-nearest seed cell and each query probes only its
+    ``n_probe`` nearest cells; within probed cells the distance is the
+    PQ asymmetric (ADC) estimate — the architecture that makes
+    billion-vector search tractable (candidates shrink by
+    ~n_probe/n_seeds, per-candidate cost is n_sub LUT lookups instead
+    of a dim-length dot product).
+
+    Plan shape: cell assignment AND PQ encode happen in ONE projection
+    over the corpus scan against two broadcast one-row frames (seeds +
+    codebook) — zero corpus shuffle, strictly better than the
+    groupBy-based routing in ann_ivf_topk. The probed-cell restriction
+    and the ADC LUT are both broadcast hash joins (map-side); the only
+    shuffle is the combinable (query_id, vec_id) distance sum over
+    candidates, followed by a per-query top-k window.
+
+    Determinism contract: cell = argmax cosine (ties -> lowest seed
+    id) with the same accumulation order as the DuckDB oracle; ADC
+    cells are 6-dp-rounded micro-ints, so sums are order-independent.
+    Returns (query_id, vec_id, approx_d2) ordered by query, distance.
+    """
+    from pyspark.sql import Window
+
+    cb = _pq_codebook_row(df, k_codes, vec_col, id_col)
+    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
+    e = _as_double(F.col(vec_col))
+    nrm = _norm(e)
+
+    # -cos ascending == cos descending; struct min/sort breaks exact
+    # ties by seed_id, matching the oracle's ORDER BY cos DESC, seed_id
+    neg_cos = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
+                           .alias("ncos"),
+                           s["seed_id"].alias("seed_id")))
+
+    def best_for(sub):
+        lo = sub * sub_dim + 1
+        cand = F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                F.round(_sq_dist(F.slice(e, lo, sub_dim),
+                                 F.slice(c["cv"], lo, sub_dim)), 6)
+                .alias("d2"),
+                c["code_id"].alias("code")))
+        return F.array_min(cand)
+
+    enc = (df.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(srow))
+           .select(F.col(id_col),
+                   F.array_min(neg_cos)["seed_id"].alias("cell"),
+                   F.array(*[best_for(s) for s in range(n_sub)])
+                   .alias("bests"))
+           .select(id_col, "cell", F.posexplode("bests").alias("sub", "b"))
+           .select(id_col, "cell",
+                   F.col("sub").cast("long").alias("sub"),
+                   F.col("b.code").alias("code")))
+
+    qids = list(query_ids)
+    qp = (df.filter(F.col(id_col).isin(qids))
+          .crossJoin(F.broadcast(srow))
+          .select(F.col(id_col).alias("query_id"),
+                  F.explode(F.slice(F.array_sort(neg_cos), 1, n_probe))
+                  .alias("p"))
+          .select("query_id", F.col("p.seed_id").alias("qcell")))
+
+    lut = _pq_query_lut(df, cb, qids, n_sub, sub_dim, vec_col, id_col)
+
+    scored = (enc.join(F.broadcast(qp),
+                       on=[F.col("cell") == F.col("qcell"),
+                           F.col(id_col) != F.col("query_id")])
+              .join(F.broadcast(lut), on=["query_id", "sub", "code"])
               .groupBy("query_id", id_col)
               .agg(F.sum("qm").alias("dm"))
               .select("query_id", id_col,

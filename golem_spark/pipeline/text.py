@@ -1073,3 +1073,60 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
         checksum.alias("fp_checksum"),
         F.array_sort(sel).alias("fps"))
     return out if return_set else out.drop("fps")
+
+
+# -- DSIR importance weighting ----------------------------------------------
+
+
+def dsir_weights(df: DataFrame, target_source: str = "src0",
+                 n_buckets: int = 64, k_smooth: float = 0.5,
+                 text_col: str = "text") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): score every document by how target-like its hashed
+    unigram distribution is. Fit add-k-smoothed bag-of-hashed-tokens
+    models on the target source vs the rest of the corpus, then weight
+    each document by sum_tokens log(p_target(h(w)) / p_raw(h(w))) —
+    the importance log-weight used to resample a raw corpus toward a
+    high-quality target distribution.
+
+    Scale shape: ONE combinable (bucket, is_target) token-count
+    groupBy over the corpus (key space <= 2*n_buckets, bounded by
+    construction — hashed features are the point of DSIR); the
+    per-bucket log-ratio table collapses to a single broadcast one-row
+    map literal; per-document scoring is then a pure array fold over
+    the token column — zero corpus shuffle, no per-doc explode
+    surviving past the map side. Log-ratios are 6-dp micro-ints so the
+    per-doc sum is an order-independent exact integer.
+
+    Output (doc_id, source, n_toks, logw, target_like) — logw the
+    log-importance weight, target_like = logw > 0.
+    """
+    toks = tokens_col(text_col)
+    bkt = (_md5_int(F.col("tok")) % n_buckets).alias("bkt")
+    counts = (df.select(F.explode(toks).alias("tok"), "source")
+              .select(bkt, (F.col("source") == target_source).alias("is_t"))
+              .groupBy("bkt")
+              .agg(F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+                   F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr")))
+    tot = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    kb = F.lit(float(k_smooth))
+    denom_t = F.col("tt") + kb * F.lit(float(n_buckets))
+    denom_r = F.col("tr") + kb * F.lit(float(n_buckets))
+    lam = F.round(F.log(((F.col("ct") + kb) / denom_t)
+                        / ((F.col("cr") + kb) / denom_r)), 6)
+    lam_micro = F.floor(lam * 1e6 + F.lit(0.5)).cast("long")
+    # one-row broadcast map literal: bucket -> micro-int log-ratio
+    lam_row = (counts.crossJoin(F.broadcast(tot))
+               .select(F.col("bkt"), lam_micro.alias("lm"))
+               .agg(F.map_from_entries(
+                   F.array_sort(F.collect_list(F.struct("bkt", "lm"))))
+                   .alias("lam_map")))
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(F.col("lam_map"),
+                                          _md5_int(t) % n_buckets))
+    return (df.crossJoin(F.broadcast(lam_row))
+            .select("doc_id", "source",
+                    F.size(toks).cast("long").alias("n_toks"),
+                    F.round(score.cast("double") / 1e6, 6).alias("logw"),
+                    (score > 0).alias("target_like")))

@@ -1240,3 +1240,51 @@ def test_pq_topk_adc_matches_numpy_lut(emb):
     assert len(got) == len(qids) * k
     for r in got:
         assert (r["vec_id"], r["approx_d2"]) in expect[r["query_id"]]
+
+
+def test_ivfpq_topk_matches_numpy_replay(emb):
+    """Full IVFADC replay: cosine-nearest cell (ties -> lowest seed),
+    top-n_probe probed cells per query, ADC micro-int LUT sums over
+    candidates restricted to probed cells, per-query top-k. The Spark
+    result must equal the replay exactly, order included."""
+    pdf = emb.toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    by_id = {int(i): v for i, v in zip(ids, vecs)}
+    qids, k, n_seeds, n_probe = (0, 1, 2), 5, 16, 2
+    n_sub, sub_dim, k_codes = 4, 16, 16
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    seeds = {i: by_id[i] for i in by_id if i < n_seeds}
+
+    def ranked_cells(x):
+        return [sid for _, sid in
+                sorted((-cos(x, sv), sid) for sid, sv in seeds.items())]
+
+    cell = {v: ranked_cells(x)[0] for v, x in by_id.items()}
+    codes = _np_pq(vecs, ids)
+    cb_ids = sorted(i for i in by_id if i < k_codes)
+    expect = {}
+    for q in qids:
+        probed = set(ranked_cells(by_id[q])[:n_probe])
+        lut = {}
+        for s in range(n_sub):
+            lo, hi = s * sub_dim, (s + 1) * sub_dim
+            for c in cb_ids:
+                d2 = round(float(((by_id[q][lo:hi] - by_id[c][lo:hi]) ** 2)
+                                 .sum()), 6)
+                lut[(s, c)] = int(np.floor(d2 * 1e6 + 0.5))
+        dist = {v: sum(lut[(s, codes[(v, s)][0])] for s in range(n_sub))
+                for v in by_id if v != q and cell[v] in probed}
+        top = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        expect[q] = [(v, round(m / 1e6, 6)) for v, m in top]
+
+    got = similarity.ivfpq_topk(emb, query_ids=qids, k=k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["approx_d2"]))
+    assert by_q == expect

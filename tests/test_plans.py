@@ -296,3 +296,17 @@ def test_pq_topk_broadcasts_lut_and_combines(tables):
     # corpus-sized shuffles: the distance-sum groupBy and the per-query
     # top-k window — anything beyond those two is a plan regression
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivfpq_routes_and_scores_without_corpus_shuffle(tables):
+    """IVFADC: cell assignment + PQ encode happen in one projection
+    against broadcast seed/codebook rows; the probed-cell restriction
+    and the ADC LUT are broadcast joins. The only corpus-sized shuffles
+    allowed are the candidate distance-sum groupBy (map-side partial
+    first) and the per-query top-k window."""
+    from golem_spark.pipeline.similarity import ivfpq_topk
+
+    plan = _plan(ivfpq_topk(tables["embeddings"]))
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") <= 2
