@@ -1108,19 +1108,27 @@ def dsir_weights(df: DataFrame, target_source: str = "src0",
               .groupBy("bkt")
               .agg(F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
                    F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr")))
-    tot = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     kb = F.lit(float(k_smooth))
+    # totals AND the per-bucket entries reduce in ONE single-row agg so
+    # the corpus token-count pass runs exactly once; the log-ratio map
+    # is then a pure expression over that row
+    one = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr"),
+        F.collect_list(F.struct("bkt", "ct", "cr")).alias("ent"))
     denom_t = F.col("tt") + kb * F.lit(float(n_buckets))
     denom_r = F.col("tr") + kb * F.lit(float(n_buckets))
-    lam = F.round(F.log(((F.col("ct") + kb) / denom_t)
-                        / ((F.col("cr") + kb) / denom_r)), 6)
-    lam_micro = F.floor(lam * 1e6 + F.lit(0.5)).cast("long")
+
+    def lam_micro(e):
+        lam = F.round(F.log(((e["ct"] + kb) / denom_t)
+                            / ((e["cr"] + kb) / denom_r)), 6)
+        return F.floor(lam * 1e6 + F.lit(0.5)).cast("long")
+
     # one-row broadcast map literal: bucket -> micro-int log-ratio
-    lam_row = (counts.crossJoin(F.broadcast(tot))
-               .select(F.col("bkt"), lam_micro.alias("lm"))
-               .agg(F.map_from_entries(
-                   F.array_sort(F.collect_list(F.struct("bkt", "lm"))))
-                   .alias("lam_map")))
+    lam_row = one.select(F.map_from_entries(F.array_sort(F.transform(
+        F.col("ent"),
+        lambda e: F.struct(e["bkt"].alias("bkt"),
+                           lam_micro(e).alias("lm")))))
+        .alias("lam_map"))
     score = F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: acc + F.element_at(F.col("lam_map"),

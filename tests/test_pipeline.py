@@ -1288,3 +1288,44 @@ def test_ivfpq_topk_matches_numpy_replay(emb):
         by_q.setdefault(r["query_id"], []).append(
             (r["vec_id"], r["approx_d2"]))
     assert by_q == expect
+
+
+def test_dsir_weights_matches_python_replay(docs):
+    """Exact DSIR replay: hashed-unigram counts (md5 60-bit % 64),
+    add-0.5 smoothed target/raw models, 6-dp micro-int log-ratios,
+    per-doc integer sums. Docs from source s0 are the target."""
+    import hashlib
+    import math
+
+    pdf = docs.toPandas()
+    B, k = 64, 0.5
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    ct, cr = {}, {}
+    for _, r in pdf.iterrows():
+        side = ct if r["source"] == "s0" else cr
+        for tok in r["text"].strip().split():
+            side[bkt(tok)] = side.get(bkt(tok), 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lam = {b: int(math.floor(
+        round(math.log(((ct.get(b, 0) + k) / (tt + k * B))
+                       / ((cr.get(b, 0) + k) / (tr + k * B))), 6)
+        * 1e6 + 0.5))
+        for b in set(ct) | set(cr)}
+    expect = {}
+    for _, r in pdf.iterrows():
+        s = sum(lam[bkt(tok)] for tok in r["text"].strip().split())
+        expect[r["doc_id"]] = (round(s / 1e6, 6), s > 0)
+
+    got = text.dsir_weights(docs, target_source="s0").collect()
+    assert len(got) == len(pdf)
+    for r in got:
+        assert (r["logw"], r["target_like"]) == expect[r["doc_id"]], r
+    # target docs should on average look more target-like
+    tgt = [r["logw"] for r in got
+           if pdf.set_index("doc_id")["source"][r["doc_id"]] == "s0"]
+    raw = [r["logw"] for r in got
+           if pdf.set_index("doc_id")["source"][r["doc_id"]] != "s0"]
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)

@@ -310,3 +310,17 @@ def test_ivfpq_routes_and_scores_without_corpus_shuffle(tables):
     assert "BroadcastHashJoin" in plan
     assert "partial" in plan.lower()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dsir_scoring_is_broadcast_and_bucket_bounded(tables):
+    """DSIR: the only hash shuffles are the bounded (<= 2*n_buckets
+    keys) bucket-count groupBy; per-document scoring is an array fold
+    against a broadcast one-row map literal — no corpus-sized explode
+    survives to a shuffle and no per-doc groupBy exists at all."""
+    from golem_spark.pipeline.text import dsir_weights
+
+    plan = _plan(dsir_weights(tables["documents"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial" in plan.lower()
+    # bucket-count groupBy only; a doc_id groupBy would add a third
+    assert plan.count("Exchange hashpartitioning") <= 1
