@@ -672,3 +672,47 @@ def ivfpq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     return (scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk")
             .orderBy("query_id", "approx_d2", id_col))
+
+
+def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster vectors with a
+    coarse quantizer, then within each cluster drop every vector that
+    has a same-cell neighbor of cosine >= threshold with a smaller id
+    (one representative per semantic duplicate group survives, the
+    keep-list convention of the exact-dedup stack).
+
+    Scale shape: cell assignment is a per-row argmax against ONE
+    broadcast seed row (zero shuffle, same routing expression as
+    ivfpq_topk); the pairwise cosine pass is a self-join keyed on the
+    cell, so the quadratic work is bounded by the largest cell, not the
+    corpus — the whole point of SemDeDup vs global near-dup search. The
+    threshold applies to the unrounded cosine (same as the oracle).
+
+    Output (vec_id, cell, keep) ordered by vec_id.
+    """
+    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
+    e = _as_double(F.col(vec_col))
+    nrm = _norm(e)
+    neg_cos = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
+                           .alias("ncos"),
+                           s["seed_id"].alias("seed_id")))
+    assigned = (df.crossJoin(F.broadcast(srow))
+                .select(F.col(id_col),
+                        F.array_min(neg_cos)["seed_id"].alias("cell"),
+                        e.alias("ev"), nrm.alias("nrm")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+               .filter(cos >= threshold)
+               .select(F.col(f"b.{id_col}").alias(id_col))
+               .distinct())
+    d = dropped.withColumn("__dropped", F.lit(True))
+    return (assigned.join(d, on=id_col, how="left")
+            .select(id_col, "cell",
+                    F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
+            .orderBy(id_col))

@@ -1329,3 +1329,43 @@ def test_dsir_weights_matches_python_replay(docs):
     raw = [r["logw"] for r in got
            if pdf.set_index("doc_id")["source"][r["doc_id"]] != "s0"]
     assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_semantic_dedup_drops_planted_near_dup(vecs):
+    """vec 1 is a planted near-copy of vec 0: with one cell they share
+    it, vec 1 (the larger id) must be dropped, vec 0 kept; all vectors
+    appear exactly once in the output. (With more seeds a vector that
+    IS a seed always routes to itself — cos(v,v)=1 — which is why the
+    planted pair needs n_seeds=1 to collide.)"""
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(vecs, n_seeds=1,
+                                     threshold=0.99).collect()}
+    assert len(out) == 20
+    assert out[0]["cell"] == out[1]["cell"]
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False
+    # nothing else is a 0.99-near-dup in a 16-dim gaussian sample
+    assert sum(1 for r in out.values() if not r["keep"]) == 1
+
+
+def test_semantic_dedup_matches_numpy_replay(vecs):
+    """Full replay: cosine-argmax cell (ties -> lowest seed id), in-cell
+    pairs >= threshold drop the larger id."""
+    pdf = vecs.toPandas()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for _, r in pdf.iterrows()}
+    n_seeds, thr = 4, 0.5
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    seeds = {i: by_id[i] for i in by_id if i < n_seeds}
+    cell = {v: min(((-cos(x, sv), sid) for sid, sv in seeds.items()))[1]
+            for v, x in by_id.items()}
+    dropped = {b for a in by_id for b in by_id
+               if a < b and cell[a] == cell[b]
+               and cos(by_id[a], by_id[b]) >= thr}
+    got = similarity.semantic_dedup(vecs, n_seeds=n_seeds,
+                                    threshold=thr).collect()
+    assert {(r["vec_id"], r["cell"], r["keep"]) for r in got} \
+        == {(v, cell[v], v not in dropped) for v in by_id}

@@ -324,3 +324,21 @@ def test_dsir_scoring_is_broadcast_and_bucket_bounded(tables):
     assert "partial" in plan.lower()
     # bucket-count groupBy only; a doc_id groupBy would add a third
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semantic_dedup_cell_bounded_join(tables):
+    """SemDeDup: routing is a per-row argmax against a broadcast seed
+    row (no shuffle); the quadratic pass is a cell-keyed self-join so
+    shuffles are bounded to the cell hash exchanges + the drop-list
+    distinct + the keep left-join."""
+    from golem_spark.pipeline.similarity import semantic_dedup
+
+    plan = _plan(semantic_dedup(tables["embeddings"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the pair join must be keyed on the cell, never an unkeyed
+    # corpus x corpus product (the broadcast nested-loop joins above are
+    # the one-row seed frame only)
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines()
+             if "Join" in l and "cell" in l]
+    assert joins, "no cell-keyed join in plan"
