@@ -1101,6 +1101,22 @@ def dsir_weights(df: DataFrame, target_source: str = "src0",
     Output (doc_id, source, n_toks, logw, target_like) — logw the
     log-importance weight, target_like = logw > 0.
     """
+    lam_row = dsir_model(df, target_source=target_source,
+                         n_buckets=n_buckets, k_smooth=k_smooth,
+                         text_col=text_col)
+    return _dsir_select(df.crossJoin(F.broadcast(lam_row)),
+                        F.col("lam_map"), n_buckets, text_col)
+
+
+def dsir_model(df: DataFrame, target_source: str = "src0",
+               n_buckets: int = 64, k_smooth: float = 0.5,
+               text_col: str = "text") -> DataFrame:
+    """The DSIR model of :func:`dsir_weights` as a ONE-row frame
+    (lam_map: bucket -> 6-dp micro-int log-ratio). Shared by the batch
+    query (broadcast crossJoin) and the streaming scorer (collected
+    once — the 2*n_buckets-entry map IS the model — and embedded as a
+    literal), so stream==batch equality is by construction of the same
+    expressions."""
     toks = tokens_col(text_col)
     bkt = (_md5_int(F.col("tok")) % n_buckets).alias("bkt")
     counts = (df.select(F.explode(toks).alias("tok"), "source")
@@ -1124,17 +1140,24 @@ def dsir_weights(df: DataFrame, target_source: str = "src0",
         return F.floor(lam * 1e6 + F.lit(0.5)).cast("long")
 
     # one-row broadcast map literal: bucket -> micro-int log-ratio
-    lam_row = one.select(F.map_from_entries(F.array_sort(F.transform(
+    return one.select(F.map_from_entries(F.array_sort(F.transform(
         F.col("ent"),
         lambda e: F.struct(e["bkt"].alias("bkt"),
                            lam_micro(e).alias("lm")))))
         .alias("lam_map"))
+
+
+def _dsir_select(df: DataFrame, lam_map_col, n_buckets: int,
+                 text_col: str) -> DataFrame:
+    """Per-document DSIR scoring projection against a bucket->micro-int
+    log-ratio map column (broadcast row or literal): a pure array fold,
+    zero shuffle."""
+    toks = tokens_col(text_col)
     score = F.aggregate(
         toks, F.lit(0).cast("long"),
-        lambda acc, t: acc + F.element_at(F.col("lam_map"),
+        lambda acc, t: acc + F.element_at(lam_map_col,
                                           _md5_int(t) % n_buckets))
-    return (df.crossJoin(F.broadcast(lam_row))
-            .select("doc_id", "source",
-                    F.size(toks).cast("long").alias("n_toks"),
-                    F.round(score.cast("double") / 1e6, 6).alias("logw"),
-                    (score > 0).alias("target_like")))
+    return df.select("doc_id", "source",
+                     F.size(toks).cast("long").alias("n_toks"),
+                     F.round(score.cast("double") / 1e6, 6).alias("logw"),
+                     (score > 0).alias("target_like"))

@@ -201,3 +201,46 @@ def run_kmv_stream(spark: SparkSession, docs_path: str, value_col: str,
     w = Window.partitionBy("source").orderBy(F.col("update_seq").desc())
     return (latest.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", "update_seq"))
+
+
+# -- streaming DSIR quality routing -----------------------------------------
+
+
+def dsir_score_stream(spark: SparkSession, docs_path: str,
+                      ref_docs: DataFrame, target_source: str = "src0",
+                      n_buckets: int = 64, k_smooth: float = 0.5,
+                      query_name: str = "dsir_stream") -> DataFrame:
+    """Streaming DSIR quality routing: the hashed-unigram log-ratio
+    model is fit OFFLINE on a static reference corpus (one tiny
+    collect — the <=n_buckets-entry map IS the model) and embedded as a
+    literal map; the document stream is then scored by a STATELESS
+    map-side projection (append mode, no state, no shuffle) — the
+    production shape for routing an ingest firehose by target-likeness.
+    Scoring expressions are shared with the batch operator
+    (pipeline/text.py::_dsir_select), so stream==batch equality is by
+    construction.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import _dsir_select, dsir_model
+
+    lam = dsir_model(ref_docs, target_source=target_source,
+                     n_buckets=n_buckets, k_smooth=k_smooth) \
+        .collect()[0]["lam_map"]
+    lit_map = F.create_map(*[x for b in sorted(lam)
+                             for x in (F.lit(int(b)), F.lit(int(lam[b])))])
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.load(docs_path)
+    out = _dsir_select(stream, lit_map, n_buckets, "text")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -616,3 +616,23 @@ def test_expectation_stream_equals_batch(spark, tmp_path):
     expectation_sink(store, rules)(li.filter(F.col("l_orderkey") < 3000), 0)
     assert sorted(map(tuple,
                       expectation_result(spark, store).collect())) == want
+
+
+def test_dsir_stream_matches_batch(spark):
+    """Streaming DSIR scoring (model fit offline on the same corpus,
+    embedded as a literal map; stateless append-mode projection) must
+    equal the batch dsir_weights exactly, micro-int for micro-int."""
+    from golem_spark.pipeline.text import dsir_weights
+    from golem_spark.streaming.curation import dsir_score_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["doc_id"]: (r["n_toks"], r["logw"], r["target_like"])
+             for r in dsir_weights(docs, target_source="src0").collect()}
+    stream = {r["doc_id"]: (r["n_toks"], r["logw"], r["target_like"])
+              for r in dsir_score_stream(
+                  spark, f"{sf_dir}/documents.parquet", docs,
+                  target_source="src0").collect()}
+    assert batch == stream
+    assert len(batch) > 0
+    assert any(v[2] for v in batch.values())
