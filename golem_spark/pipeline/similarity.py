@@ -692,18 +692,7 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
 
     Output (vec_id, cell, keep) ordered by vec_id.
     """
-    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
-    e = _as_double(F.col(vec_col))
-    nrm = _norm(e)
-    neg_cos = F.transform(
-        F.col("seeds"),
-        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
-                           .alias("ncos"),
-                           s["seed_id"].alias("seed_id")))
-    assigned = (df.crossJoin(F.broadcast(srow))
-                .select(F.col(id_col),
-                        F.array_min(neg_cos)["seed_id"].alias("cell"),
-                        e.alias("ev"), nrm.alias("nrm")))
+    assigned = _with_cells(df, n_seeds, vec_col, id_col)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
     dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
@@ -716,3 +705,63 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
             .select(id_col, "cell",
                     F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
             .orderBy(id_col))
+
+
+def _with_cells(df: DataFrame, n_seeds: int,
+                vec_col: str, id_col: str) -> DataFrame:
+    """(id, cell, ev, nrm): every vector routed to its cosine-nearest
+    seed cell (ties -> lowest seed id) via a per-row argmax against the
+    broadcast one-row seed frame — zero shuffle. Shared by
+    semantic_dedup and hard_negatives."""
+    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
+    e = _as_double(F.col(vec_col))
+    nrm = _norm(e)
+    neg_cos = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
+                           .alias("ncos"),
+                           s["seed_id"].alias("seed_id")))
+    return (df.crossJoin(F.broadcast(srow))
+            .select(F.col(id_col),
+                    F.array_min(neg_cos)["seed_id"].alias("cell"),
+                    e.alias("ev"), nrm.alias("nrm")))
+
+
+def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
+                   near_dup: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    every anchor vector, the k most-similar same-cell vectors BELOW the
+    near-dup threshold (near-dups are positives/leakage, not
+    negatives). Restricting candidates to the anchor's coarse cell is
+    what keeps this sub-quadratic — the standard in-batch/ANN-negatives
+    recipe (e.g. DPR, Karpukhin et al. EMNLP'20) expressed over an IVF
+    routing.
+
+    Scale shape: cell routing is the shared zero-shuffle argmax; the
+    candidate join is cell-keyed (quadratic only within cells); the
+    top-k is a window partitioned per anchor over cell-bounded rows —
+    never a global window. Ranking compares the unrounded cosine (ties
+    -> lowest neg id); only the reported value is rounded.
+
+    Output (anchor_id, neg_id, cos, rk) ordered by anchor, rank.
+    """
+    from pyspark.sql import Window
+
+    assigned = _with_cells(df, n_seeds, vec_col, id_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                           F.col(f"a.{id_col}") != F.col(f"b.{id_col}")])
+             .filter(cos < near_dup)
+             .select(F.col(f"a.{id_col}").alias("anchor_id"),
+                     F.col(f"b.{id_col}").alias("neg_id"),
+                     cos.alias("__cos")))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("__cos").desc(),
+                                                F.col("neg_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("anchor_id", "neg_id",
+                    F.round(F.col("__cos"), 6).alias("cos"),
+                    F.col("rk").cast("long").alias("rk"))
+            .orderBy("anchor_id", "rk"))

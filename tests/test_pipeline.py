@@ -1369,3 +1369,32 @@ def test_semantic_dedup_matches_numpy_replay(vecs):
                                     threshold=thr).collect()
     assert {(r["vec_id"], r["cell"], r["keep"]) for r in got} \
         == {(v, cell[v], v not in dropped) for v in by_id}
+
+
+def test_hard_negatives_excludes_near_dups_and_ranks(vecs):
+    """The planted near-copy (cos>0.99) must be EXCLUDED as a negative;
+    ranks are dense from 1, capped at k, and every reported cos is
+    below the near-dup threshold; numpy replay confirms the exact
+    (anchor, rank) -> neg assignment."""
+    n_seeds, k, thr = 1, 3, 0.95
+    got = similarity.hard_negatives(vecs, n_seeds=n_seeds, k=k,
+                                    near_dup=thr).collect()
+    pdf = vecs.toPandas()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for _, r in pdf.iterrows()}
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    # single cell: candidates = everyone else below the threshold
+    expect = {}
+    for v in by_id:
+        cands = sorted(((-cos(by_id[v], by_id[u]), u) for u in by_id
+                        if u != v and cos(by_id[v], by_id[u]) < thr))
+        for i, (nc, u) in enumerate(cands[:k], start=1):
+            expect[(v, i)] = (u, round(-nc, 6))
+    assert {(r["anchor_id"], r["rk"]): (r["neg_id"], r["cos"])
+            for r in got} == expect
+    # vec 1 is a near-dup of vec 0 -> never a negative for it
+    assert all(r["neg_id"] != 1 for r in got if r["anchor_id"] == 0)
+    assert all(r["cos"] < thr for r in got)

@@ -342,3 +342,16 @@ def test_semantic_dedup_cell_bounded_join(tables):
     joins = [l for l in plan.splitlines()
              if "Join" in l and "cell" in l]
     assert joins, "no cell-keyed join in plan"
+
+
+def test_hard_negatives_cell_bounded_window(tables):
+    """Hard-negative mining: broadcast-seed routing, cell-keyed pair
+    join, per-anchor (never global) top-k window."""
+    from golem_spark.pipeline.similarity import hard_negatives
+
+    plan = _plan(hard_negatives(tables["embeddings"]))
+    assert "CartesianProduct" not in plan
+    # the top-k window is partitioned by anchor_id
+    assert "row_number" in plan
+    win = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert win and all("anchor_id" in l for l in win)
