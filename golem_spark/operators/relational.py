@@ -630,3 +630,32 @@ def cube_agg(df: DataFrame, group_cols: list[str], aggs: list,
             c, F.when(F.col(f"__g_{c}") == 1, F.lit(all_label))
                 .otherwise(F.col(c).cast("string")))
     return out.drop(*[f"__g_{c}" for c in group_cols])
+
+
+def stratified_topn_sample(df: DataFrame, key_col: str,
+                           stratum_cols: list[str], n: int,
+                           seed: int = 0) -> DataFrame:
+    """Exact-n per-stratum sample (eval-set carving, class-balanced
+    fine-tuning subsets): rank rows within each stratum by the same
+    deterministic md5 hash as hash_sample and keep the n smallest —
+    exactly min(n, |stratum|) rows per stratum, reproducible across
+    runs, engines, and partitionings. Complements
+    stratified_hash_sample, whose per-stratum COUNT is binomial, not
+    exact.
+
+    Scale shape: Spark plans rank<=n as WindowGroupLimit, so each map
+    task pre-trims to its local top-n BEFORE the stratum shuffle — the
+    exchange carries at most n rows per stratum per input partition,
+    not the stratum. The hash (not an attribute) is the sort key, so
+    hot strata cost n, never a data-dependent sort of the whole group.
+
+    Output: input columns + __rk (1-based hash rank within stratum).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "_", F.col(key_col).cast("string"), F.lit(str(seed)))), 1, 15),
+        16, 10).cast("long")
+    w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), F.col(key_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n))

@@ -3666,3 +3666,28 @@ _add(
     ORDER BY anchor_id, rk
     """,
 )
+
+_add(
+    "p118_stratified_topn",
+    lambda t: (relational.stratified_topn_sample(
+        t["documents"].select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", ["lang", "source"], n=3)
+        .select("doc_id", "lang", "source", "n_chars",
+                F.col("__rk").cast("long").alias("rk"))
+        .orderBy("lang", "source", "rk")),
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang, source, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT)
+             AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY hv, doc_id) AS rk
+      FROM h)
+    SELECT doc_id, lang, source, n_chars, rk
+    FROM r WHERE rk <= 3
+    ORDER BY lang, source, rk
+    """,
+)
