@@ -3691,3 +3691,140 @@ _add(
     ORDER BY lang, source, rk
     """,
 )
+
+
+def _quality_proxy_query(t):
+    """Model-based quality filtering (the CCNet/RefinedWeb recipe: train
+    a cheap regressor to imitate an expensive quality signal, then gate
+    the corpus on its predictions): OLS (gaussian GLM at sigma->0) from
+    three closed-form text features onto the DSIR log-weight, scored
+    back over the corpus in one pass. Composes the GLM stack (O43
+    estimator) with the pipeline stack (p115) — features, labels, fit,
+    and predictions are ALL re-derived in the DuckDB oracle (p115 CTEs
+    + 3x3 Cramer normal equations, the glm_estimator_pipeline pattern).
+
+    Scale shape: features and the DSIR label come from ONE corpus scan
+    against the broadcast DSIR model row (no self-join); the OLS fit
+    reduces to sufficient statistics via the GLM backend's combinable
+    aggregates; scoring is a pure projection.
+    """
+    from golem_spark.path import owl
+    from golem_spark.pipeline.text import (STOPWORDS, _md5_int, dsir_model,
+                                           tokens_col)
+    from golem_spark.predict import predict
+
+    docs = t["documents"]
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks).cast("double")
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, tok: acc + F.element_at(F.col("lam_map"),
+                                            _md5_int(tok) % 64))
+    train = (docs.crossJoin(F.broadcast(dsir_model(docs)))
+             .select(
+                 "doc_id", "source",
+                 n.alias("f_ntoks"),
+                 (F.size(F.filter(
+                     toks, lambda x: F.exists(stop_arr, lambda s: s == x)))
+                  .cast("double") / n).alias("f_stop"),
+                 (F.aggregate(F.transform(toks, F.length), F.lit(0),
+                              lambda a, x: a + x).cast("double") / n)
+                 .alias("f_wlen"),
+                 F.round(score.cast("double") / 1e6, 6).alias("logw")))
+    feats = ["f_ntoks", "f_stop", "f_wlen"]
+    # sigma->0 with tight inner tolerances so the distributed fit agrees
+    # with the oracle's exact Cramer OLS to well inside the 6-dp rounding
+    fit = owl(df=train, feature_cols=feats, label_col="logw",
+              family="gaussian", sigma=[1e-10],
+              tol_abs=1e-12, tol_rel=1e-12, tol_rel_gap=1e-10)
+    scored = (predict(fit, df=train, feature_cols=feats, path_idx=0,
+                      type="response")
+              .withColumnRenamed("pred_0", "prediction"))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("prediction"), 6).alias("avg_pred"),
+                 F.sum(F.when(F.col("prediction") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_pass"),
+                 F.round(F.avg(F.abs(F.col("logw") - F.col("prediction"))),
+                         6).alias("mae"))
+            .orderBy("source"))
+
+
+_DSIR_CTES = r"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    tk AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 64 AS bkt
+      FROM w, unnest(toks) AS t(tok)),
+    cnt AS (
+      SELECT bkt,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::DOUBLE AS ct,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::DOUBLE AS cr
+      FROM tk GROUP BY bkt),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+    lam AS (
+      SELECT bkt,
+             floor(round(ln(((ct + 0.5) / (tt + 0.5 * 64))
+                            / ((cr + 0.5) / (tr + 0.5 * 64))), 6)
+                   * 1e6 + 0.5)::BIGINT AS lm
+      FROM cnt, tot),
+    sc AS (
+      SELECT tk.doc_id, SUM(lm) AS sm
+      FROM tk JOIN lam USING (bkt)
+      GROUP BY tk.doc_id)
+""".strip()
+
+_add(
+    "p119_quality_proxy_model",
+    _quality_proxy_query,
+    _DSIR_CTES + r""",
+    ft AS (
+      SELECT w.doc_id, w.source,
+             len(toks)::DOUBLE AS f1,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','to','and','in','is','it','that','for'], x)
+             ))::DOUBLE / len(toks)::DOUBLE AS f2,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+               / len(toks)::DOUBLE AS f3,
+             ROUND(sm / 1e6, 6) AS y
+      FROM w JOIN sc ON w.doc_id = sc.doc_id),
+    st AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(f1) AS m1, AVG(f2) AS m2, AVG(f3) AS m3, AVG(y) AS my,
+             SUM(f1*f1) AS s11, SUM(f1*f2) AS s12, SUM(f1*f3) AS s13,
+             SUM(f2*f2) AS s22, SUM(f2*f3) AS s23, SUM(f3*f3) AS s33,
+             SUM(f1*y) AS c1s, SUM(f2*y) AS c2s, SUM(f3*y) AS c3s
+      FROM ft),
+    ge AS (
+      SELECT n, m1, m2, m3, my,
+             s11 - n*m1*m1 AS a11, s12 - n*m1*m2 AS a12,
+             s13 - n*m1*m3 AS a13, s22 - n*m2*m2 AS a22,
+             s23 - n*m2*m3 AS a23, s33 - n*m3*m3 AS a33,
+             c1s - n*m1*my AS c1, c2s - n*m2*my AS c2, c3s - n*m3*my AS c3
+      FROM st),
+    de AS (
+      SELECT *, a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+                + a13*(a12*a23 - a22*a13) AS det FROM ge),
+    bs AS (
+      SELECT my, m1, m2, m3,
+        (c1*(a22*a33 - a23*a23) - a12*(c2*a33 - a23*c3)
+         + a13*(c2*a23 - a22*c3)) / det AS b1,
+        (a11*(c2*a33 - a23*c3) - c1*(a12*a33 - a23*a13)
+         + a13*(a12*c3 - c2*a13)) / det AS b2,
+        (a11*(a22*c3 - c2*a23) - a12*(a12*c3 - c2*a13)
+         + c1*(a12*a23 - a22*a13)) / det AS b3
+      FROM de),
+    bb AS (SELECT my - m1*b1 - m2*b2 - m3*b3 AS b0, b1, b2, b3 FROM bs)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(bb.b0 + bb.b1*f1 + bb.b2*f2 + bb.b3*f3), 6) AS avg_pred,
+           SUM(CASE WHEN bb.b0 + bb.b1*f1 + bb.b2*f2 + bb.b3*f3 > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           ROUND(AVG(ABS(y - (bb.b0 + bb.b1*f1 + bb.b2*f2 + bb.b3*f3))), 6)
+             AS mae
+    FROM ft, bb
+    GROUP BY source ORDER BY source
+    """,
+)

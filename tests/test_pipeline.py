@@ -1398,3 +1398,25 @@ def test_hard_negatives_excludes_near_dups_and_ranks(vecs):
     # vec 1 is a near-dup of vec 0 -> never a negative for it
     assert all(r["neg_id"] != 1 for r in got if r["anchor_id"] == 0)
     assert all(r["cos"] < thr for r in got)
+
+
+def test_quality_proxy_model_beats_constant_predictor(spark):
+    """The quality-proxy OLS must extract real signal: its
+    doc-count-weighted MAE has to be below the MAE of the best constant
+    predictor (the label mean) — otherwise the 'model-based filter' is
+    routing on noise. Also sanity: every source appears once and
+    predictions are finite."""
+    from golem_spark.pipeline.kernels import PIPELINE_QUERIES
+    from golem_spark.pipeline.text import dsir_weights
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = PIPELINE_QUERIES["p119_quality_proxy_model"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lw = dsir_weights(docs).select("logw").toPandas()["logw"]
+    const_mae = float((lw - lw.mean()).abs().mean())
+    n = sum(r["n_docs"] for r in out)
+    model_mae = sum(r["mae"] * r["n_docs"] for r in out) / n
+    assert n == docs.count()
+    assert all(np.isfinite(r["avg_pred"]) and np.isfinite(r["mae"])
+               for r in out)
+    assert model_mae < const_mae
