@@ -689,6 +689,11 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
     cell, so the quadratic work is bounded by the largest cell, not the
     corpus — the whole point of SemDeDup vs global near-dup search. The
     threshold applies to the unrounded cosine (same as the oracle).
+    Sizing at scale: n_seeds must GROW with the corpus (target
+    cells of ~1e4-1e5 vectors, i.e. n_seeds ~ n/5e4 — the paper uses
+    ~1e5 clusters for LAION-scale); the default 16 fits the test
+    corpus, and the broadcast seed row stays model-sized up to ~1e5
+    seeds before a two-level quantizer is warranted.
 
     Output (vec_id, cell, keep) ordered by vec_id.
     """
@@ -741,7 +746,8 @@ def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
     Scale shape: cell routing is the shared zero-shuffle argmax; the
     candidate join is cell-keyed (quadratic only within cells); the
     top-k is a window partitioned per anchor over cell-bounded rows —
-    never a global window. Ranking compares the unrounded cosine (ties
+    never a global window. As with semantic_dedup, n_seeds scales with
+    the corpus so cells stay ~1e4-1e5 vectors. Ranking compares the unrounded cosine (ties
     -> lowest neg id); only the reported value is rounded.
 
     Output (anchor_id, neg_id, cos, rk) ordered by anchor, rank.
