@@ -3828,3 +3828,92 @@ _add(
     GROUP BY source ORDER BY source
     """,
 )
+
+
+def _split_leakage_query(t, spark=None, sf_dir=None):
+    """Decontaminated-split audit: near-duplicate pairs that CROSS the
+    deterministic train/val/test boundary are eval-set leakage (the
+    contamination a random split bakes in; cf. Lee et al. 2022 on
+    duplicate-driven eval inflation). Reuses the shared MinHash pair
+    frame + the p41 hash-split rule; two broadcast-sized joins attach
+    each side's split, then one tiny label-pair aggregate. At 100 TB
+    the pair frame is the already-sub-quadratic LSH output and the
+    split column is a pure hash expression — nothing new shuffles."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    splits = (relational.split_assign(docs, "doc_id",
+                                      [("train", 0.8), ("val", 0.1),
+                                       ("test", 0.1)], seed=7)
+              .select("doc_id", "split"))
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    lab = (pairs
+           .join(splits.select(F.col("doc_id").alias("doc_a"),
+                               F.col("split").alias("sp_a")), "doc_a")
+           .join(splits.select(F.col("doc_id").alias("doc_b"),
+                               F.col("split").alias("sp_b")), "doc_b")
+           .select(F.least("sp_a", "sp_b").alias("split_a"),
+                   F.greatest("sp_a", "sp_b").alias("split_b")))
+    return (lab.groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn("leaks",
+                        F.col("split_a") != F.col("split_b"))
+            .orderBy("split_a", "split_b"))
+
+
+_add(
+    "p121_split_leakage",
+    _split_leakage_query,
+    f"""
+    WITH {_MINHASH_PAIR_CTES},
+    pairs AS (
+    {_MINHASH_PAIRS_SELECT}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_7'")}
+                       < {{train}} THEN 'train'
+                  WHEN {_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_7'")}
+                       < {{val}} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    lab AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM pairs
+      JOIN sp sa ON sa.doc_id = pairs.doc_a
+      JOIN sp sb ON sb.doc_id = pairs.doc_b)
+    SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs,
+           (split_a <> split_b) AS leaks
+    FROM lab GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """.replace("{train}", str(_SPLIT_THRESH["train"]))
+       .replace("{val}", str(_SPLIT_THRESH["val"])),
+)
+
+
+def _shard_manifest_query(t):
+    from golem_spark.sources.io import shard_manifest
+
+    return shard_manifest(t["documents"], "doc_id", n_shards=16,
+                          weight_col="n_chars")
+
+
+_add(
+    "p120_shard_manifest",
+    _shard_manifest_query,
+    f"""
+    WITH s AS (
+      SELECT ({_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_0'")}) % 16
+               AS shard,
+             doc_id, n_chars
+      FROM documents),
+    per AS (
+      SELECT shard, COUNT(*)::BIGINT AS n_rows,
+             SUM(n_chars)::BIGINT AS sum_weight,
+             MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+      FROM s GROUP BY shard),
+    tot AS (SELECT SUM(n_rows) AS t FROM per)
+    SELECT shard, n_rows, sum_weight, min_key, max_key,
+           (n_rows * 1000000 // t)::BIGINT AS load_ppm
+    FROM per, tot
+    ORDER BY shard
+    """,
+)

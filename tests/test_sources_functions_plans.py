@@ -73,3 +73,47 @@ def test_fit_control_roundtrip():
     x, y, _ = random_problem(n=80, p=4, seed=80)
     fit = owl(x, y, **ctl2.to_owl_kwargs())
     assert fit.n_sigma >= 1
+
+
+def test_training_shards_roundtrip_deterministic(spark, tmp_path):
+    """write_training_shards: one directory per non-empty shard, full
+    content round-trip, shard membership identical under a different
+    input partitioning, rows sorted within each shard file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from golem_spark.sources.io import (shard_assign, shard_manifest,
+                                        write_training_shards)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    dirs = {d for d in os.listdir(out) if d.startswith("__shard=")}
+    nonempty = {r["__shard"] for r in
+                shard_assign(docs, "doc_id", 8).select("__shard").collect()}
+    assert dirs == {f"__shard={s}" for s in nonempty}
+    # membership survives repartition (content-hash rule)
+    a = {(r["doc_id"], r["__shard"]) for r in
+         shard_assign(docs, "doc_id", 8).collect()}
+    b = {(r["doc_id"], r["__shard"]) for r in
+         shard_assign(docs.repartition(5, "lang"), "doc_id", 8).collect()}
+    assert a == b
+    # within-shard sort: per input file, doc_id ascending
+    for d in sorted(dirs):
+        rows = spark.read.parquet(os.path.join(out, d)) \
+            .withColumn("__f", F.input_file_name()) \
+            .select("__f", "doc_id").collect()
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["__f"], []).append(r["doc_id"])
+    for ids in per_file.values():
+        assert ids == sorted(ids)
+    # manifest load shares sum to ~1e6 and count every row
+    man = shard_manifest(docs, "doc_id", 8).collect()
+    assert sum(r["n_rows"] for r in man) == docs.count()
+    assert 1000000 - 8 <= sum(r["load_ppm"] for r in man) <= 1000000
