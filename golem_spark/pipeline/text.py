@@ -1161,3 +1161,45 @@ def _dsir_select(df: DataFrame, lam_map_col, n_buckets: int,
                      F.size(toks).cast("long").alias("n_toks"),
                      F.round(score.cast("double") / 1e6, 6).alias("logw"),
                      (score > 0).alias("target_like"))
+
+
+def intra_doc_chunk_dedup(df: DataFrame, chunk: int = 8,
+                          text_col: str = "text") -> DataFrame:
+    """Within-document repetition removal (the applied half of the
+    Gopher/MassiveText repetition filters — repetition_stats only
+    measures): split each document into non-overlapping ``chunk``-token
+    chunks and keep the FIRST occurrence of each distinct chunk text,
+    dropping later repeats. Boilerplate loops and copy-paste spans
+    collapse to one copy; the tail chunk (< chunk tokens) participates
+    like any other.
+
+    Pure per-row array expressions (chunking, first-occurrence test via
+    array_position, rejoin) — zero shuffle, linear in the corpus.
+    Output (doc_id, n_chunks, n_kept, n_tokens_kept, scrub_hash) with
+    scrub_hash = md5 of the space-rejoined surviving text, so the
+    scrubbed content (not just counts) is oracle-checked.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / chunk).cast("int")
+    texts = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda j: F.array_join(
+            F.slice(toks, (j - F.lit(1)) * chunk + 1, chunk), " "))
+    # keep chunk j iff its text first occurs at position j
+    kept = F.filter(
+        F.sequence(F.lit(1), n_chunks),
+        lambda j: F.array_position(texts, F.element_at(texts, j)) == j
+        .cast("long"))
+    kept_texts = F.transform(kept, lambda j: F.element_at(texts, j))
+    scrubbed = F.array_join(kept_texts, " ")
+    n_tokens_kept = F.aggregate(
+        kept, F.lit(0).cast("long"),
+        lambda acc, j: acc + F.least(chunk * j, n.cast("long"))
+        - (j - 1) * chunk)
+    return df.select(
+        "doc_id",
+        n_chunks.cast("long").alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_tokens_kept.alias("n_tokens_kept"),
+        F.md5(scrubbed).alias("scrub_hash"))

@@ -1420,3 +1420,30 @@ def test_quality_proxy_model_beats_constant_predictor(spark):
     assert all(np.isfinite(r["avg_pred"]) and np.isfinite(r["mae"])
                for r in out)
     assert model_mae < const_mae
+
+
+def test_intra_doc_chunk_dedup_removes_planted_repeat(spark):
+    """A document whose second half repeats its first half must lose
+    the repeated chunks; a no-repeat doc keeps everything; the scrubbed
+    hash equals the md5 of the hand-built expectation."""
+    import hashlib
+
+    base = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (0, base + " " + base, "en", "s0", 0),           # 2 chunks, dup
+        (1, " ".join(f"u{i}" for i in range(20)), "en", "s0", 0),  # no dup
+        (2, "solo", "en", "s0", 0),                      # tail-only doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["doc_id"]: r for r in
+           text.intra_doc_chunk_dedup(docs, chunk=8).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"],
+            out[0]["n_tokens_kept"]) == (2, 1, 8)
+    assert out[0]["scrub_hash"] == hashlib.md5(base.encode()).hexdigest()
+    assert (out[1]["n_chunks"], out[1]["n_kept"],
+            out[1]["n_tokens_kept"]) == (3, 3, 20)
+    assert (out[2]["n_chunks"], out[2]["n_kept"],
+            out[2]["n_tokens_kept"]) == (1, 1, 1)
+    assert out[2]["scrub_hash"] == hashlib.md5(b"solo").hexdigest()
