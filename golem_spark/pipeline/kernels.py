@@ -3950,3 +3950,80 @@ _add(
     FROM k ORDER BY doc_id
     """,
 )
+
+
+def _curation_v2_query(t):
+    """Curation pipeline v2 — composes this round's stages end to end:
+    DSIR importance gate (keep logw > -0.5, p115 semantics) ->
+    intra-document repetition scrub (p122) -> deterministic shard
+    layout + token-load manifest (p120). Verifies the COMPOSITION of
+    three independently-oracle-verified operators, the release
+    pipeline a target-distribution-matched corpus actually runs.
+
+    One corpus scan carries the broadcast DSIR model, the gate, and the
+    per-row scrub; the only shuffle is the <=n_shards-key manifest
+    groupBy."""
+    from golem_spark.pipeline.text import (_dsir_select, dsir_model,
+                                           intra_doc_chunk_dedup)
+    from golem_spark.sources.io import shard_assign
+
+    docs = t["documents"]
+    scored = _dsir_select(
+        docs.crossJoin(F.broadcast(dsir_model(docs))),
+        F.col("lam_map"), 64, "text").select("doc_id", "logw")
+    gated = (docs.join(scored, "doc_id")
+             .filter(F.col("logw") > -0.5))
+    scrub = intra_doc_chunk_dedup(gated, chunk=8)
+    per = (shard_assign(scrub, "doc_id", 8)
+           .groupBy("__shard")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens_kept").cast("long").alias("tokens_kept")))
+    tot = per.agg(F.sum("n_docs").alias("__tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("__shard").alias("shard"), "n_docs", "tokens_kept",
+                    F.floor(F.col("n_docs") * 1000000 / F.col("__tot"))
+                    .cast("long").alias("load_ppm"))
+            .orderBy("shard"))
+
+
+_add(
+    "p123_curation_v2",
+    _curation_v2_query,
+    _DSIR_CTES + rf""",
+    gated AS (
+      SELECT w.doc_id, w.toks
+      FROM w JOIN sc ON w.doc_id = sc.doc_id
+      WHERE ROUND(sm / 1e6, 6) > -0.5),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(len(toks)::DOUBLE / 8) AS INT) AS nc
+      FROM gated),
+    tx AS (
+      SELECT doc_id, n, nc,
+             list_transform(range(1, nc + 1),
+               j -> array_to_string(
+                 list_slice(toks, (j - 1) * 8 + 1, (j - 1) * 8 + 8), ' '))
+               AS texts
+      FROM c),
+    k AS (
+      SELECT doc_id, n, nc,
+             list_filter(range(1, nc + 1),
+                         j -> list_position(texts, texts[j]) = j) AS kept
+      FROM tx),
+    scrub AS (
+      SELECT doc_id,
+             list_sum(list_transform(kept,
+               j -> least(8 * j, n) - (j - 1) * 8))::BIGINT AS n_tokens_kept
+      FROM k),
+    per AS (
+      SELECT ({_DUCK_MD5INT.format(x="doc_id::VARCHAR || '_0'")}) % 8
+               AS shard,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tokens_kept)::BIGINT AS tokens_kept
+      FROM scrub GROUP BY shard),
+    mtot AS (SELECT SUM(n_docs) AS t FROM per)
+    SELECT shard, n_docs, tokens_kept,
+           (n_docs * 1000000 // t)::BIGINT AS load_ppm
+    FROM per, mtot ORDER BY shard
+    """,
+)
