@@ -1447,3 +1447,42 @@ def test_intra_doc_chunk_dedup_removes_planted_repeat(spark):
     assert (out[2]["n_chunks"], out[2]["n_kept"],
             out[2]["n_tokens_kept"]) == (1, 1, 1)
     assert out[2]["scrub_hash"] == hashlib.md5(b"solo").hexdigest()
+
+
+def test_intra_doc_chunk_dedup_matches_python_replay_randomized(spark):
+    """One batch of 80 randomized docs (sizes straddling chunk
+    multiples, small alphabet so repeats occur naturally, plus planted
+    full-chunk repeats) replayed in pure Python: counts AND scrubbed
+    content hash must match for every doc and several chunk sizes."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(1, 40))
+        toks = [f"t{rng.integers(0, 4)}" for _ in range(n)]
+        if i % 3 == 0 and n >= 8:  # planted repeat of the first chunk
+            toks = toks + toks[:8]
+        docs.append((i, " ".join(toks), "en", "s0", len(" ".join(toks))))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    for chunk in (1, 3, 8):
+        got = {r["doc_id"]: r for r in
+               text.intra_doc_chunk_dedup(df, chunk=chunk).collect()}
+        for i, txt, *_ in docs:
+            toks = txt.strip().split()
+            chunks = [" ".join(toks[j:j + chunk])
+                      for j in range(0, len(toks), chunk)]
+            kept, seen = [], set()
+            for c in chunks:
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            r = got[i]
+            assert r["n_chunks"] == len(chunks)
+            assert r["n_kept"] == len(kept)
+            assert r["n_tokens_kept"] == sum(len(c.split()) for c in kept)
+            assert r["scrub_hash"] == hashlib.md5(
+                " ".join(kept).encode()).hexdigest()
