@@ -717,7 +717,13 @@ def _with_cells(df: DataFrame, n_seeds: int,
     """(id, cell, ev, nrm): every vector routed to its cosine-nearest
     seed cell (ties -> lowest seed id) via a per-row argmax against the
     broadcast one-row seed frame — zero shuffle. Shared by
-    semantic_dedup and hard_negatives."""
+    semantic_dedup and hard_negatives.
+
+    Persisted via _swap_cache: the argmax/norm expressions are large
+    HOF trees, and without a materialization barrier Catalyst's
+    projection collapse re-inlines them into both sides of the
+    downstream cell self-join — the routing would be evaluated per
+    candidate PAIR instead of per row (the _with_sig_norm pitfall)."""
     srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
     e = _as_double(F.col(vec_col))
     nrm = _norm(e)
@@ -726,10 +732,11 @@ def _with_cells(df: DataFrame, n_seeds: int,
         lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
                            .alias("ncos"),
                            s["seed_id"].alias("seed_id")))
-    return (df.crossJoin(F.broadcast(srow))
-            .select(F.col(id_col),
-                    F.array_min(neg_cos)["seed_id"].alias("cell"),
-                    e.alias("ev"), nrm.alias("nrm")))
+    return _swap_cache("ivf_cells", (
+        df.crossJoin(F.broadcast(srow))
+        .select(F.col(id_col),
+                F.array_min(neg_cos)["seed_id"].alias("cell"),
+                e.alias("ev"), nrm.alias("nrm"))))
 
 
 def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
