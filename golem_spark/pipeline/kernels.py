@@ -3981,7 +3981,8 @@ def _curation_v2_query(t):
     tot = per.agg(F.sum("n_docs").alias("__tot"))
     return (per.crossJoin(F.broadcast(tot))
             .select(F.col("__shard").alias("shard"), "n_docs", "tokens_kept",
-                    F.floor(F.col("n_docs") * 1000000 / F.col("__tot"))
+                    # exact integer div (the oracle's `//`), not a float floor
+                    F.expr("(n_docs * 1000000L) div __tot")
                     .cast("long").alias("load_ppm"))
             .orderBy("shard"))
 

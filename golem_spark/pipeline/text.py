@@ -1139,24 +1139,38 @@ def dsir_model(df: DataFrame, target_source: str = "src0",
                             / ((e["cr"] + kb) / denom_r)), 6)
         return F.floor(lam * 1e6 + F.lit(0.5)).cast("long")
 
+    # the model's value for a bucket with NO observed tokens (ct=cr=0):
+    # the add-k smoothed log-ratio ln((k/denom_t)/(k/denom_r)). Buckets
+    # absent from the map (possible when SCORING data the model was not
+    # fit on, e.g. a stream) must fall back to this, not to NULL.
+    dflt = F.round(F.log((kb / denom_t) / (kb / denom_r)), 6)
+    dflt = F.floor(dflt * 1e6 + F.lit(0.5)).cast("long")
+
     # one-row broadcast map literal: bucket -> micro-int log-ratio
     return one.select(F.map_from_entries(F.array_sort(F.transform(
         F.col("ent"),
         lambda e: F.struct(e["bkt"].alias("bkt"),
                            lam_micro(e).alias("lm")))))
-        .alias("lam_map"))
+        .alias("lam_map"),
+        dflt.alias("lam_default"))
 
 
 def _dsir_select(df: DataFrame, lam_map_col, n_buckets: int,
-                 text_col: str) -> DataFrame:
+                 text_col: str, default_col=None) -> DataFrame:
     """Per-document DSIR scoring projection against a bucket->micro-int
     log-ratio map column (broadcast row or literal): a pure array fold,
-    zero shuffle."""
+    zero shuffle. ``default_col`` is the smoothed empty-bucket value the
+    model defines for buckets it never observed (``lam_default`` from
+    :func:`dsir_model`) — without it a token hashing to an unseen bucket
+    would NULL the whole document's score via element_at."""
     toks = tokens_col(text_col)
+    if default_col is None:
+        default_col = F.col("lam_default")
     score = F.aggregate(
         toks, F.lit(0).cast("long"),
-        lambda acc, t: acc + F.element_at(lam_map_col,
-                                          _md5_int(t) % n_buckets))
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(lam_map_col, _md5_int(t) % n_buckets),
+            default_col))
     return df.select("doc_id", "source",
                      F.size(toks).cast("long").alias("n_toks"),
                      F.round(score.cast("double") / 1e6, 6).alias("logw"),

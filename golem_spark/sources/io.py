@@ -80,8 +80,12 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
     aligns task == shard, so each shard is written by exactly one task
     (no tiny-file explosion) and readers get per-shard parallelism."""
     sharded = shard_assign(df, key_col, n_shards, seed=seed)
+    # sort by ("__shard", sort_col): partitionBy requires the writer's
+    # rows ordered by the partition column — satisfying it here keeps
+    # the within-shard sort_col order an API contract rather than a
+    # property of whichever (possibly unstable) sort the planner inserts
     (sharded.repartition(n_shards, F.col("__shard"))
-     .sortWithinPartitions(sort_col or key_col)
+     .sortWithinPartitions("__shard", sort_col or key_col)
      .write.mode(mode).partitionBy("__shard").parquet(path))
 
 
@@ -104,6 +108,9 @@ def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
     return (per.crossJoin(F.broadcast(tot))
             .select(F.col("__shard").alias("shard"), "n_rows", "sum_weight",
                     "min_key", "max_key",
-                    F.floor(F.col("n_rows") * 1000000 / F.col("__tot"))
+                    # integer `div`, matching the oracle's `//`: floating
+                    # floor(a*1e6/b) can differ by one ulp near integer
+                    # quotients or past 2^53 micro-units
+                    F.expr("(n_rows * 1000000L) div __tot")
                     .cast("long").alias("load_ppm"))
             .orderBy("shard"))

@@ -226,17 +226,22 @@ def dsir_score_stream(spark: SparkSession, docs_path: str,
 
     from golem_spark.pipeline.text import _dsir_select, dsir_model
 
-    lam = dsir_model(ref_docs, target_source=target_source,
-                     n_buckets=n_buckets, k_smooth=k_smooth) \
-        .collect()[0]["lam_map"]
+    model = dsir_model(ref_docs, target_source=target_source,
+                       n_buckets=n_buckets, k_smooth=k_smooth).collect()[0]
+    lam = model["lam_map"]
     lit_map = F.create_map(*[x for b in sorted(lam)
                              for x in (F.lit(int(b)), F.lit(int(lam[b])))])
+    # smoothed empty-bucket default: a stream token hashing to a bucket
+    # the reference corpus never produced scores ln((k/denom_t)/(k/denom_r)),
+    # not NULL (which would silently null the whole document's score)
+    lit_default = F.lit(int(model["lam_default"]))
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
         reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
         docs_path = os.path.dirname(docs_path)
     stream = reader.load(docs_path)
-    out = _dsir_select(stream, lit_map, n_buckets, "text")
+    out = _dsir_select(stream, lit_map, n_buckets, "text",
+                       default_col=lit_default)
     q = (out.writeStream.outputMode("append")
          .format("memory").queryName(query_name).start())
     try:

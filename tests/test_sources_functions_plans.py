@@ -103,14 +103,17 @@ def test_training_shards_roundtrip_deterministic(spark, tmp_path):
     b = {(r["doc_id"], r["__shard"]) for r in
          shard_assign(docs.repartition(5, "lang"), "doc_id", 8).collect()}
     assert a == b
-    # within-shard sort: per input file, doc_id ascending
+    # within-shard sort: per input file, doc_id ascending — accumulate
+    # over EVERY shard directory (a single trailing check would only
+    # verify the last one)
+    per_file = {}
     for d in sorted(dirs):
         rows = spark.read.parquet(os.path.join(out, d)) \
             .withColumn("__f", F.input_file_name()) \
             .select("__f", "doc_id").collect()
-    per_file = {}
-    for r in rows:
-        per_file.setdefault(r["__f"], []).append(r["doc_id"])
+        for r in rows:
+            per_file.setdefault(r["__f"], []).append(r["doc_id"])
+    assert len(per_file) >= len(dirs)
     for ids in per_file.values():
         assert ids == sorted(ids)
     # manifest load shares sum to ~1e6 and count every row
