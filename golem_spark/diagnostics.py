@@ -58,6 +58,47 @@ def plot_path(fit: OwlFit, target: int = 0, ax=None):
     return ax
 
 
+def diagnostics_plot_data(fit: OwlFit, ind: int | None = None,
+                          xvar: str = "time"):
+    """Primal/dual objective curves for ONE path point — the data behind
+    plotDiagnostics (R/plotDiagnostics.R:22-73): subset the diagnostics
+    to penalty index ``ind`` (default the LAST collected path point,
+    matching the reference's ``max(object$diagnostics$penalty)``), x =
+    wall-clock ``time`` (the reference default) or ``iteration``."""
+    if xvar not in ("time", "iteration"):
+        raise ValueError("xvar must be 'time' or 'iteration'")
+    rows = diagnostics_frame(fit)  # raises without diagnostics=True
+    if ind is None:
+        ind = max(r[0] for r in rows)
+    sel = [r for r in rows if r[0] == ind]
+    if not sel:
+        raise ValueError(f"no diagnostics collected at path index {ind}")
+    return {
+        "ind": ind,
+        "xvar": xvar,
+        "x": [r[1] if xvar == "iteration" else r[2] for r in sel],
+        "primal": [r[3] for r in sel],
+        "dual": [r[4] for r in sel],
+    }
+
+
+def plot_diagnostics(fit: OwlFit, ind: int | None = None,
+                     xvar: str = "time", ax=None):
+    """plotDiagnostics parity (O46): primal + dual objective vs
+    iteration/time for one path point; returns the prepared data when
+    matplotlib is unavailable (same contract as plot_path/plot_cv)."""
+    data = diagnostics_plot_data(fit, ind=ind, xvar=xvar)
+    if not HAS_MPL:
+        return data
+    ax = ax or plt.gca()
+    ax.plot(data["x"], data["primal"], label="primal")
+    ax.plot(data["x"], data["dual"], label="dual")
+    ax.set_xlabel("Time (seconds)" if xvar == "time" else "Iteration")
+    ax.set_ylabel("Objective")
+    ax.legend(fontsize=7)
+    return ax
+
+
 def cv_plot_data(trained):
     """mean +/- CI vs sigma per (measure, q) (plot.TrainedOwl,
     R/plot.R:144-299)."""

@@ -34,6 +34,12 @@ class _SlopeParams(HasLabelCol, HasPredictionCol):
                         typeConverter=TypeConverters.toListString)
     fitIntercept = Param(Params._dummy(), "fitIntercept", "fit an intercept",
                          typeConverter=TypeConverters.toBoolean)
+    tolAbs = Param(Params._dummy(), "tolAbs",
+                   "absolute solver tolerance (<=0: owl() default)",
+                   typeConverter=TypeConverters.toFloat)
+    tolRel = Param(Params._dummy(), "tolRel",
+                   "relative solver tolerance (<=0: owl() default)",
+                   typeConverter=TypeConverters.toFloat)
 
     def getFamily(self):
         return self.getOrDefault(self.family)
@@ -50,11 +56,12 @@ class SlopeEstimator(Estimator, _SlopeParams):
     @keyword_only
     def __init__(self, *, featureCols=None, labelCol="label", family="gaussian",
                  q=0.2, sigma=-1.0, nSigma=50, fitIntercept=True,
-                 predictionCol="prediction"):
+                 predictionCol="prediction", tolAbs=-1.0, tolRel=-1.0):
         super().__init__()
         self._setDefault(family="gaussian", q=0.2, sigma=-1.0, nSigma=50,
                          fitIntercept=True, labelCol="label",
-                         predictionCol="prediction", featureCols=[])
+                         predictionCol="prediction", featureCols=[],
+                         tolAbs=-1.0, tolRel=-1.0)
         kwargs = self._input_kwargs
         kwargs = {k: v for k, v in kwargs.items() if v is not None}
         self._set(**kwargs)
@@ -66,6 +73,11 @@ class SlopeEstimator(Estimator, _SlopeParams):
 
     def _fit(self, dataset):
         sigma = self.getOrDefault(self.sigma)
+        tols = {}
+        if self.getOrDefault(self.tolAbs) > 0:
+            tols["tol_abs"] = self.getOrDefault(self.tolAbs)
+        if self.getOrDefault(self.tolRel) > 0:
+            tols["tol_rel"] = self.getOrDefault(self.tolRel)
         fit = owl(
             df=dataset,
             feature_cols=self.getFeatureCols(),
@@ -75,6 +87,7 @@ class SlopeEstimator(Estimator, _SlopeParams):
             sigma=[sigma] if sigma > 0 else None,
             n_sigma=self.getOrDefault(self.nSigma),
             intercept=self.getOrDefault(self.fitIntercept),
+            **tols,
         )
         model = SlopeModel(owlFit=fit, featureCols=self.getFeatureCols(),
                            predictionCol=self.getOrDefault(self.predictionCol))
@@ -104,3 +117,30 @@ class SlopeModel(Model, _SlopeParams):
         from golem_spark.predict import coef_at
 
         return coef_at(self.owlFit, sigma)
+
+    def feature_importances(self, sigma=None, normalize: bool = True
+                            ) -> dict[str, np.ndarray]:
+        """caret varImp parity (R/caretOwl.R:228-245): |beta| per
+        feature at ``sigma`` (default: the deepest fitted path point,
+        the model transform() predicts with), intercept dropped. The
+        reference returns raw |beta|; ``normalize=True`` additionally
+        scales each target's column to sum 1 so importances are
+        comparable across targets/models. Returns {feature: (m,) array}.
+        """
+        fit = self.owlFit
+        if sigma is None:
+            beta = fit.coefficients[:, :, fit.n_sigma - 1]
+        else:
+            from golem_spark.predict import coef_at
+
+            beta = coef_at(fit, sigma, simplify=True)
+            if beta.ndim == 3:
+                beta = beta[:, :, 0]
+        start = 1 if fit.intercept else 0
+        imp = np.abs(beta[start:, :])
+        if normalize:
+            tot = imp.sum(axis=0, keepdims=True)
+            imp = np.divide(imp, tot, out=np.zeros_like(imp),
+                            where=tot > 0)
+        names = fit.feature_names
+        return {name: imp[j, :].copy() for j, name in enumerate(names)}

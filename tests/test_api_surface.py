@@ -137,6 +137,32 @@ def test_diagnostics_schema():
         diagnostics_frame(fit2)
 
 
+def test_plot_diagnostics_data():
+    """O46 parity (R/plotDiagnostics.R:22-73): primal/dual curves for
+    one path point, xvar in {iteration, time}, default ind = last
+    collected path point."""
+    from golem_spark.diagnostics import plot_diagnostics
+
+    x, y, _ = random_problem(n=80, p=4, seed=55)
+    fit = owl(x, y, family="gaussian", n_sigma=5, diagnostics=True)
+    d = plot_diagnostics(fit)  # no matplotlib here -> returns the data
+    rows = diagnostics_frame(fit)
+    assert d["ind"] == max(r[0] for r in rows)
+    n_last = sum(1 for r in rows if r[0] == d["ind"])
+    assert len(d["x"]) == len(d["primal"]) == len(d["dual"]) == n_last
+    assert d["xvar"] == "time"
+    assert all(t >= 0 for t in d["x"])
+    di = plot_diagnostics(fit, ind=0, xvar="iteration")
+    assert di["x"] == sorted(di["x"])  # iterations ascend
+    # primal approaches dual from above as the solver converges
+    assert d["primal"][-1] >= d["dual"][-1] - 1e-8
+    with pytest.raises(ValueError):
+        plot_diagnostics(fit, xvar="nope")
+    fit2 = owl(x, y, family="gaussian", n_sigma=5)
+    with pytest.raises(ValueError):
+        plot_diagnostics(fit2)
+
+
 def test_print_and_plotdata():
     x, y, _ = random_problem(n=80, p=4, seed=56)
     fit = owl(x, y, family="gaussian", n_sigma=5)
@@ -201,6 +227,38 @@ def test_slope_estimator_in_pipeline(spark):
     assert np.isfinite(preds).all()
     slope_model = model.stages[0]
     assert slope_model.coefficients().shape[0] == 5
+
+
+def test_feature_importances_ranks_planted_signal(spark):
+    """caret varImp hook (R/caretOwl.R:228-245): |beta|-based
+    importances rank the planted-signal features of a random_problem
+    fit above the noise features."""
+    import pandas as pd
+
+    from golem_spark.estimator import SlopeEstimator
+
+    x, y, beta = random_problem(n=400, p=8, seed=59)
+    pdf = pd.DataFrame({f"x{j}": x[:, j] for j in range(8)})
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    est = SlopeEstimator(featureCols=[f"x{j}" for j in range(8)],
+                         labelCol="label", family="gaussian", nSigma=12)
+    model = est.fit(df)
+    imp = model.feature_importances()
+    assert set(imp) == {f"x{j}" for j in range(8)}
+    vals = np.array([float(imp[f"x{j}"][0]) for j in range(8)])
+    assert abs(vals.sum() - 1.0) < 1e-9  # normalized per target
+    signal = np.flatnonzero(np.asarray(beta).ravel() != 0)
+    noise = np.flatnonzero(np.asarray(beta).ravel() == 0)
+    assert signal.size and noise.size, "fixture must plant both kinds"
+    assert vals[signal].min() > vals[noise].max()
+    # raw (reference-exact) variant is plain |beta|, unnormalized
+    raw = model.feature_importances(normalize=False)
+    co = model.coefficients()
+    co = co[:, :, -1] if co.ndim == 3 else co
+    np.testing.assert_allclose(
+        np.array([raw[f"x{j}"][0] for j in range(8)]),
+        np.abs(co[1:, 0]))
 
 
 def test_freeze_guard_refuses_on_failing_stat_oracles(monkeypatch):
