@@ -8,7 +8,15 @@ SELECT -1 AS path_idx,
        (SELECT ROUND(MAX(cg / (rn * (0.2 * 807.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
        0.0 AS dev_ratio, 0 AS n_nonzero)
 UNION ALL
-(SELECT 0 AS path_idx, 0.008 AS sigma, 0.081024 AS dev_ratio, 5 AS n_nonzero)
+(SELECT 0 AS path_idx, 0.008 AS sigma, 0.087353 AS dev_ratio, 4 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
 UNION ALL
-(SELECT 1 AS path_idx, 0.003 AS sigma, 0.087844 AS dev_ratio, 773 AS n_nonzero)
+(SELECT 1 AS path_idx, 0.003 AS sigma, 0.132022 AS dev_ratio, 345 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.008 AS sigma, 0.081024 AS dev_ratio, 5 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.003 AS sigma, 0.087844 AS dev_ratio, 773 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.008 AS sigma, 0.081677 AS dev_ratio, 6 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.003 AS sigma, 0.082337 AS dev_ratio, 791 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
 ) ORDER BY path_idx

@@ -25,7 +25,7 @@ bs AS (
   FROM de),
 bb AS (SELECT my - m1*b1 - m2*b2 - m3*b3 AS b0, b1, b2, b3 FROM bs)
     SELECT l_returnflag, COUNT(*)::BIGINT AS n,
-           ROUND(AVG((bb.b0 + bb.b1*l_extendedprice + bb.b2*l_discount + bb.b3*l_tax)), 6) AS avg_pred,
-           ROUND(AVG(ABS(l_quantity - (bb.b0 + bb.b1*l_extendedprice + bb.b2*l_discount + bb.b3*l_tax))), 6) AS mae
+           floor(AVG((bb.b0 + bb.b1*l_extendedprice + bb.b2*l_discount + bb.b3*l_tax)) * 1e6 + 0.5)::BIGINT AS avg_pred_micro,
+           floor(AVG(ABS(l_quantity - (bb.b0 + bb.b1*l_extendedprice + bb.b2*l_discount + bb.b3*l_tax))) * 1e6 + 0.5)::BIGINT AS mae_micro
     FROM lineitem, bb
     GROUP BY l_returnflag ORDER BY l_returnflag

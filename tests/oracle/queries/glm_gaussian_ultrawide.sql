@@ -8,7 +8,15 @@ SELECT -1 AS path_idx,
        (SELECT ROUND(MAX(cg / (rn * (0.2 * 10007.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
        0.0 AS dev_ratio, 0 AS n_nonzero)
 UNION ALL
-(SELECT 0 AS path_idx, 0.024 AS sigma, 6.2e-05 AS dev_ratio, 3 AS n_nonzero)
+(SELECT 0 AS path_idx, 0.024 AS sigma, 0.000141 AS dev_ratio, 1 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
 UNION ALL
-(SELECT 1 AS path_idx, 0.018 AS sigma, 0.00224 AS dev_ratio, 88 AS n_nonzero)
+(SELECT 1 AS path_idx, 0.018 AS sigma, 0.0037 AS dev_ratio, 15 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.024 AS sigma, 6.2e-05 AS dev_ratio, 3 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.018 AS sigma, 0.00224 AS dev_ratio, 88 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.024 AS sigma, 2.8e-05 AS dev_ratio, 9 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.018 AS sigma, 0.000352 AS dev_ratio, 117 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
 ) ORDER BY path_idx

@@ -8,7 +8,15 @@ SELECT -1 AS path_idx,
        (SELECT ROUND(MAX(cg / (rn * (0.2 * 1614.0 + 1.0) - 0.2 * rn * (rn + 1.0) / 2.0)), 6) + 0.0 FROM r) AS sigma,
        0.0 AS dev_ratio, 0 AS n_nonzero)
 UNION ALL
-(SELECT 0 AS path_idx, 0.01 AS sigma, 3e-06 AS dev_ratio, 0 AS n_nonzero)
+(SELECT 0 AS path_idx, 0.01 AS sigma, 0.000278 AS dev_ratio, 0 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
 UNION ALL
-(SELECT 1 AS path_idx, 0.004 AS sigma, 0.000202 AS dev_ratio, 21 AS n_nonzero)
+(SELECT 1 AS path_idx, 0.004 AS sigma, 0.000584 AS dev_ratio, 5 AS n_nonzero FROM lineitem HAVING COUNT(*) = 6000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.01 AS sigma, 3e-06 AS dev_ratio, 0 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.004 AS sigma, 0.000202 AS dev_ratio, 21 AS n_nonzero FROM lineitem HAVING COUNT(*) = 60000)
+UNION ALL
+(SELECT 0 AS path_idx, 0.01 AS sigma, 0.0 AS dev_ratio, 0 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
+UNION ALL
+(SELECT 1 AS path_idx, 0.004 AS sigma, 4e-06 AS dev_ratio, 6 AS n_nonzero FROM lineitem HAVING COUNT(*) = 600000)
 ) ORDER BY path_idx

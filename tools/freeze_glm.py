@@ -1,7 +1,11 @@
 """Regenerate golem_spark/glm_frozen.py: the full-precision GLM path
-coefficients at sf0.01 that the DuckDB oracles freeze as regression
-goldens (dev_ratio is always RE-computed from them in SQL; only the
-coefficient columns themselves are golden).
+coefficients at EVERY test scale factor (sf0.001/0.01/0.1), keyed by
+the lineitem row count so the oracles' static SQL selects the right
+goldens from the data itself and the whole glm_* surface verifies at
+any of the three SFs with no golden swap. dev_ratio, held-out CV
+scores, sigma_max AND the sorted-L1 KKT optimality certificate are
+always RE-computed from the goldens in SQL; only the coefficient
+values themselves are golden.
 
 Run after any solver change:  python tools/freeze_glm.py
 
@@ -50,14 +54,16 @@ from golem_spark.glm_queries import (GLM_SPECS, WIDE_P, WIDE_SPECS, _Q,
 from golem_spark.path import owl
 from golem_spark.session import get_spark, load_tables
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+PINNED_SF_DIR = "/root/testdata/sf0.01"  # the serving-model slice
 
 
-def main() -> None:
-    if "--unsafe-skip-stat-oracles" not in sys.argv:
-        run_stat_oracles()
-    spark = get_spark("freeze_glm")
-    li = load_tables(spark, SF_DIR)["lineitem"]
+def freeze_one_sf(spark, sf_dir: str) -> tuple[int, dict]:
+    """All four golden families at one scale factor, keyed by the
+    lineitem row count (the oracles' HAVING COUNT(*) guard key)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    n_rows = li.count()
     li_b = li.withColumn(
         "is_r", F.when(F.col("l_returnflag") == "R", "R").otherwise("other"))
 
@@ -71,7 +77,7 @@ def main() -> None:
             [float(v) for v in fit.coefficients[:, :, k].ravel(order="F")]
             for k in range(fit.n_sigma)
         ]
-        print(f"{fam}: {fit.n_sigma} path points frozen")
+        print(f"{sf_dir} {fam}: {fit.n_sigma} path points frozen")
 
     wide_frozen: dict[str, list[tuple[float, int]]] = {}
     for fam, spec in WIDE_SPECS.items():
@@ -84,7 +90,7 @@ def main() -> None:
              int((np.abs(fit.coefficients[1:, :, k]) > 0).sum()))
             for k in range(fit.n_sigma)
         ]
-        print(f"wide {fam}: {fit.n_sigma} path points frozen")
+        print(f"{sf_dir} wide {fam}: {fit.n_sigma} path points frozen")
 
     # ultrawide (p=10007) gaussian stress goldens
     from golem_spark.glm_queries import UW_P, _UW_SIGMAS, _uw_frame
@@ -95,15 +101,15 @@ def main() -> None:
         (float(fit.deviance_ratio[k]),
          int((np.abs(fit.coefficients[1:, :, k]) > 0).sum()))
         for k in range(fit.n_sigma)]}
-    print(f"ultrawide gaussian: {fit.n_sigma} path points frozen")
+    print(f"{sf_dir} ultrawide gaussian: {fit.n_sigma} path points frozen")
 
     # CV per-(fold, path-point) coefficients for the glm_cv_* queries:
-    # the oracle recomputes fold membership and held-out mse in SQL;
-    # only these coefficient values are golden.
+    # the oracle recomputes fold membership, held-out scores AND the
+    # per-fold KKT certificate in SQL; only these values are golden.
     from golem_spark.glm_queries import CV_SPECS, _cv_cells
     cv_frozen = {}
     for cv_fam, cv_sp in CV_SPECS.items():
-        trained = _cv_cells(spark, SF_DIR, cv_fam)
+        trained = _cv_cells(spark, sf_dir, cv_fam)
         cv_q = float(cv_sp["q"])
         n_folds = int(cv_sp["number"])
         cv_frozen[cv_fam] = [
@@ -112,29 +118,57 @@ def main() -> None:
              for k in range(len(cv_sp["sigmas"]))]
             for fold in range(n_folds)
         ]
-        print(f"cv {cv_fam}: {n_folds} folds x "
+        print(f"{sf_dir} cv {cv_fam}: {n_folds} folds x "
               f"{len(cv_sp['sigmas'])} path points frozen")
 
+    return n_rows, {"path": frozen, "wide": wide_frozen,
+                    "uw": uw_frozen, "cv": cv_frozen}
+
+
+def main() -> None:
+    if "--unsafe-skip-stat-oracles" not in sys.argv:
+        run_stat_oracles()
+    spark = get_spark("freeze_glm")
+    by_n: dict[int, dict] = {}
+    pinned_n = None
+    for sf_dir in SF_DIRS:
+        n_rows, slices = freeze_one_sf(spark, sf_dir)
+        by_n[n_rows] = slices
+        if sf_dir == PINNED_SF_DIR:
+            pinned_n = n_rows
+
+    def write_by_n(fh, name: str, kind: str) -> None:
+        fh.write(f"{name} = {{\n")
+        for n in sorted(by_n):
+            fh.write(f"    {n}: {{\n")
+            for fam, rows in by_n[n][kind].items():
+                if kind == "path":
+                    fh.write(f"        {fam!r}: [\n")
+                    for row in rows:
+                        fh.write(f"            {row!r},\n")
+                    fh.write("        ],\n")
+                else:
+                    fh.write(f"        {fam!r}: {rows!r},\n")
+            fh.write("    },\n")
+        fh.write("}\n\n")
+
     with open("/root/repo/golem_spark/glm_frozen.py", "w") as fh:
-        fh.write('"""AUTO-GENERATED by tools/freeze_glm.py — frozen sf0.01 GLM\n'
-                 'path goldens (full precision). Do not edit by hand."""\n\n'
-                 "GLM_FROZEN = {\n")
-        for fam, rows in frozen.items():
-            fh.write(f"    {fam!r}: [\n")
-            for row in rows:
-                fh.write(f"        {row!r},\n")
-            fh.write("    ],\n")
-        fh.write("}\n\nGLM_WIDE_FROZEN = {\n")
-        for fam, rows in wide_frozen.items():
-            fh.write(f"    {fam!r}: {rows!r},\n")
-        fh.write("}\n\nGLM_UW_FROZEN = {\n")
-        for fam, rows in uw_frozen.items():
-            fh.write(f"    {fam!r}: {rows!r},\n")
-        fh.write("}\n\nGLM_CV_FROZEN = {\n")
-        for fam, rows in cv_frozen.items():
-            fh.write(f"    {fam!r}: {rows!r},\n")
-        fh.write("}\n")
-    print("wrote golem_spark/glm_frozen.py")
+        fh.write('"""AUTO-GENERATED by tools/freeze_glm.py — frozen GLM path\n'
+                 "goldens (full precision) PER SCALE FACTOR, keyed by the\n"
+                 "lineitem row count. The unsuffixed names are the pinned\n"
+                 f"sf0.01 slice (n = {pinned_n}): the constant serving model\n"
+                 "embedded identically on both engines by the score/auc/\n"
+                 'calibration/interp queries. Do not edit by hand."""\n\n')
+        write_by_n(fh, "GLM_FROZEN_BY_N", "path")
+        write_by_n(fh, "GLM_WIDE_FROZEN_BY_N", "wide")
+        write_by_n(fh, "GLM_UW_FROZEN_BY_N", "uw")
+        write_by_n(fh, "GLM_CV_FROZEN_BY_N", "cv")
+        fh.write(f"GLM_FROZEN = GLM_FROZEN_BY_N[{pinned_n}]\n"
+                 f"GLM_WIDE_FROZEN = GLM_WIDE_FROZEN_BY_N[{pinned_n}]\n"
+                 f"GLM_UW_FROZEN = GLM_UW_FROZEN_BY_N[{pinned_n}]\n"
+                 f"GLM_CV_FROZEN = GLM_CV_FROZEN_BY_N[{pinned_n}]\n")
+    print("wrote golem_spark/glm_frozen.py "
+          f"({len(by_n)} scale factors: {sorted(by_n)})")
 
 
 if __name__ == "__main__":
