@@ -575,11 +575,31 @@ def pq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
 
 
 def _ivf_seeds_row(df: DataFrame, n_seeds: int,
-                   vec_col: str, id_col: str) -> DataFrame:
+                   vec_col: str, id_col: str,
+                   seed_centroids=None) -> DataFrame:
     """ONE-row frame holding the IVF coarse quantizer as a sorted
     array<struct(seed_id, sv, snrm)> — the n_seeds deterministic seed
     vectors with their precomputed norms. Model-sized; broadcast by
-    callers so cell assignment is a pure per-row array expression."""
+    callers so cell assignment is a pure per-row array expression.
+
+    ``seed_centroids``: optional (n_seeds, dim) array of LEARNED
+    centroids (kmeans_seed_centroids) — the production seeding for
+    clustered corpora, where first-n seeding can route a dominant
+    cluster into one hot cell; the first-n default stays exactly
+    reproducible in the SQL oracles."""
+    if seed_centroids is not None:
+        import numpy as np
+
+        cent = np.asarray(seed_centroids, dtype=np.float64)
+        row = [[{"seed_id": int(i), "sv": [float(v) for v in c],
+                 "snrm": float(max(np.linalg.norm(c), 1e-12))}
+                for i, c in enumerate(cent)]]
+        import pandas as pd
+
+        return df.sparkSession.createDataFrame(
+            pd.DataFrame({"seeds": row}),
+            "seeds array<struct<seed_id: long, sv: array<double>, "
+            "snrm: double>>")
     seeds = (df.filter(F.col(id_col) < n_seeds)
              .select(F.struct(F.col(id_col).cast("long").alias("seed_id"),
                               _as_double(F.col(vec_col)).alias("sv"),
@@ -675,7 +695,8 @@ def ivfpq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
 
 
 def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed_centroids=None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — cluster vectors with a
     coarse quantizer, then within each cluster drop every vector that
@@ -695,9 +716,14 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
     corpus, and the broadcast seed row stays model-sized up to ~1e5
     seeds before a two-level quantizer is warranted.
 
+    ``seed_centroids``: learned quantizer (kmeans_seed_centroids) — on
+    clustered corpora this is what keeps the largest cell (and with it
+    the quadratic pair pass) bounded; see
+    tests/test_scale_hygiene.py::test_ivf_cell_skew.
+
     Output (vec_id, cell, keep) ordered by vec_id.
     """
-    assigned = _with_cells(df, n_seeds, vec_col, id_col)
+    assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
     dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
@@ -713,7 +739,8 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
 
 
 def _with_cells(df: DataFrame, n_seeds: int,
-                vec_col: str, id_col: str) -> DataFrame:
+                vec_col: str, id_col: str,
+                seed_centroids=None) -> DataFrame:
     """(id, cell, ev, nrm): every vector routed to its cosine-nearest
     seed cell (ties -> lowest seed id) via a per-row argmax against the
     broadcast one-row seed frame — zero shuffle. Shared by
@@ -724,7 +751,7 @@ def _with_cells(df: DataFrame, n_seeds: int,
     projection collapse re-inlines them into both sides of the
     downstream cell self-join — the routing would be evaluated per
     candidate PAIR instead of per row (the _with_sig_norm pitfall)."""
-    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col)
+    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col, seed_centroids)
     e = _as_double(F.col(vec_col))
     nrm = _norm(e)
     neg_cos = F.transform(
@@ -741,7 +768,7 @@ def _with_cells(df: DataFrame, n_seeds: int,
 
 def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
                    near_dup: float = 0.95, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", seed_centroids=None) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for
     every anchor vector, the k most-similar same-cell vectors BELOW the
     near-dup threshold (near-dups are positives/leakage, not
@@ -761,7 +788,7 @@ def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
     """
     from pyspark.sql import Window
 
-    assigned = _with_cells(df, n_seeds, vec_col, id_col)
+    assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),

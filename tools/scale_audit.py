@@ -74,17 +74,30 @@ def skew_stress(spark) -> dict:
     near-dup joins on the adversarial fixtures (the evidence behind the
     'bounded buckets at 100 TB' claim; asserted by
     tests/test_scale_hygiene.py, recorded here per round)."""
-    from golem_spark.pipeline.skewstress import (adversarial_documents,
+    from golem_spark.pipeline.similarity import kmeans_seed_centroids
+    from golem_spark.pipeline.skewstress import (adversarial_cell_embeddings,
+                                                 adversarial_documents,
                                                  adversarial_embeddings,
                                                  embedding_bucket_stats,
+                                                 ivf_cell_stats,
                                                  lsh_bucket_stats)
 
+    cell_vecs = adversarial_cell_embeddings(spark, 4000).persist()
+    try:
+        ivf_first = ivf_cell_stats(cell_vecs)
+        ivf_learned = ivf_cell_stats(
+            cell_vecs,
+            seed_centroids=kmeans_seed_centroids(cell_vecs, n_seeds=16))
+    finally:
+        cell_vecs.unpersist()
     return {
         "minhash_lsh": lsh_bucket_stats(adversarial_documents(spark, 4000)),
         "minhash_lsh_uniform_control": lsh_bucket_stats(
             adversarial_documents(spark, 1000, n_boiler=0, n_unique=16)),
         "embedding_srp": embedding_bucket_stats(
             adversarial_embeddings(spark, 4000)),
+        "ivf_cells_first_n_seeds": ivf_first,
+        "ivf_cells_learned_seeds": ivf_learned,
     }
 
 
