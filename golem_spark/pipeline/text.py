@@ -1164,17 +1164,26 @@ def _dsir_select(df: DataFrame, lam_map_col, n_buckets: int,
     :func:`dsir_model`) — without it a token hashing to an unseen bucket
     would NULL the whole document's score via element_at."""
     toks = tokens_col(text_col)
-    if default_col is None:
-        default_col = F.col("lam_default")
-    score = F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, t: acc + F.coalesce(
-            F.element_at(lam_map_col, _md5_int(t) % n_buckets),
-            default_col))
+    score = _dsir_score_micro(lam_map_col, n_buckets, text_col, default_col)
     return df.select("doc_id", "source",
                      F.size(toks).cast("long").alias("n_toks"),
                      F.round(score.cast("double") / 1e6, 6).alias("logw"),
                      (score > 0).alias("target_like"))
+
+
+def _dsir_score_micro(lam_map_col, n_buckets: int, text_col: str,
+                      default_col=None):
+    """The document's micro-int DSIR log-weight as a single column
+    expression — shared by the batch scorer, the streaming scorer, and
+    the streaming curation gate so their numbers agree token for
+    token."""
+    if default_col is None:
+        default_col = F.col("lam_default")
+    return F.aggregate(
+        tokens_col(text_col), F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(lam_map_col, _md5_int(t) % n_buckets),
+            default_col))
 
 
 def intra_doc_chunk_dedup(df: DataFrame, chunk: int = 8,

@@ -249,3 +249,80 @@ def dsir_score_stream(spark: SparkSession, docs_path: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# -- streaming intra-document scrub + curation-gate composition --------------
+
+
+def _docs_stream(spark: SparkSession, docs_path: str):
+    import os
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if docs_path.endswith(".parquet") and os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    return reader.load(docs_path)
+
+
+def run_intra_doc_scrub_stream(spark: SparkSession, docs_path: str,
+                               chunk: int = 8,
+                               query_name: str = "intra_scrub") -> DataFrame:
+    """Streaming twin of pipeline/text.intra_doc_chunk_dedup (p122):
+    the scrub is pure per-row array expressions, so the stream version
+    is a STATELESS append projection — no state, no shuffle, the exact
+    operator an ingest pipeline runs on documents as they arrive. Same
+    expressions as batch, so stream==batch equality is by construction
+    (asserted by the stream-twin test)."""
+    from golem_spark.pipeline.text import intra_doc_chunk_dedup
+
+    out = intra_doc_chunk_dedup(_docs_stream(spark, docs_path), chunk=chunk)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_curation_gate_stream(spark: SparkSession, docs_path: str,
+                             ref_docs: DataFrame, target_source: str = "src0",
+                             n_buckets: int = 64, threshold: float = -0.5,
+                             chunk: int = 8,
+                             query_name: str = "curation_gate") -> DataFrame:
+    """Streaming twin of the p123 curation composition's per-document
+    stages: DSIR importance gate (keep logw > threshold against the
+    offline-fit broadcast model) -> intra-document repetition scrub.
+    Both stages are stateless per-row projections (the model is a
+    literal map, the scrub pure array expressions), so the stream runs
+    in append mode with zero state — the online ingest gate shape. The
+    batch query's remaining stage (the shard manifest) is a bounded
+    groupBy a downstream batch job runs over the admitted shards.
+
+    Scoring shares _dsir_score_micro with the batch gate, micro-int for
+    micro-int."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import (_dsir_score_micro, dsir_model,
+                                           intra_doc_chunk_dedup)
+
+    model = dsir_model(ref_docs, target_source=target_source,
+                       n_buckets=n_buckets).collect()[0]
+    lam = model["lam_map"]
+    lit_map = F.create_map(*[x for b in sorted(lam)
+                             for x in (F.lit(int(b)), F.lit(int(lam[b])))])
+    lit_default = F.lit(int(model["lam_default"]))
+    logw = F.round(
+        _dsir_score_micro(lit_map, n_buckets, "text", lit_default)
+        .cast("double") / 1e6, 6)
+    gated = (_docs_stream(spark, docs_path)
+             .withColumn("__logw", logw)
+             .filter(F.col("__logw") > F.lit(float(threshold))))
+    out = intra_doc_chunk_dedup(gated, chunk=chunk)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

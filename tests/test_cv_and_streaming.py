@@ -636,3 +636,106 @@ def test_dsir_stream_matches_batch(spark):
     assert batch == stream
     assert len(batch) > 0
     assert any(v[2] for v in batch.values())
+
+
+def test_dsir_stream_smoothed_default_for_unseen_bucket(spark):
+    """A stream token hashing to a bucket the reference corpus never
+    produced must score the model's add-k smoothed empty-bucket
+    log-ratio — not NULL out the whole document (the silent-null bug
+    class): fit the model on a tiny-vocab reference, stream a corpus
+    with rich vocabulary, and require every streamed score non-null and
+    equal to a python replay of the smoothed model."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from golem_spark.streaming.curation import dsir_score_stream
+
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["aa aa aa", "aa bb"],
+        "lang": ["en", "en"], "source": ["src0", "src1"],
+        "n_chars": [8, 5]}))
+    docs = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["zz qq ww ee rr tt yy uu", "aa zz"],
+        "lang": ["en", "en"], "source": ["srcX", "srcX"],
+        "n_chars": [23, 5]})
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/docs.parquet"
+        spark.createDataFrame(docs).coalesce(1).write.parquet(path)
+        out = {r["doc_id"]: r for r in dsir_score_stream(
+            spark, path, ref, target_source="src0", n_buckets=64)
+            .collect()}
+    assert all(out[d]["logw"] is not None for d in (10, 11))
+
+    # python replay of the add-k model over the 64-bucket hash space
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    ct, cr = {}, {}
+    for txt, src in (("aa aa aa", "src0"), ("aa bb", "src1")):
+        for tok in txt.split():
+            d = ct if src == "src0" else cr
+            d[bkt(tok)] = d.get(bkt(tok), 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def lam_micro(b):
+        lam = round(math.log(((ct.get(b, 0) + 0.5) / (tt + 0.5 * 64))
+                             / ((cr.get(b, 0) + 0.5) / (tr + 0.5 * 64))), 6)
+        return math.floor(lam * 1e6 + 0.5)
+
+    for d in (10, 11):
+        want = sum(lam_micro(bkt(t))
+                   for t in docs.loc[docs.doc_id == d, "text"].iloc[0].split())
+        assert out[d]["logw"] == round(want / 1e6, 6), (d, out[d])
+
+
+def test_intra_doc_scrub_stream_matches_batch(spark):
+    """Streaming twin of the intra-document repetition scrub (p122):
+    stateless per-row projection, so the streamed (counts, scrub_hash)
+    rows equal the batch operator's exactly."""
+    from golem_spark.pipeline.text import intra_doc_chunk_dedup
+    from golem_spark.streaming.curation import run_intra_doc_scrub_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["n_tokens_kept"],
+                           r["scrub_hash"])
+             for r in intra_doc_chunk_dedup(docs, chunk=8).collect()}
+    stream = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["n_tokens_kept"],
+                            r["scrub_hash"])
+              for r in run_intra_doc_scrub_stream(
+                  spark, f"{sf_dir}/documents.parquet", chunk=8).collect()}
+    assert batch == stream
+    assert len(batch) > 0
+
+
+def test_curation_gate_stream_matches_batch(spark):
+    """Streaming twin of p123's per-document stages (DSIR gate ->
+    scrub): the streamed admitted set and scrubbed outputs equal the
+    batch composition's, micro-int for micro-int."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import (_dsir_select, dsir_model,
+                                           intra_doc_chunk_dedup)
+    from golem_spark.streaming.curation import run_curation_gate_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = _dsir_select(
+        docs.crossJoin(F.broadcast(dsir_model(docs))),
+        F.col("lam_map"), 64, "text").select("doc_id", "logw")
+    gated = docs.join(scored, "doc_id").filter(F.col("logw") > -0.5)
+    batch = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["n_tokens_kept"],
+                           r["scrub_hash"])
+             for r in intra_doc_chunk_dedup(gated, chunk=8).collect()}
+    stream = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["n_tokens_kept"],
+                            r["scrub_hash"])
+              for r in run_curation_gate_stream(
+                  spark, f"{sf_dir}/documents.parquet", docs,
+                  threshold=-0.5, chunk=8).collect()}
+    assert batch == stream
+    assert 0 < len(batch) < docs.count()  # the gate genuinely drops docs
