@@ -19,6 +19,14 @@ summary therefore reports BOTH the serial-equivalent sum ("value", the
 round-over-round comparison number) and the pooled wall clock
 ("pooled_wall_sec", what a session actually waits). The driver's default
 invocation (no flag) is byte-compatible with previous rounds.
+
+Hypervisor-steal detection (VERDICT r7 item 6): /proc/stat steal time is
+sampled across the measurement window and stamped into the summary as
+``steal_pct``; if the window was degraded (steal > 5%) the whole
+measurement loop re-runs ONCE and the summary reports the retry's
+numbers (plus ``steal_pct_first``/``first_total_sec`` for the discarded
+window), so a noisy-neighbor window is visible in the artifact instead
+of masquerading as a code regression.
 """
 
 from __future__ import annotations
@@ -34,6 +42,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from golem_spark.session import get_spark
+
+
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line; None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / dt, 2)
 
 
 def main() -> None:
@@ -57,45 +89,59 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure query work
     next(iter(qs.values()))(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    lock = threading.Lock()
+    def measure():
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        lock = threading.Lock()
 
-    def run_list(items, pool_name=None):
-        if pool_name is not None:
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-                                                pool_name)
-        for name, fn in items:
-            # rep 1 pays codegen/broadcast/shared-cache warm-up; rep 2
-            # is the steady-state comparison number
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count() if df is not None else 0
-            dt_cold = time.monotonic() - t0
-            t1 = time.monotonic()
-            df2 = fn(spark, sf_dir)
-            n2 = df2.count() if df2 is not None else 0
-            dt = time.monotonic() - t1
-            with lock:
-                timings[name] = round(dt, 4)
-                cold[name] = round(dt_cold, 4)
-            print(f"# {name}: {dt:.3f}s (cold {dt_cold:.3f}s) "
-                  f"rows={n2 if df2 is not None else n}", file=sys.stderr)
+        def run_list(items, pool_name=None):
+            if pool_name is not None:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                                                    pool_name)
+            for name, fn in items:
+                # rep 1 pays codegen/broadcast/shared-cache warm-up; rep 2
+                # is the steady-state comparison number
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                n = df.count() if df is not None else 0
+                dt_cold = time.monotonic() - t0
+                t1 = time.monotonic()
+                df2 = fn(spark, sf_dir)
+                n2 = df2.count() if df2 is not None else 0
+                dt = time.monotonic() - t1
+                with lock:
+                    timings[name] = round(dt, 4)
+                    cold[name] = round(dt_cold, 4)
+                print(f"# {name}: {dt:.3f}s (cold {dt_cold:.3f}s) "
+                      f"rows={n2 if df2 is not None else n}", file=sys.stderr)
 
-    wall0 = time.monotonic()
-    if jobs == 1:
-        run_list(list(qs.items()))
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+        wall0 = time.monotonic()
+        if jobs == 1:
+            run_list(list(qs.items()))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        items = list(qs.items())
-        queues = [items[i::jobs] for i in range(jobs)]
-        with ThreadPoolExecutor(max_workers=jobs) as pool:
-            futs = [pool.submit(run_list, queues[i], f"bench{i}")
-                    for i in range(jobs)]
-            for f in futs:
-                f.result()
-    pooled_wall = time.monotonic() - wall0
+            items = list(qs.items())
+            queues = [items[i::jobs] for i in range(jobs)]
+            with ThreadPoolExecutor(max_workers=jobs) as pool:
+                futs = [pool.submit(run_list, queues[i], f"bench{i}")
+                        for i in range(jobs)]
+                for f in futs:
+                    f.result()
+        return timings, cold, time.monotonic() - wall0
+
+    ticks = _cpu_times()
+    timings, cold, pooled_wall = measure()
+    steal = _steal_pct(ticks, _cpu_times())
+    first_window = None
+    if steal is not None and steal > 5.0:
+        first_window = {"steal_pct_first": steal,
+                        "first_total_sec": round(sum(timings.values()), 4)}
+        print(f"# degraded window (steal {steal}% > 5%) — re-running once",
+              file=sys.stderr)
+        ticks = _cpu_times()
+        timings, cold, pooled_wall = measure()
+        steal = _steal_pct(ticks, _cpu_times())
     total = sum(timings.values())
 
     # Full per-query detail first (large line, for humans/the judge), then
@@ -115,6 +161,10 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 4),
         "sf": sf,
     }
+    if steal is not None:
+        summary["steal_pct"] = steal
+    if first_window is not None:
+        summary.update(first_window)
     if jobs > 1:
         summary["jobs"] = jobs
         summary["pooled_wall_sec"] = round(pooled_wall, 4)
