@@ -3039,21 +3039,41 @@ _add(
 )
 
 
+# degree-rank edge orientation shared by the two triangle oracles:
+# rank = (degree, node id), every edge directed low-rank -> high-rank
+# (Suri & Vassilvitskii WWW'11 — bounds wedge fan-out by O(sqrt(2m))
+# even at a hub, which plain id-ordering does not)
+_TRI_ORIENT_CTES = """
+    parts AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    und0 AS (
+      SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und0 UNION ALL SELECT b FROM und0)
+      GROUP BY node),
+    und AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS a,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS b
+      FROM und0 u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b)
+""".strip()
+
 _add(
-    # exact triangle count on the part co-purchase graph: oriented
-    # low->high edges, wedge join on the middle vertex, closing-edge
-    # semi-join (Suri & Vassilvitskii WWW'11) — each triangle counted
-    # once, no neighborhood enumeration
+    # exact triangle count on the part co-purchase graph:
+    # DEGREE-ordered oriented edges, wedge join on the middle vertex,
+    # closing-edge semi-join (Suri & Vassilvitskii WWW'11) — each
+    # triangle counted once, hub wedge fan-out bounded by O(sqrt(2m))
     "p102_triangle_count",
     lambda t: graph.triangle_count(graph.copurchase_edges(
         t["lineitem"].filter(F.col("l_orderkey") % 20 == 0))),
-    """
-    WITH parts AS (
-      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
-      WHERE l_orderkey % 20 = 0),
-    und AS (
-      SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
-      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    f"""
+    WITH {_TRI_ORIENT_CTES},
     wedges AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1 JOIN und e2 ON e1.b = e2.a),
@@ -3075,13 +3095,8 @@ _add(
     "p103_node_triangles",
     lambda t: graph.node_triangle_counts(graph.copurchase_edges(
         t["lineitem"].filter(F.col("l_orderkey") % 20 == 0)), top_k=20),
-    """
-    WITH parts AS (
-      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
-      WHERE l_orderkey % 20 = 0),
-    und AS (
-      SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
-      FROM parts a JOIN parts b ON a.k = b.k AND a.p <> b.p),
+    f"""
+    WITH {_TRI_ORIENT_CTES},
     closed AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1 JOIN und e2 ON e1.b = e2.a

@@ -121,6 +121,34 @@ def test_triangle_count_known_graphs(spark):
     assert (r2["n_edges"], r2["n_triangles"]) == (4, 0)
 
 
+def test_triangle_wedges_bounded_at_hub(spark):
+    """Degree-rank edge orientation must neutralize a hub: a 200-spoke
+    star whose hub id sits MID-RANGE (the worst case for plain
+    id-ordering, which would direct ~d/2 edges in and ~d/2 out through
+    the hub and pay ~(d/2)^2 wedges) generates ZERO wedges, because
+    the hub out-ranks every spoke and so has oriented out-degree 0.
+    This is the graph shape (power-law hub) a real co-purchase or
+    citation corpus contains at scale."""
+    import pandas as pd
+
+    from golem_spark.operators.graph import triangle_count
+
+    hub = 100
+    star = [(hub, i) for i in range(201) if i != hub]
+    df = spark.createDataFrame(pd.DataFrame(star, columns=["src", "dst"]))
+    r = triangle_count(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (200, 0)
+    assert r["n_wedges"] == 0, \
+        f"hub generated {r['n_wedges']} wedges — orientation not degree-ranked"
+    # closing one pair of spokes creates exactly one triangle and only
+    # wedge mass proportional to the closing edge, not the hub degree
+    df3 = spark.createDataFrame(
+        pd.DataFrame(star + [(0, 1)], columns=["src", "dst"]))
+    r3 = triangle_count(df3).collect()[0]
+    assert r3["n_triangles"] == 1
+    assert r3["n_wedges"] <= 4, r3["n_wedges"]
+
+
 @given(st.integers(1, 10**14), st.integers(0, 10**14))
 @settings(max_examples=500, deadline=None)
 def test_mix_corpus_split_division_identity(mass, target):
