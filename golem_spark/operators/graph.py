@@ -127,10 +127,15 @@ def _oriented_closed_wedges(edges: DataFrame):
     citation graph WILL contain at 100 TB. The node-id tie-break keeps
     the orientation (and so the wedge count) deterministic and
     cross-engine reproducible."""
+    # the undirected distinct edge set is read THREE times below (the
+    # degree pass + both sides of the degree-attach join), and its
+    # lineage is the expensive part (source self-join + DISTINCT) —
+    # persist it for the build, release once `oriented` is materialized
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .filter(F.col("a") != F.col("b"))
-           .distinct())
+           .distinct()
+           .persist())
     deg = (und.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     lower = (F.col("da") < F.col("db")) | \
@@ -146,6 +151,7 @@ def _oriented_closed_wedges(edges: DataFrame):
                         .alias("b")))
     oriented = oriented.persist()
     n_edges = oriented.count()
+    und.unpersist()
     wedges = (oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
               .join(oriented.select(F.col("a").alias("y"),
                                     F.col("b").alias("z")), "y"))
