@@ -68,6 +68,27 @@ def _steal_pct(before, after) -> float | None:
     return round(100.0 * (after[0] - before[0]) / dt, 2)
 
 
+def _cpu_canary_sec() -> float:
+    """Wall seconds for a FIXED single-thread numpy workload (best of
+    3) — a machine-speed reference stamped beside the timings. The r8
+    windows showed 5-35 s stalls on unchanged queries at <3% steal, so
+    steal alone cannot adjudicate 'machine or code'; a canary that
+    drifts window-over-window can."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        b = a.copy()
+        for _ in range(12):
+            b = b @ a
+            b /= np.abs(b).max()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,7 +152,9 @@ def main() -> None:
         return timings, cold, time.monotonic() - wall0
 
     ticks = _cpu_times()
+    canary_before = _cpu_canary_sec()
     timings, cold, pooled_wall = measure()
+    canary_after = _cpu_canary_sec()
     steal = _steal_pct(ticks, _cpu_times())
     first_window = None
     if steal is not None and steal > 5.0:
@@ -140,7 +163,9 @@ def main() -> None:
         print(f"# degraded window (steal {steal}% > 5%) — re-running once",
               file=sys.stderr)
         ticks = _cpu_times()
+        canary_before = _cpu_canary_sec()
         timings, cold, pooled_wall = measure()
+        canary_after = _cpu_canary_sec()
         steal = _steal_pct(ticks, _cpu_times())
     total = sum(timings.values())
 
@@ -163,6 +188,7 @@ def main() -> None:
     }
     if steal is not None:
         summary["steal_pct"] = steal
+    summary["canary_sec"] = [canary_before, canary_after]
     if first_window is not None:
         summary.update(first_window)
     if jobs > 1:
