@@ -2,14 +2,20 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
 total wall-clock seconds.
 
-Each query runs TWICE in the same JVM; the reported ``value`` /
-``queries`` numbers are the SECOND (steady-state) run, with the first
-run kept in the detail line's ``queries_cold`` column. Two rounds in a
-row the headline "regression" was pure JVM warm-up placement (p83 in
-r5, glm_weighted_auc in r6: 13.6 s cold vs 2.0-2.7 s steady) — the
-steady-state number is the round-over-round comparison; the cold
-column keeps one-time costs (codegen, shared family-cache builds)
-visible (VERDICT r6 item 2).
+Measurement protocol (VERDICT r8 item 3 — make the honest number the
+recorded one): every query runs THREE times in the same JVM — window A
+= cold + steady back-to-back, then, after the whole list finishes,
+window B = one more steady rep. The recorded per-query number (and the
+headline ``value``) is the MINIMUM of the two steady reps, which are
+minutes apart for any given query. This machine shows intermittent
+5-35 s stalls that /proc/stat steal does NOT capture (r7: p06 47.96 s
+-> 16.44 s -> 2.48 s on identical reps; r8: glm_segment_auc 35.6 s in
+one window vs 1.83 s quiet), so a single window's steady rep is not a
+code-regression signal; the cross-window per-query min is what three
+rounds of manual log archaeology converged on. Both windows' totals,
+steal percentages, and a fixed numpy CPU canary are stamped into the
+summary as evidence; the cold pass stays visible in ``queries_cold``
+(codegen, shared family-cache builds — VERDICT r6 item 2).
 
 ``--jobs=N`` runs N worker threads against the SAME JVM, each in its own
 FAIR scheduler pool (round-robin split of the name-ordered list, so each
@@ -19,14 +25,6 @@ summary therefore reports BOTH the serial-equivalent sum ("value", the
 round-over-round comparison number) and the pooled wall clock
 ("pooled_wall_sec", what a session actually waits). The driver's default
 invocation (no flag) is byte-compatible with previous rounds.
-
-Hypervisor-steal detection (VERDICT r7 item 6): /proc/stat steal time is
-sampled across the measurement window and stamped into the summary as
-``steal_pct``; if the window was degraded (steal > 5%) the whole
-measurement loop re-runs ONCE and the summary reports the retry's
-numbers (plus ``steal_pct_first``/``first_total_sec`` for the discarded
-window), so a noisy-neighbor window is visible in the artifact instead
-of masquerading as a code regression.
 """
 
 from __future__ import annotations
@@ -70,10 +68,9 @@ def _steal_pct(before, after) -> float | None:
 
 def _cpu_canary_sec() -> float:
     """Wall seconds for a FIXED single-thread numpy workload (best of
-    3) — a machine-speed reference stamped beside the timings. The r8
-    windows showed 5-35 s stalls on unchanged queries at <3% steal, so
-    steal alone cannot adjudicate 'machine or code'; a canary that
-    drifts window-over-window can."""
+    3) — a machine-speed reference stamped beside the timings. Steal
+    alone cannot adjudicate 'machine or code' (the stalls happen at
+    <3% steal); a canary that drifts window-over-window can."""
     import numpy as np
 
     rng = np.random.default_rng(0)
@@ -110,9 +107,12 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure query work
     next(iter(qs.values()))(spark, sf_dir).collect()
 
-    def measure():
+    def measure(reps: int, tag: str):
+        """One pass over the query list; per query, `reps` back-to-back
+        runs. Returns ({name: last_rep_sec}, {name: first_rep_sec},
+        wall). With reps=2 the first rep is the cold/codegen pass."""
         timings: dict[str, float] = {}
-        cold: dict[str, float] = {}
+        first: dict[str, float] = {}
         lock = threading.Lock()
 
         def run_list(items, pool_name=None):
@@ -120,21 +120,19 @@ def main() -> None:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool",
                                                     pool_name)
             for name, fn in items:
-                # rep 1 pays codegen/broadcast/shared-cache warm-up; rep 2
-                # is the steady-state comparison number
-                t0 = time.monotonic()
-                df = fn(spark, sf_dir)
-                n = df.count() if df is not None else 0
-                dt_cold = time.monotonic() - t0
-                t1 = time.monotonic()
-                df2 = fn(spark, sf_dir)
-                n2 = df2.count() if df2 is not None else 0
-                dt = time.monotonic() - t1
+                t_first = None
+                for _ in range(max(1, reps)):
+                    t0 = time.monotonic()
+                    df = fn(spark, sf_dir)
+                    n = df.count() if df is not None else 0
+                    dt = time.monotonic() - t0
+                    if t_first is None:
+                        t_first = dt
                 with lock:
                     timings[name] = round(dt, 4)
-                    cold[name] = round(dt_cold, 4)
-                print(f"# {name}: {dt:.3f}s (cold {dt_cold:.3f}s) "
-                      f"rows={n2 if df2 is not None else n}", file=sys.stderr)
+                    first[name] = round(t_first, 4)
+                print(f"# [{tag}] {name}: {dt:.3f}s "
+                      f"(first {t_first:.3f}s) rows={n}", file=sys.stderr)
 
         wall0 = time.monotonic()
         if jobs == 1:
@@ -149,51 +147,48 @@ def main() -> None:
                         for i in range(jobs)]
                 for f in futs:
                     f.result()
-        return timings, cold, time.monotonic() - wall0
+        return timings, first, time.monotonic() - wall0
 
+    canary = [_cpu_canary_sec()]
     ticks = _cpu_times()
-    canary_before = _cpu_canary_sec()
-    timings, cold, pooled_wall = measure()
-    canary_after = _cpu_canary_sec()
-    steal = _steal_pct(ticks, _cpu_times())
-    first_window = None
-    if steal is not None and steal > 5.0:
-        first_window = {"steal_pct_first": steal,
-                        "first_total_sec": round(sum(timings.values()), 4)}
-        print(f"# degraded window (steal {steal}% > 5%) — re-running once",
-              file=sys.stderr)
-        ticks = _cpu_times()
-        canary_before = _cpu_canary_sec()
-        timings, cold, pooled_wall = measure()
-        canary_after = _cpu_canary_sec()
-        steal = _steal_pct(ticks, _cpu_times())
-    total = sum(timings.values())
+    w1, cold, wall1 = measure(2, "w1")  # cold + steady
+    steal1 = _steal_pct(ticks, _cpu_times())
+    canary.append(_cpu_canary_sec())
+    ticks = _cpu_times()
+    w2, _, wall2 = measure(1, "w2")  # second steady window, minutes later
+    steal2 = _steal_pct(ticks, _cpu_times())
+    canary.append(_cpu_canary_sec())
+
+    best = {n: min(w1[n], w2.get(n, w1[n])) for n in w1}
+    total = sum(best.values())
 
     # Full per-query detail first (large line, for humans/the judge), then
     # a SHORT final JSON line so the driver's bounded tail buffer always
     # ends with a complete, parseable summary (VERDICT r4 item 2: r4's
     # single giant line got front-clipped -> parsed: null). The short line
     # keeps only the slowest queries so it stays well under the tail size.
-    print(json.dumps({"detail": "per_query_wall_clock", "queries": timings,
+    print(json.dumps({"detail": "per_query_wall_clock", "queries": best,
+                      "queries_w1": w1, "queries_w2": w2,
                       "queries_cold": cold, "sf": sf}))
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:25])
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 4),
         "unit": "sec",
         "queries": slowest,
-        "n_queries": len(timings),
+        "n_queries": len(best),
+        "protocol": "per-query min of 2 steady reps in separate windows",
+        "window_total_sec": [round(sum(w1.values()), 4),
+                             round(sum(w2.values()), 4)],
         "cold_total_sec": round(sum(cold.values()), 4),
         "sf": sf,
     }
-    if steal is not None:
-        summary["steal_pct"] = steal
-    summary["canary_sec"] = [canary_before, canary_after]
-    if first_window is not None:
-        summary.update(first_window)
+    if steal1 is not None:
+        summary["steal_pct"] = [steal1, steal2]
+    summary["canary_sec"] = canary
     if jobs > 1:
         summary["jobs"] = jobs
-        summary["pooled_wall_sec"] = round(pooled_wall, 4)
+        summary["pooled_wall_sec"] = round(wall1 + wall2, 4)
     print(json.dumps(summary))
 
 

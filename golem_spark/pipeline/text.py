@@ -929,43 +929,125 @@ def _apply_merge(syms, s1: str, s2: str):
     return F.aggregate(syms, init, step, fin)
 
 
+def _merge_word(syms: list, rules: list) -> list:
+    """Apply ``rules`` = [(s1, s2, merged), ...] to one symbol list in
+    order, each as the greedy left-to-right non-overlapping merge —
+    the pure-Python twin of :func:`_apply_merge` (property-tested equal
+    in tests/test_pipeline.py)."""
+    for s1, s2, merged in rules:
+        if s1 not in syms or s2 not in syms:
+            continue
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _rewrite_seqs(seqs: DataFrame, batch: list) -> DataFrame:
+    """Rewrite every word's symbol sequence with this round's committed
+    merges — one Arrow-batched map-only pass over the vocab-sized word
+    table (``batch`` is driver-side, a handful of string pairs)."""
+    rules = [(s1, s2, s1 + s2) for s1, s2 in batch]
+
+    def rewrite(it):
+        for pdf in it:
+            pdf["syms"] = [_merge_word(list(s), rules) for s in pdf["syms"]]
+            yield pdf
+
+    return seqs.mapInPandas(rewrite, seqs.schema)
+
+
+def _materialize(slot: str, df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + slot registration for iterative
+    snapshots. TRUNCATING the lineage (not just persisting) is the
+    point: the learner's word table chains one rewrite per round, and
+    without truncation Catalyst re-analyzes the whole merge history
+    every round — measured superlinear blowup (114 s/round by round 13
+    at sf0.001) with plain persist. Checkpoint blocks of dropped
+    rounds are reclaimed by Spark's ContextCleaner once unreferenced
+    (same lifecycle note as dedup.dup_components); the slot keeps at
+    most one snapshot reachable across calls. On a cluster with
+    executor churn substitute reliable checkpoint(dir) — same shape."""
+    from golem_spark.pipeline._cache import _adopt_cache
+
+    return _adopt_cache(slot, df.localCheckpoint(eager=True))
+
+
 def bpe_merges(df: DataFrame, n_merges: int = 4,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", max_batch: int = 64,
+               _stats: dict | None = None) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules over the corpus —
     distributed byte-pair-encoding tokenizer training (Sennrich et al.
     2016), the vocabulary-construction step of every LLM data pipeline.
 
     Classic algorithm on the WORD-FREQUENCY table (so all work after
-    the first scan is vocab-sized, never corpus-sized): words start as
-    character sequences; each iteration counts adjacent symbol pairs
-    weighted by word frequency (one combinable explode+groupBy), picks
-    the most frequent pair (count DESC, then lexicographic — an exact
-    cross-engine tie-break), and rewrites every word's sequence with
-    the greedy left-to-right merge (map-side fold, no shuffle). The
-    winning pair is collected to the driver each iteration (ONE row —
-    the algorithm is inherently sequential in the merge order), so the
-    call is EAGER: it runs 2 small Spark jobs per merge at call time.
+    the first scan is vocab-sized, never corpus-sized), with a BATCHED
+    driver loop that stays EXACTLY greedy-equivalent: each round counts
+    adjacent symbol pairs once (one combinable explode+groupBy), then
+    commits the longest prefix of the (count DESC, s1, s2)-sorted pair
+    list that sequential greedy provably would have picked unchanged:
 
-    Words are restricted to ``[A-Za-z0-9]+`` (the fold's state encoding
-    and the oracle's sentinel characters require symbols free of
-    whitespace and '|'). Returns (step, lhs, rhs, pair_count) — the
-    merge table a tokenizer would persist.
+    * prefix pairs must be pairwise symbol-disjoint (incl. each merged
+      token) — a merge only destroys/creates adjacencies touching its
+      own symbols, so disjoint pairs keep their exact counts;
+    * each merged token must be a FRESH symbol (no left- or right-
+      neighbor pairs anywhere in the current table) — otherwise a
+      pre-existing symbol of the same string gains occurrences and
+      neighbor bounds compound across commits;
+    * each later pair's count must STRICTLY exceed every earlier
+      commit's new-pair bound ``max(maxL(s1), maxR(s2))``, where
+      maxL/maxR are the highest left-/right-neighbor pair counts in
+      the full table: every pair a merge creates pairs its token with
+      a left neighbor of ``s1`` or a right neighbor of ``s2`` (by
+      induction through earlier fresh merged tokens), so nothing it
+      spawns can overtake (or tie with) the rest of the prefix.
+
+    The commit walk stops at the first violation, so the worst case
+    degrades to the classic one-merge-per-round loop; elsewhere rounds
+    commit several merges, making driver rounds (and Spark jobs)
+    sublinear in ``n_merges`` — the property real tokenizer training
+    (~30k merges) needs. (Merge CHAINS that assemble one frequent word
+    symbol-by-symbol are inherently sequential under exact greedy
+    semantics — no batch can contain two links of a chain.) Per round:
+    one vocab-sized pair-count job, one triple-bound job (skipped when
+    the prefix is a single pair), and one Arrow-batched rewrite of the
+    lineage-truncated word table.
+
+    Words are restricted to ``[A-Za-z0-9]+`` (the encode fold's state
+    encoding and the oracle's sentinel characters require symbols free
+    of whitespace and '|'). Returns (step, lhs, rhs, pair_count) — the
+    merge table a tokenizer would persist. ``_stats`` (tests) receives
+    {"rounds", "merges"}.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    from golem_spark.pipeline._cache import _swap_cache
-
     words = (df.select(F.explode(tokens_col(text_col)).alias("w"))
              .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
-    seqs = _swap_cache(
+    seqs = _materialize(
         "bpe_seqs",
         words.select("cnt", F.split(F.regexp_replace(F.col("w"), "(.)",
                                                      "$1 "),
                                     " ", -1).alias("syms"))
         .select("cnt", F.slice("syms", 1, F.size("syms") - 1).alias("syms")))
-    rules = []
-    for step_i in range(1, n_merges + 1):
+    # driver-side symbol vocabulary (initial chars + every merged
+    # token ever committed): an over-approximate membership test for
+    # "would this merged token collide with an existing symbol" that
+    # replaces a per-round Spark job. At most 62 + n_merges strings.
+    vocab_syms = {r["s"] for r in
+                  seqs.select(F.explode("syms").alias("s"))
+                  .distinct().collect()}
+    rules: list = []
+    rounds = 0
+    sep = "|"  # symbols are alnum, so '|' never occurs inside one
+    while len(rules) < n_merges:
+        budget = min(max_batch, n_merges - len(rules))
         pairs = (seqs.select(
             "cnt",
             F.explode(F.zip_with(
@@ -974,17 +1056,80 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
                 lambda a, b: F.struct(a.alias("s1"), b.alias("s2"))))
             .alias("p"))
             .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "s1", "s2").limit(1).collect())
-        if not pairs:
+            .agg(F.sum("cnt").alias("n")))
+        top = (pairs.orderBy(F.desc("n"), "s1", "s2")
+               .limit(max(2 * budget, 8)).collect())
+        if not top:
             break
-        s1, s2, n = pairs[0]["s1"], pairs[0]["s2"], int(pairs[0]["n"])
-        rules.append((step_i, s1, s2, n))
-        if step_i < n_merges:
-            seqs = _swap_cache(
-                "bpe_seqs",
-                seqs.select("cnt", _apply_merge(F.col("syms"), s1, s2)
-                            .alias("syms")))
+        rounds += 1
+        # candidate prefix by symbol-disjointness alone (driver-side,
+        # free), cut at the first merged token that collides with an
+        # existing symbol (committing THAT one is still greedy's pick,
+        # but it boosts existing pairs, so it must end the prefix) —
+        # if only the top pair survives, the round degrades to the
+        # classic loop with no extra jobs
+        pref: list = []
+        touched: set = set()
+        for r in top:
+            s1, s2, n = r["s1"], r["s2"], int(r["n"])
+            merged = s1 + s2
+            if pref and (s1 in touched or s2 in touched
+                         or merged in touched):
+                break
+            pref.append((s1, s2, n, merged))
+            touched |= {s1, s2, merged}
+            if len(pref) >= budget or merged in vocab_syms:
+                break
+        if len(pref) == 1:
+            committed = [pref[0][:3]]
+        else:
+            # EXACT created-pair bounds: every pair a merge (a,b)->m
+            # spawns maps 1:1 onto a round-start triple (z,a,b) or
+            # (a,b,y) (induction through fresh merged tokens: a later
+            # m_k neighbor contributes its b_k/a_k as z/y), so the max
+            # triple count is a sound cap on anything the merge can
+            # create — far tighter than the max neighbor-pair count.
+            # One vocab-sized job: triples touching a candidate pair,
+            # exploded to (side, pair) keys, max count per key.
+            keys = [p[0] + sep + p[1] for p in pref]
+            a = F.slice("syms", 1, F.size("syms") - 2)
+            b = F.slice("syms", 2, F.size("syms") - 2)
+            c = F.slice("syms", 3, F.size("syms") - 2)
+            lkey, rkey = (F.concat_ws(sep, "y", "z"),
+                          F.concat_ws(sep, "x", "y"))
+            bound_rows = (seqs.filter(F.size("syms") >= 3)
+                          .select("cnt", F.explode(F.arrays_zip(
+                              a.alias("x"), b.alias("y"), c.alias("z")))
+                              .alias("t"))
+                          .select("cnt", "t.x", "t.y", "t.z")
+                          .filter(lkey.isin(keys) | rkey.isin(keys))
+                          .groupBy("x", "y", "z")
+                          .agg(F.sum("cnt").alias("n"))
+                          .select("n", F.explode(F.array(
+                              F.struct(F.lit("L").alias("side"),
+                                       lkey.alias("k")),
+                              F.struct(F.lit("R").alias("side"),
+                                       rkey.alias("k")))).alias("s"))
+                          .filter(F.col("s.k").isin(keys))
+                          .groupBy("s.side", "s.k")
+                          .agg(F.max("n").alias("m")).collect())
+            bound = {(r["side"], r["k"]): int(r["m"]) for r in bound_rows}
+            committed, cap = [], -1
+            for s1, s2, n, merged in pref:
+                if committed and n <= cap:
+                    break
+                committed.append((s1, s2, n))
+                k = s1 + sep + s2
+                cap = max(cap, bound.get(("L", k), 0),
+                          bound.get(("R", k), 0))
+        for s1, s2, n in committed:
+            rules.append((len(rules) + 1, s1, s2, n))
+            vocab_syms.add(s1 + s2)
+        if len(rules) < n_merges:
+            seqs = _materialize("bpe_seqs", _rewrite_seqs(
+                seqs, [(s1, s2) for s1, s2, _ in committed]))
+    if _stats is not None:
+        _stats.update({"rounds": rounds, "merges": len(rules)})
     return df.sparkSession.createDataFrame(
         rules, "step int, lhs string, rhs string, pair_count long")
 
@@ -1014,15 +1159,34 @@ def bpe_encode(df: DataFrame, n_merges: int = 4,
     docw = df.select("doc_id",
                      F.explode(tokens_col(text_col)).alias("w")) \
              .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
-    syms = F.split(F.regexp_replace(F.col("w"), "(.)", "$1 "), " ", -1)
-    syms = F.slice(syms, 1, F.size(syms) - 1)
-    for lhs, rhs in rules:
-        syms = _apply_merge(syms, lhs, rhs)
-    enc = _swap_cache(
-        "bpe_enc",
-        docw.select("w").distinct()
-        .select("w", F.size(syms).cast("long").alias("n_sub"),
-                F.length("w").cast("long").alias("n_chars")))
+    vocab = docw.select("w").distinct()
+    if len(rules) <= 16:
+        # whole-stage-codegen fold chain (one F.aggregate per rule)
+        syms = F.split(F.regexp_replace(F.col("w"), "(.)", "$1 "), " ", -1)
+        syms = F.slice(syms, 1, F.size(syms) - 1)
+        for lhs, rhs in rules:
+            syms = _apply_merge(syms, lhs, rhs)
+        enc_df = vocab.select(
+            "w", F.size(syms).cast("long").alias("n_sub"),
+            F.length("w").cast("long").alias("n_chars"))
+    else:
+        # long rule lists would nest hundreds of codegen folds; apply
+        # them Arrow-batched over the vocab-sized word table instead
+        # (same greedy-LTR semantics via _merge_word)
+        full = [(s1, s2, s1 + s2) for s1, s2 in rules]
+
+        def encode(it):
+            import pandas as pd
+            for pdf in it:
+                ws = pdf["w"]
+                yield pd.DataFrame({
+                    "w": ws,
+                    "n_sub": [len(_merge_word(list(w), full)) for w in ws],
+                    "n_chars": [len(w) for w in ws]})
+
+        enc_df = vocab.mapInPandas(
+            encode, "w string, n_sub long, n_chars long")
+    enc = _swap_cache("bpe_enc", enc_df)
     return (docw.join(enc, "w")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),

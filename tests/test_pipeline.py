@@ -1148,11 +1148,102 @@ def test_apply_merge_fold_matches_python_greedy_on_random_runs(spark):
                 i += 1
         return out
 
+    from golem_spark.pipeline.text import _merge_word
+
     for s1, s2 in (("a", "a"), ("a", "b"), ("b", "a")):
         got = {r["i"]: list(r["m"]) for r in df.select(
             "i", _apply_merge(F.col("syms"), s1, s2).alias("m")).collect()}
         for i, s in enumerate(seqs):
             assert got[i] == greedy(s, s1, s2), (i, s, s1, s2)
+            # the Arrow-side twin used by the batched learner/encoder
+            assert _merge_word(list(s), [(s1, s2, s1 + s2)]) == \
+                greedy(s, s1, s2), (i, s, s1, s2)
+
+
+def _classic_bpe(texts, n_merges):
+    """Independent pure-Python Sennrich reference (count DESC, pair ASC
+    tie-break, greedy LTR merge) — the oracle for learner tests."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for tx in texts:
+        for w in tx.split():
+            if re.fullmatch(r"[A-Za-z0-9]+", w):
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    rules = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (s1, s2), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((step, s1, s2, n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == s1
+                        and syms[i + 1] == s2):
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+def test_bpe_batched_learner_stays_exactly_greedy(spark):
+    """The batched learner (top-B provably-safe prefix per round) must
+    remain EXACTLY greedy-equivalent on corpora engineered to stress
+    every unsafe-commit channel: merge chains assembling one dominant
+    word (inherently sequential — batch must degrade to 1/round), tied
+    counts (lexicographic order), tiny-alphabet runs (overlap + merged-
+    string collisions like 'ab' vs 'a'+'b'), and random mixes."""
+    import random
+
+    rng = random.Random(7)
+    corpora = [
+        # dominant-word chain: merges build 'abcdefgh' symbol by symbol
+        ["abcdefgh " * 50 + "xy xz zy"],
+        # tie-heavy: all words same count, order decided lexically
+        ["dog cat owl elk bee ant fox"] * 3,
+        # tiny-alphabet runs: dense with overlap + collision cases
+        [" ".join("".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                  for _ in range(30)) for _ in range(3)],
+        # random 3-letter alphabet with skewed repeats
+        [" ".join(rng.choice(["abc", "cab", "bca", "aabbcc", "cba"])
+                  for _ in range(40)) for _ in range(2)],
+    ]
+    for corpus in corpora:
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+        stats = {}
+        got = [tuple(r) for r in
+               text.bpe_merges(docs, n_merges=7, _stats=stats)
+               .orderBy("step").collect()]
+        assert got == _classic_bpe(corpus, 7), corpus[0][:40]
+        assert stats["rounds"] <= max(stats["merges"], 1)
+
+
+def test_bpe_batched_learner_commits_multiple_merges_per_round(spark):
+    """On a corpus of many disjoint high-count words the safe-prefix
+    walk must actually batch (driver rounds strictly fewer than
+    merges) — the scale property that lets tokenizer training run
+    thousands of merges without thousands of driver rounds."""
+    corpus = ["quick brown vixen jumps over lazy hounds " * 4] * 5
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+    stats = {}
+    got = [tuple(r) for r in
+           text.bpe_merges(docs, n_merges=12, _stats=stats)
+           .orderBy("step").collect()]
+    assert got == _classic_bpe(corpus, 12)
+    assert stats["merges"] == 12
+    assert stats["rounds"] < 12, stats  # genuinely batched
 
 
 # -- product quantization ----------------------------------------------------

@@ -272,3 +272,32 @@ def test_embedding_bucket_skew_bounded_on_hot_cluster(spark):
     assert st["max_bucket_fraction"] <= 0.20, st
     assert st["n_buckets"] >= 16, st
     assert st["near_dup_pairs"] <= st["bucket_pairs"], st
+
+
+def test_bpe_learner_scales_to_hundreds_of_merges(spark):
+    """Tokenizer-training scale gate (VERDICT r8 item 1): the batched
+    learner must run n_merges=256 at sf0.1 — the old one-merge-per-
+    round loop both chained 256 lineage levels (measured superlinear
+    Catalyst blowup by round ~13) and needed 256 driver rounds. Gates:
+    (a) completes, (b) driver rounds strictly sublinear in merges,
+    (c) EXACTLY equals the independent classic greedy reference at
+    this scale (the corpus exhausts at its natural merge count, which
+    the learner must hit, not overshoot)."""
+    from golem_spark.pipeline import text as t
+    from tests.test_pipeline import _classic_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref = _classic_bpe(texts, 256)
+    stats = {}
+    got = [tuple(r) for r in
+           t.bpe_merges(docs, n_merges=256, _stats=stats)
+           .orderBy("step").collect()]
+    assert got == ref
+    assert stats["merges"] == len(ref)
+    assert stats["rounds"] < stats["merges"], stats
+    # encode path with a >16-rule list (Arrow encode, not fold chain)
+    enc = t.bpe_encode(docs.limit(200), n_merges=24)
+    row = enc.agg(F.sum("n_subwords").alias("s"),
+                  F.sum("n_chars").alias("c")).collect()[0]
+    assert 0 < row["s"] <= row["c"]
