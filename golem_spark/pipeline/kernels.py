@@ -645,7 +645,10 @@ _add(
 
 _add(
     "p16_ann_ivf_topk",
-    lambda t: similarity.ann_ivf_topk(t["embeddings"], query_ids=(0, 1, 2), k=5)
+    # n_seeds pinned to the oracle fixture size (library default is
+    # 'auto' = corpus-scaled, similarity.auto_n_seeds)
+    lambda t: similarity.ann_ivf_topk(t["embeddings"], query_ids=(0, 1, 2),
+                                      k=5, n_seeds=16)
     .orderBy("query_id", F.col("cos").desc(), "vec_id"),
     """
     WITH e AS (
@@ -3615,8 +3618,10 @@ _add(
 _add(
     "p116_semantic_dedup",
     # 0.4 on the synthetic corpus so the drop path is exercised (max
-    # in-cell cosine is ~0.49; real corpora use ~0.9)
-    lambda t: similarity.semantic_dedup(t["embeddings"], threshold=0.4),
+    # in-cell cosine is ~0.49; real corpora use ~0.9); n_seeds pinned
+    # to the oracle fixture size (library default is 'auto')
+    lambda t: similarity.semantic_dedup(t["embeddings"], n_seeds=16,
+                                        threshold=0.4),
     r"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
@@ -3647,8 +3652,10 @@ _add(
 _add(
     "p117_hard_negatives",
     # near_dup=0.45 on the synthetic corpus so the exclusion branch is
-    # exercised (4 in-cell pairs sit above 0.45; real corpora use ~0.95)
-    lambda t: similarity.hard_negatives(t["embeddings"], k=2, near_dup=0.45),
+    # exercised (4 in-cell pairs sit above 0.45; real corpora use
+    # ~0.95); n_seeds pinned to the oracle fixture size
+    lambda t: similarity.hard_negatives(t["embeddings"], n_seeds=16, k=2,
+                                        near_dup=0.45),
     r"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev

@@ -162,15 +162,22 @@ def kmeans_seed_centroids(df: DataFrame, n_seeds="auto",
     of their id (TakeOrdered — no global sort, no rand()); centroids
     initialize from the first ``n_seeds`` sample rows and iterate
     assign/mean/normalize on the driver. Model-sized work only: the
-    cluster is touched once for the sample."""
+    cluster is touched once for the sample.
+
+    ``n_seeds`` defaults to 'auto' (sqrt-of-corpus, auto_n_seeds), in
+    which case the sample grows to 4x the seed count so Lloyd's has
+    something to average."""
     import numpy as np
 
+    n_seeds = _resolve_n_seeds(df, n_seeds)
+    sample_n = max(sample_n, 4 * n_seeds)
     rows = (df.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("ev"))
             .orderBy(F.pmod(F.hash(F.col(id_col).cast("string")), F.lit(100003)),
                      F.col(id_col))
             .limit(sample_n).collect())
     X = np.asarray([r["ev"] for r in rows], dtype=np.float64)
+    n_seeds = min(n_seeds, len(X))
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_seeds].copy()
     for _ in range(n_iter):
@@ -186,7 +193,7 @@ def kmeans_seed_centroids(df: DataFrame, n_seeds="auto",
 
 
 def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
-                 n_seeds: int = 16, n_probe: int = 2,
+                 n_seeds="auto", n_probe: int = 2,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  seed_centroids=None) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization against a fixed
@@ -205,9 +212,13 @@ def ann_ivf_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
     ``seed_centroids``: optional (n_seeds, dim) numpy array of LEARNED
     centroids (see kmeans_seed_centroids) — better recall on clustered
     embeddings; the default first-n-vectors seeding stays exactly
-    reproducible in SQL for the oracle."""
+    reproducible in SQL for the oracle. ``n_seeds='auto'`` (default)
+    sizes the quantizer to the corpus (auto_n_seeds); the oracle
+    fixtures pin 16."""
     from pyspark.sql import Window
 
+    if seed_centroids is None:
+        n_seeds = _resolve_n_seeds(df, n_seeds)
     base = _swap_cache("ivf_base", df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("ev"),
@@ -722,7 +733,7 @@ def ivfpq_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
             .orderBy("query_id", "approx_d2", id_col))
 
 
-def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
+def semantic_dedup(df: DataFrame, n_seeds="auto", threshold: float = 0.9,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    seed_centroids=None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -738,11 +749,11 @@ def semantic_dedup(df: DataFrame, n_seeds: int = 16, threshold: float = 0.9,
     cell, so the quadratic work is bounded by the largest cell, not the
     corpus — the whole point of SemDeDup vs global near-dup search. The
     threshold applies to the unrounded cosine (same as the oracle).
-    Sizing at scale: n_seeds must GROW with the corpus (target
-    cells of ~1e4-1e5 vectors, i.e. n_seeds ~ n/5e4 — the paper uses
-    ~1e5 clusters for LAION-scale); the default 16 fits the test
-    corpus, and the broadcast seed row stays model-sized up to ~1e5
-    seeds before a two-level quantizer is warranted.
+    Sizing at scale: n_seeds must GROW with the corpus (the paper uses
+    ~1e5 clusters for LAION-scale), so it DEFAULTS to 'auto' =
+    sqrt-of-corpus via auto_n_seeds (16 at the demo corpus, ~1e5 at
+    n~1e10, capped at the one-row broadcast budget, beyond which a
+    two-level quantizer is warranted); the p116 oracle fixture pins 16.
 
     ``seed_centroids``: learned quantizer (kmeans_seed_centroids) — on
     clustered corpora this is what keeps the largest cell (and with it
@@ -779,6 +790,8 @@ def _with_cells(df: DataFrame, n_seeds: int,
     projection collapse re-inlines them into both sides of the
     downstream cell self-join — the routing would be evaluated per
     candidate PAIR instead of per row (the _with_sig_norm pitfall)."""
+    if seed_centroids is None:
+        n_seeds = _resolve_n_seeds(df, n_seeds)
     srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col, seed_centroids)
     e = _as_double(F.col(vec_col))
     nrm = _norm(e)
@@ -794,7 +807,7 @@ def _with_cells(df: DataFrame, n_seeds: int,
                 e.alias("ev"), nrm.alias("nrm"))))
 
 
-def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
+def hard_negatives(df: DataFrame, n_seeds="auto", k: int = 2,
                    near_dup: float = 0.95, vec_col: str = "embedding",
                    id_col: str = "vec_id", seed_centroids=None) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for
@@ -808,9 +821,10 @@ def hard_negatives(df: DataFrame, n_seeds: int = 16, k: int = 2,
     Scale shape: cell routing is the shared zero-shuffle argmax; the
     candidate join is cell-keyed (quadratic only within cells); the
     top-k is a window partitioned per anchor over cell-bounded rows —
-    never a global window. As with semantic_dedup, n_seeds scales with
-    the corpus so cells stay ~1e4-1e5 vectors. Ranking compares the unrounded cosine (ties
-    -> lowest neg id); only the reported value is rounded.
+    never a global window. As with semantic_dedup, ``n_seeds='auto'``
+    (default) scales the quantizer with the corpus (auto_n_seeds).
+    Ranking compares the unrounded cosine (ties -> lowest neg id);
+    only the reported value is rounded.
 
     Output (anchor_id, neg_id, cos, rk) ordered by anchor, rank.
     """

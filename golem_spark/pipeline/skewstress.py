@@ -117,16 +117,23 @@ def adversarial_cell_embeddings(spark: SparkSession, n_vecs: int = 4000,
     return ids.select("vec_id", emb.alias("embedding"))
 
 
-def ivf_cell_stats(vecs: DataFrame, n_seeds: int = 16,
+def ivf_cell_stats(vecs: DataFrame, n_seeds="auto",
                    seed_centroids=None) -> dict:
     """Measured skew profile of the IVF cell routing that bounds the
     quadratic pair pass in semantic_dedup (p116) and hard_negatives
     (p117): the cell histogram IS the per-reducer bound — cell_pairs is
     exactly the candidate-join work, max_cell_fraction the hottest
-    reducer's share of the corpus."""
-    from golem_spark.pipeline.similarity import _with_cells
+    reducer's share of the corpus. ``n_seeds`` follows the library
+    default ('auto' = corpus-scaled via auto_n_seeds) so the recorded
+    profile reflects what a caller gets WITHOUT tuning the knob."""
+    from golem_spark.pipeline.similarity import (_resolve_n_seeds,
+                                                 _with_cells)
 
     n_vecs = vecs.count()
+    if seed_centroids is None:
+        n_seeds = _resolve_n_seeds(vecs, n_seeds)
+    else:
+        n_seeds = len(seed_centroids)
     cells = _with_cells(vecs, n_seeds, "embedding", "vec_id",
                         seed_centroids)
     prof = (cells.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))

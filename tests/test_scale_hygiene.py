@@ -234,7 +234,7 @@ def test_ivf_cell_skew_learned_seeds_split_hot_cluster(spark):
 
     vecs = adversarial_cell_embeddings(spark, 2000).persist()
     try:
-        first = ivf_cell_stats(vecs)
+        first = ivf_cell_stats(vecs, n_seeds=16)
         # the fixture genuinely defeats first-n seeding...
         assert first["max_cell_fraction"] >= 0.5, first
         learned = ivf_cell_stats(
@@ -301,3 +301,34 @@ def test_bpe_learner_scales_to_hundreds_of_merges(spark):
     row = enc.agg(F.sum("n_subwords").alias("s"),
                   F.sum("n_chars").alias("c")).collect()[0]
     assert 0 < row["s"] <= row["c"]
+
+
+def test_ivf_auto_seed_count_bounds_hot_cell_without_tuning(spark):
+    """VERDICT r8 item 2: the learned quantizer must bound the hot
+    cell WITHOUT anyone passing n_seeds — the default is now
+    'auto' (sqrt-of-corpus, similarity.auto_n_seeds), so a caller at
+    n=4k and n=16k gets a max_cell_fraction in the same band the
+    hand-tuned 16-seed run achieved, and the seed count actually
+    grows with the corpus."""
+    from golem_spark.pipeline.similarity import (auto_n_seeds,
+                                                 kmeans_seed_centroids)
+    from golem_spark.pipeline.skewstress import (adversarial_cell_embeddings,
+                                                 ivf_cell_stats)
+
+    assert auto_n_seeds(100) == 16            # floor: demo corpora
+    assert auto_n_seeds(4000) == 63
+    assert auto_n_seeds(10**10) == 16384      # broadcast-budget cap
+
+    stats = {}
+    for n in (4000, 16000):
+        vecs = adversarial_cell_embeddings(spark, n).persist()
+        try:
+            C = kmeans_seed_centroids(vecs)   # <- no n_seeds anywhere
+            assert len(C) == auto_n_seeds(n)
+            stats[n] = ivf_cell_stats(vecs, seed_centroids=C)
+        finally:
+            vecs.unpersist()
+        assert stats[n]["max_cell_fraction"] <= 0.25, stats[n]
+        assert stats[n]["pair_fraction"] <= 0.15, stats[n]
+    # more corpus -> more cells, not bigger ones
+    assert stats[16000]["n_cells"] > stats[4000]["n_cells"], stats

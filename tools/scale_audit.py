@@ -84,12 +84,22 @@ def skew_stress(spark) -> dict:
 
     cell_vecs = adversarial_cell_embeddings(spark, 4000).persist()
     try:
-        ivf_first = ivf_cell_stats(cell_vecs)
+        ivf_first = ivf_cell_stats(cell_vecs, n_seeds=16)
         ivf_learned = ivf_cell_stats(
             cell_vecs,
             seed_centroids=kmeans_seed_centroids(cell_vecs, n_seeds=16))
+        # VERDICT r8 item 2: the AUTO-sized quantizer (no n_seeds
+        # passed anywhere) must bound the hot cell on its own
+        ivf_auto_4k = ivf_cell_stats(
+            cell_vecs, seed_centroids=kmeans_seed_centroids(cell_vecs))
     finally:
         cell_vecs.unpersist()
+    cell_16k = adversarial_cell_embeddings(spark, 16000).persist()
+    try:
+        ivf_auto_16k = ivf_cell_stats(
+            cell_16k, seed_centroids=kmeans_seed_centroids(cell_16k))
+    finally:
+        cell_16k.unpersist()
     return {
         "minhash_lsh": lsh_bucket_stats(adversarial_documents(spark, 4000)),
         "minhash_lsh_uniform_control": lsh_bucket_stats(
@@ -98,6 +108,8 @@ def skew_stress(spark) -> dict:
             adversarial_embeddings(spark, 4000)),
         "ivf_cells_first_n_seeds": ivf_first,
         "ivf_cells_learned_seeds": ivf_learned,
+        "ivf_cells_auto_4k": ivf_auto_4k,
+        "ivf_cells_auto_16k": ivf_auto_16k,
     }
 
 
