@@ -87,6 +87,12 @@ def _cpu_canary_sec() -> float:
 
 
 def main() -> None:
+    # benchmark the serving computation, not the self-verification
+    # pass on top of it: the glm_* KKT certificate aggregation
+    # (~0.5-1 s x 20 queries) stays ON for the driver CORRECTNESS gate
+    # and verify_oracle (their default), OFF here (VERDICT r8 item 8);
+    # recorded in the summary so the artifact says so itself
+    os.environ.setdefault("SPARK_GRAFT_GLM_CERTIFICATES", "0")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -178,6 +184,7 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(best),
         "protocol": "per-query min of 2 steady reps in separate windows",
+        "glm_certificates": os.environ["SPARK_GRAFT_GLM_CERTIFICATES"] != "0",
         "window_total_sec": [round(sum(w1.values()), 4),
                              round(sum(w2.values()), 4)],
         "cold_total_sec": round(sum(cold.values()), 4),

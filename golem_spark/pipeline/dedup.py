@@ -253,7 +253,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, n_bits: int = 16,
 
 def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                    b_col: str = "doc_b", max_iter: int = 25,
-                   driver_max_edges: int = 5_000_000) -> DataFrame:
+                   driver_max_edges: int = 5_000_000,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-duplicate PAIRS: (doc_id, rep)
     where rep is the smallest doc_id in the document's component — the
     canonical representative a dedup pipeline keeps.
@@ -280,12 +281,28 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
 
     Raises if max_iter rounds don't converge (honest failure beats a
     silently wrong partition).
+
+    ``checkpoint_dir``: per-round label snapshots default to
+    localCheckpoint (executor block manager — fast, but an executor
+    loss mid-computation kills the lineage-truncated frame and the
+    job). On a real cluster pass a durable directory (HDFS/S3): rounds
+    then use reliable checkpoint(), which survives executor churn at
+    the cost of one distributed write per round. Same labels either
+    way (asserted in tests); checkpoint files are left for the caller/
+    cluster-side dir hygiene to reclaim (Spark only deletes them with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true).
     """
     from golem_spark.pipeline._cache import _swap_cache
 
     pairs = _swap_cache("cc_pairs", pairs.select(a_col, b_col))
     if pairs.count() <= driver_max_edges:
         return _dup_components_driver(pairs, a_col, b_col)
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _snap(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
     edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
              .union(pairs.select(F.col(b_col).alias("x"),
                                  F.col(a_col).alias("y")))
@@ -305,9 +322,8 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     # label snapshots are ever reachable, and the cleaner reclaims the
     # rest between jobs (asserted growth-bounded in
     # test_pipeline_cache_growth_is_bounded).
-    labels = (edges.select("x").distinct()
-              .select("x", F.col("x").alias("lbl"))
-              .localCheckpoint(eager=True))
+    labels = _snap(edges.select("x").distinct()
+                   .select("x", F.col("x").alias("lbl")))
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -318,12 +334,12 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                 .join(labels.select(F.col("x").alias("j"),
                                     F.col("lbl").alias("jlbl")), "j")
                 .select("x", "jlbl"))
-        labels = (labels.join(nb_min, "x", "left")
-                  .join(jump, "x", "left")
-                  .select("x", F.least(
-                      F.col("lbl"), F.coalesce("nb", "lbl"),
-                      F.coalesce("jlbl", "lbl")).alias("lbl"))
-                  .localCheckpoint(eager=True))  # drops the prev reference
+        labels = _snap(labels.join(nb_min, "x", "left")
+                       .join(jump, "x", "left")
+                       .select("x", F.least(
+                           F.col("lbl"), F.coalesce("nb", "lbl"),
+                           F.coalesce("jlbl", "lbl")).alias("lbl"))
+                       )  # _snap drops the prev reference
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease: fixed point
             converged = True

@@ -739,3 +739,60 @@ def test_curation_gate_stream_matches_batch(spark):
                   threshold=-0.5, chunk=8).collect()}
     assert batch == stream
     assert 0 < len(batch) < docs.count()  # the gate genuinely drops docs
+
+
+def test_budget_admission_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Restart recovery for the stateful admission gate (VERDICT r8
+    item 6): process half the corpus, STOP the query (simulated
+    crash), start a brand-new query from the same checkpointLocation
+    with a durable file sink, feed the rest — the union of the sink's
+    output must equal the batch operator over the whole corpus, and
+    the post-restart rows must continue per-source counters from the
+    recovered state, not from zero."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.text import token_budget_pack
+    from golem_spark.streaming.curation import DOCS_SCHEMA, budget_admission
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (spark.readStream.schema(DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").format("parquet")
+                  .load(str(src) + "/*"))
+        return (budget_admission(stream, budget=2000)
+                .writeStream.outputMode("append").format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt).start())
+
+    # lifecycle 1: first half, then stop (the crash)
+    docs.filter(F.col("doc_id") < 50).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    # lifecycle 2: a NEW query object resumes from the same checkpoint
+    docs.filter(F.col("doc_id") >= 50).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    stream_rows = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+                   spark.read.parquet(sink).collect()}
+    batch_rows = {r["doc_id"]: (r["cum_before"], r["kept"]) for r in
+                  token_budget_pack(docs.select("doc_id", "source",
+                                                "n_chars"),
+                                    budget=2000).collect()}
+    assert stream_rows == batch_rows
+    # rows admitted AFTER the restart continued recovered counters
+    assert any(cb > 0 for d, (cb, _) in stream_rows.items() if d >= 50)
