@@ -1606,3 +1606,27 @@ def test_intra_doc_chunk_dedup_matches_python_replay_randomized(spark):
             assert r["n_tokens_kept"] == sum(len(c.split()) for c in kept)
             assert r["scrub_hash"] == hashlib.md5(
                 " ".join(kept).encode()).hexdigest()
+
+
+def test_auto_n_seeds_resolution_and_validation(spark):
+    """The 'auto' quantizer sizing: bad strings rejected, explicit ints
+    pass through, and the auto default actually runs end-to-end on the
+    embeddings table (semantic_dedup emits one row per vector with a
+    corpus-scaled cell count)."""
+    import pytest
+
+    from golem_spark.pipeline.similarity import (_resolve_n_seeds,
+                                                 auto_n_seeds,
+                                                 semantic_dedup)
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = vecs.count()
+    with pytest.raises(ValueError, match="auto"):
+        _resolve_n_seeds(vecs, "sqrt")
+    assert _resolve_n_seeds(vecs, 7) == 7
+    assert _resolve_n_seeds(vecs, "auto") == auto_n_seeds(n)
+
+    out = semantic_dedup(vecs, threshold=0.99)  # auto default end-to-end
+    assert out.count() == n
+    n_cells = out.select("cell").distinct().count()
+    assert 1 <= n_cells <= auto_n_seeds(n)
