@@ -1630,3 +1630,26 @@ def test_auto_n_seeds_resolution_and_validation(spark):
     assert out.count() == n
     n_cells = out.select("cell").distinct().count()
     assert 1 <= n_cells <= auto_n_seeds(n)
+
+
+def test_bpe_learner_edge_cases(spark):
+    """Degenerate corpora must terminate cleanly, not loop or throw:
+    no alphanumeric words at all, single-character words (no adjacent
+    pairs ever), and natural exhaustion before n_merges."""
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["!!! ???"]}))
+    assert text.bpe_merges(empty, n_merges=4).collect() == []
+
+    singles = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c a b"]}))
+    assert text.bpe_merges(singles, n_merges=4).collect() == []
+
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["ab ab ab"]}))
+    stats = {}
+    rules = [tuple(r) for r in
+             text.bpe_merges(tiny, n_merges=8, _stats=stats).collect()]
+    assert rules == [(1, "a", "b", 3)]      # exhausts after one merge
+    assert stats["merges"] == 1
+    enc = text.bpe_encode(tiny, n_merges=1).collect()
+    assert [tuple(r) for r in enc] == [(0, 3, 3, 6, 2.0)]
