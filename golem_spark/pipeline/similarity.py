@@ -130,13 +130,28 @@ def auto_n_seeds(n: int, cap: int = 16384) -> int:
     frame — beyond that a two-level quantizer is the right tool, not a
     bigger broadcast). sqrt scaling balances the two costs that move in
     opposite directions: per-row routing work (O(n_seeds)) and
-    within-cell quadratic pair work (O(n^2/n_seeds) expected) — and at
-    LAION/100 TB scale (n ~ 1e10) it lands on the ~1e5 clusters the
-    SemDeDup paper uses. VERDICT r8 item 2: the knob defaults to the
-    corpus, not to 16."""
-    import math
+    within-cell quadratic pair work (O(n^2/n_seeds) expected).
+    VERDICT r8 item 2: the knob defaults to the corpus, not to 16.
 
-    return max(16, min(cap, math.isqrt(max(int(n), 0))))
+    Beyond n ~ 2.7e8 rows the cap binds: sqrt(n) would exceed 16384
+    seeds, so cells keep growing with the corpus (at n ~ 1e10 the
+    capped quantizer yields ~6e5-vector expected cells, far from the
+    ~1e5-cluster regime the SemDeDup paper runs). At that scale pass
+    an explicit n_seeds or use a two-level quantizer (route on a
+    coarse seed, re-quantize within the cell) — a bigger broadcast is
+    not the right tool. A warning fires when the cap binds."""
+    import math
+    import warnings
+
+    root = math.isqrt(max(int(n), 0))
+    if root > cap:
+        warnings.warn(
+            f"auto_n_seeds: corpus n={n} wants {root} seeds but the "
+            f"broadcast cap is {cap}; expected cell size ~{n // cap} "
+            f"vectors. Pass an explicit n_seeds or use a two-level "
+            f"quantizer beyond ~{cap**2} rows.", RuntimeWarning,
+            stacklevel=2)
+    return max(16, min(cap, root))
 
 
 def _resolve_n_seeds(df: DataFrame, n_seeds) -> int:
@@ -179,16 +194,32 @@ def kmeans_seed_centroids(df: DataFrame, n_seeds="auto",
     X = np.asarray([r["ev"] for r in rows], dtype=np.float64)
     n_seeds = min(n_seeds, len(X))
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _lloyd_spherical(X, n_seeds, n_iter)
+
+
+def _lloyd_spherical(X, n_seeds: int, n_iter: int,
+                     block: int = 4096) -> "np.ndarray":
+    """Driver-side spherical Lloyd's, memory-bounded at the seed cap.
+
+    At 16384 seeds (sample 65536) a single X @ C.T is a 65536x16384
+    float64 (~8.6 GB) — blockwise argmax keeps the peak temp at
+    block x n_seeds (~0.5 GB) with identical assignments, and an
+    np.add.at scatter replaces the O(n_seeds * sample) per-seed mask
+    loop (ADVICE r9). Seeds whose cell is empty keep their previous
+    centroid, as before."""
+    import numpy as np
+
     C = X[:n_seeds].copy()
+    assign = np.empty(len(X), dtype=np.intp)
     for _ in range(n_iter):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(n_seeds):
-            members = X[assign == j]
-            if len(members):
-                c = members.sum(axis=0)
-                nrm = np.linalg.norm(c)
-                if nrm > 1e-12:
-                    C[j] = c / nrm
+        for s in range(0, len(X), block):
+            blk = X[s:s + block]
+            assign[s:s + len(blk)] = np.argmax(blk @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nrm = np.linalg.norm(sums, axis=1)
+        upd = nrm > 1e-12
+        C[upd] = sums[upd] / nrm[upd, None]
     return C
 
 

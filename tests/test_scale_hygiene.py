@@ -315,9 +315,19 @@ def test_ivf_auto_seed_count_bounds_hot_cell_without_tuning(spark):
     from golem_spark.pipeline.skewstress import (adversarial_cell_embeddings,
                                                  ivf_cell_stats)
 
+    import warnings
+
     assert auto_n_seeds(100) == 16            # floor: demo corpora
     assert auto_n_seeds(4000) == 63
-    assert auto_n_seeds(10**10) == 16384      # broadcast-budget cap
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert auto_n_seeds(10**10) == 16384  # broadcast-budget cap
+    # beyond the cap the caller must know cells stop shrinking
+    assert any("two-level" in str(w.message) for w in caught), caught
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert auto_n_seeds(16384**2) == 16384   # largest quiet corpus
+    assert not caught, [str(w.message) for w in caught]
 
     stats = {}
     for n in (4000, 16000):
@@ -332,3 +342,62 @@ def test_ivf_auto_seed_count_bounds_hot_cell_without_tuning(spark):
         assert stats[n]["pair_fraction"] <= 0.15, stats[n]
     # more corpus -> more cells, not bigger ones
     assert stats[16000]["n_cells"] > stats[4000]["n_cells"], stats
+
+
+def test_lloyd_blockwise_matches_per_seed_reference():
+    """ADVICE r9 (medium): the memory-bounded Lloyd's (blockwise argmax
+    + np.add.at scatter) must produce the same centroids as the
+    original per-seed mask-loop formulation — including across block
+    boundaries and with empty cells that keep their previous seed."""
+    import numpy as np
+
+    from golem_spark.pipeline.similarity import _lloyd_spherical
+
+    def reference(X, n_seeds, n_iter):
+        C = X[:n_seeds].copy()
+        for _ in range(n_iter):
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(n_seeds):
+                members = X[assign == j]
+                if len(members):
+                    c = members.sum(axis=0)
+                    nrm = np.linalg.norm(c)
+                    if nrm > 1e-12:
+                        C[j] = c / nrm
+        return C
+
+    rng = np.random.default_rng(7)
+    # 900 rows, block=256 -> 4 blocks with a ragged tail; duplicate a
+    # hot direction so some of the 48 seeds end with empty cells
+    X = rng.normal(size=(900, 12))
+    X[:300] = X[0] + rng.normal(scale=1e-3, size=(300, 12))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    got = _lloyd_spherical(X.copy(), n_seeds=48, n_iter=8, block=256)
+    want = reference(X.copy(), n_seeds=48, n_iter=8)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_gate_refuses_disabled_glm_certificates(monkeypatch):
+    """VERDICT r9 item 4: a stray SPARK_GRAFT_GLM_CERTIFICATES=0 (set
+    by bench.py for timing windows) must make the correctness gate
+    raise instead of silently recording fabricated kkt_ok=True rows —
+    and a clean session must leave the gate with the flag pinned on."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_oracle_guard_test",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "verify_oracle.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setenv("SPARK_GRAFT_GLM_CERTIFICATES", "0")
+    import pytest
+
+    with pytest.raises(AssertionError, match="correctness-gate"):
+        mod.require_certificates()
+
+    monkeypatch.delenv("SPARK_GRAFT_GLM_CERTIFICATES", raising=False)
+    mod.require_certificates()
+    assert os.environ["SPARK_GRAFT_GLM_CERTIFICATES"] == "1"

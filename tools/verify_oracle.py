@@ -89,7 +89,28 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
     return problems
 
 
+def require_certificates() -> None:
+    """Refuse to gate with the GLM certificate pass disabled.
+
+    bench.py exports SPARK_GRAFT_GLM_CERTIFICATES=0 so timed glm_*
+    runs skip the self-verification aggregation (the gates prove the
+    same thing); if that flag leaked into a gate session the artifact
+    would record fabricated kkt_ok=True columns. Fail loudly instead
+    (VERDICT r9 item 4), then pin the flag on for the whole run.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GLM_CERTIFICATES", "1") == "0":
+        raise AssertionError(
+            "SPARK_GRAFT_GLM_CERTIFICATES=0 in a correctness-gate "
+            "session: glm_* rows would stamp kkt_ok=True without "
+            "running the certificate pass. Unset the flag — bench.py "
+            "sets it for timing windows only.")
+    os.environ["SPARK_GRAFT_GLM_CERTIFICATES"] = "1"
+
+
 def main():
+    require_certificates()
     args = [a for a in sys.argv[1:]
             if not a.startswith("--json") and not a.startswith("--jobs")]
     json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
@@ -151,7 +172,8 @@ def main():
 
         with open(json_path, "w") as fh:
             json.dump({"sf_dir": sf_dir, "n_pass": len(names) - n_fail,
-                       "n_total": len(names), "queries": record}, fh,
+                       "n_total": len(names), "glm_certificates": True,
+                       "queries": record}, fh,
                       indent=1)
         print(f"wrote {json_path}")
     sys.exit(1 if n_fail else 0)
