@@ -165,7 +165,26 @@ def main() -> None:
     steal2 = _steal_pct(ticks, _cpu_times())
     canary.append(_cpu_canary_sec())
 
-    best = {n: min(w1[n], w2.get(n, w1[n])) for n in w1}
+    # VERDICT r9 item 3: the r9 driver run had canary 0.20 s vs 0.016 s
+    # quiet with steal <2% — contention the steal gauge cannot see. If
+    # the canaries bracketing the windows drift >3x, at least one
+    # window ran on a degraded machine: buy a third steady window and
+    # min across all three (the per-query min only needs ONE quiet
+    # window per query to be honest).
+    windows = [w1, w2]
+    steals = [steal1, steal2]
+    walls = [wall1, wall2]
+    if max(canary) > 3.0 * min(canary):
+        print(f"# canary drift {min(canary):.4f}s -> {max(canary):.4f}s "
+              f"(>3x): running extra steady window", file=sys.stderr)
+        ticks = _cpu_times()
+        w3, _, wall3 = measure(1, "w3")
+        steals.append(_steal_pct(ticks, _cpu_times()))
+        canary.append(_cpu_canary_sec())
+        windows.append(w3)
+        walls.append(wall3)
+
+    best = {n: min(w[n] for w in windows if n in w) for n in w1}
     total = sum(best.values())
 
     # Full per-query detail first (large line, for humans/the judge), then
@@ -173,9 +192,12 @@ def main() -> None:
     # ends with a complete, parseable summary (VERDICT r4 item 2: r4's
     # single giant line got front-clipped -> parsed: null). The short line
     # keeps only the slowest queries so it stays well under the tail size.
-    print(json.dumps({"detail": "per_query_wall_clock", "queries": best,
-                      "queries_w1": w1, "queries_w2": w2,
-                      "queries_cold": cold, "sf": sf}))
+    detail = {"detail": "per_query_wall_clock", "queries": best,
+              "queries_w1": w1, "queries_w2": w2,
+              "queries_cold": cold, "sf": sf}
+    if len(windows) > 2:
+        detail["queries_w3"] = windows[2]
+    print(json.dumps(detail))
     slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:25])
     summary = {
         "metric": "total_query_wall_clock",
@@ -183,19 +205,21 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(best),
-        "protocol": "per-query min of 2 steady reps in separate windows",
+        "protocol": (f"per-query min of {len(windows)} steady reps in "
+                     f"separate windows"
+                     + (" (3rd window: canary drift >3x)"
+                        if len(windows) > 2 else "")),
         "glm_certificates": os.environ["SPARK_GRAFT_GLM_CERTIFICATES"] != "0",
-        "window_total_sec": [round(sum(w1.values()), 4),
-                             round(sum(w2.values()), 4)],
+        "window_total_sec": [round(sum(w.values()), 4) for w in windows],
         "cold_total_sec": round(sum(cold.values()), 4),
         "sf": sf,
     }
-    if steal1 is not None:
-        summary["steal_pct"] = [steal1, steal2]
+    if steals[0] is not None:
+        summary["steal_pct"] = steals
     summary["canary_sec"] = canary
     if jobs > 1:
         summary["jobs"] = jobs
-        summary["pooled_wall_sec"] = round(wall1 + wall2, 4)
+        summary["pooled_wall_sec"] = round(sum(walls), 4)
     print(json.dumps(summary))
 
 
