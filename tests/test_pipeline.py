@@ -256,17 +256,69 @@ def test_dup_components_durable_checkpoint_dir(spark, tmp_path):
     pairs = spark.createDataFrame(
         pd.DataFrame(chain + cliq, columns=["doc_a", "doc_b"]))
     ckpt = str(tmp_path / "cc_ckpt")
+    # base first: a LATER call releases the durable call's parked
+    # snapshot (and its files — see test_dup_components_checkpoint_hygiene)
+    base = {r["doc_id"]: r["rep"]
+            for r in dup_components(pairs, driver_max_edges=0).collect()}
     out = {r["doc_id"]: r["rep"]
            for r in dup_components(pairs, driver_max_edges=0,
                                    checkpoint_dir=ckpt).collect()}
-    base = {r["doc_id"]: r["rep"]
-            for r in dup_components(pairs, driver_max_edges=0).collect()}
     assert out == base
     assert all(out[i] == 100 for i in range(100, 141))
-    # reliable checkpoints were actually written under the dir
+    # the fixed point's reliable checkpoint is on disk under the dir
     written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt)
                for f in fs]
     assert written, "no reliable checkpoint files under checkpoint_dir"
+
+
+def test_dup_components_checkpoint_hygiene(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 7 + ADVICE r9: reliable checkpoints must not
+    accumulate — after every round's prune at most 2 label snapshots
+    exist (current + predecessor; the k-th write itself lands before
+    k-2 is deleted), the fixed point keeps exactly 1, the context's
+    global checkpoint dir is restored on return, and the NEXT call
+    deletes the previous call's whole private subdir."""
+    import os
+
+    import pandas as pd
+
+    from golem_spark.pipeline import dedup
+
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    def count_rdd_dirs():
+        return sum(1 for dp, dns, _ in os.walk(ckpt)
+                   for d in dns if d.startswith("rdd-"))
+
+    observed = []
+    real = dedup._prune_reliable_checkpoints
+
+    def spy(sc, dir_str, keep):
+        real(sc, dir_str, keep)
+        observed.append(count_rdd_dirs())
+
+    monkeypatch.setattr(dedup, "_prune_reliable_checkpoints", spy)
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    out = {r["doc_id"]: r["rep"]
+           for r in dedup.dup_components(pairs, driver_max_edges=0,
+                                         checkpoint_dir=ckpt).collect()}
+    assert all(rep == 100 for rep in out.values())
+    assert len(observed) >= 4, "expected a multi-round run"
+    assert max(observed) <= 2, observed
+    assert count_rdd_dirs() == 1          # fixed point only
+
+    # the global side effect is undone: later checkpoint() callers do
+    # not silently inherit this call's directory
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert (not opt.isDefined()) or ckpt not in opt.get()
+
+    # a second call drops the parked final frame AND its subdir
+    dedup.dup_components(pairs, driver_max_edges=0,
+                         checkpoint_dir=ckpt).collect()
+    assert count_rdd_dirs() == 1, "previous call's snapshots leaked"
 
 
 def test_dup_components_nonconvergence_raises(spark):
