@@ -796,3 +796,70 @@ def test_budget_admission_recovers_from_checkpoint_restart(spark, tmp_path):
     assert stream_rows == batch_rows
     # rows admitted AFTER the restart continued recovered counters
     assert any(cb > 0 for d, (cb, _) in stream_rows.items() if d >= 50)
+
+
+def test_streaming_dedup_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Restart recovery for the exact-dedup twin (VERDICT r9 item 5 —
+    it carries the largest state of the streaming operators and is the
+    likeliest production restart): lifecycle 1 processes the original
+    corpus and stops (simulated crash); lifecycle 2 is a brand-new
+    query resuming from the same checkpointLocation over a second file
+    that duplicates every lifecycle-1 text (larger doc_ids) and adds
+    fresh ones. The recovered per-hash state must suppress re-emission
+    of every already-kept hash while still emitting the fresh ones —
+    the durable sink's union must equal batch groupBy(md5).min(doc_id)
+    over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.dedup import DOCS_SCHEMA, streaming_exact_dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .filter(F.col("doc_id") < 60))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (spark.readStream.schema(DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").format("parquet")
+                  .load(str(src) + "/*"))
+        return (streaming_exact_dedup(stream)
+                .writeStream.outputMode("append").format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt).start())
+
+    # lifecycle 1: the original texts, then the crash
+    docs.coalesce(1).write.parquet(str(src / "a.parquet"))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # lifecycle 2: every lifecycle-1 text again (dup, bigger ids) plus
+    # fresh texts the recovered state has never seen
+    part_b = (docs.withColumn("doc_id", F.col("doc_id") + 100000)
+              .union(docs.withColumn("doc_id", F.col("doc_id") + 200000)
+                     .withColumn("text", F.concat(F.col("text"),
+                                                  F.lit(" [fresh-b]")))))
+    part_b.coalesce(1).write.parquet(str(src / "b.parquet"))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    streamed = {r["text_hash"]: r["doc_id"]
+                for r in spark.read.parquet(sink).collect()}
+    full = docs.union(part_b)
+    batch = {r["text_hash"]: r["doc_id"]
+             for r in full.groupBy(F.md5("text").alias("text_hash"))
+             .agg(F.min("doc_id").alias("doc_id")).collect()}
+    assert streamed == batch and len(batch) > 0
+    # the recovered state actually suppressed re-emission (every
+    # lifecycle-1 hash reappeared in lifecycle 2)...
+    assert sum(1 for d in streamed.values() if d < 100000) > 0
+    # ...and post-restart fresh hashes still emitted
+    assert sum(1 for d in streamed.values() if d >= 200000) > 0
