@@ -113,6 +113,51 @@ def skew_stress(spark) -> dict:
     }
 
 
+def wide_p_ceiling(spark, sf_dir: str) -> dict:
+    """VERDICT r9 item 6 — run the 100x wide-p story end-to-end once
+    instead of asserting it from microbenches: a distributed sparse
+    gaussian SLOPE path at p≈100k (10x the ultrawide bench query, same
+    one-hot long-format design off lineitem). The claim this records:
+    strong-rule screening keeps every path point's active set a small
+    fraction of p, KKT violations stay rare, and wall-clock is tens of
+    seconds, not hours."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from golem_spark.path import owl
+    from golem_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    p = 100_007
+    frame = li.select(
+        F.array((F.col("l_linenumber") - 1).cast("int"),
+                (F.lit(7) + F.pmod(F.col("l_orderkey"),
+                                   F.lit(50_000))).cast("int"),
+                (F.lit(50_007) + F.pmod(F.col("l_partkey"),
+                                        F.lit(50_000))).cast("int")
+                ).alias("idx"),
+        F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0)).alias("val"),
+        F.col("l_quantity").alias("label"))
+    n = frame.count()
+    t0 = time.monotonic()
+    fit = owl(df=frame, sparse_features=("idx", "val"), sparse_p=p,
+              label_col="label", family="gaussian", n_sigma=4,
+              lambda_min_ratio=0.65, lam="bh", q=0.2)
+    wall = round(time.monotonic() - t0, 2)
+    sizes = [int(len(a)) for a in fit.active_sets]
+    return {
+        "p": p,
+        "n": int(n),
+        "n_sigma_fitted": int(fit.n_sigma),
+        "wall_sec": wall,
+        "active_set_sizes": sizes,
+        "max_active_fraction": round(max(sizes) / p, 6),
+        "n_violations_per_point": [len(v) for v in fit.violations],
+        "dev_ratio": [round(float(d), 6) for d in fit.deviance_ratio],
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
@@ -149,13 +194,18 @@ def main() -> None:
         skew = skew_stress(spark)
         for k, v in skew.items():
             print(f"SKEW {k}: {v}")
+    widep = None
+    if "--no-widep" not in sys.argv[1:]:
+        widep = wide_p_ceiling(spark, sf_dir)
+        print(f"WIDE-P {widep}")
     if json_path:
         import json
 
         with open(json_path, "w") as fh:
             json.dump({"sf_dir": sf_dir, "flags": record,
                        "unexplained_flags": unexplained,
-                       "skew_stress": skew}, fh, indent=1)
+                       "skew_stress": skew,
+                       "wide_p_ceiling": widep}, fh, indent=1)
         print(f"wrote {json_path}")
 
 
