@@ -225,3 +225,97 @@ def embedding_bucket_stats(vecs: DataFrame, n_planes: int = 10,
         "pair_fraction": round(prof["bucket_pairs"] / max(quad, 1), 6),
         "max_bucket_fraction": round(prof["max_bucket"] / max(n_vecs, 1), 6),
     }
+
+
+# ~60 highest-frequency English words (public knowledge) — the head of
+# the Zipf curve, so early BPE merges see real English adjacencies
+# (th/he/an/in/er/re...) instead of the synthetic corpus's 31 words
+_ZIPF_HEAD = (
+    "the of and to in is that it was for on are as with his they at be "
+    "this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if will up "
+    "other about out many then them these so some her would make like "
+    "him into time has look two more write go see").split()
+
+_SYL_ONSET = ["", "b", "c", "d", "f", "g", "h", "l", "m", "n", "p", "r",
+              "s", "t", "v", "w", "st", "th", "ch", "sh", "pr", "tr",
+              "br", "gr", "pl", "cl", "sp", "str"]
+_SYL_VOWEL = ["a", "e", "i", "o", "u", "ea", "ou", "ai", "ee", "io", "oo"]
+_SYL_CODA = ["", "n", "r", "s", "t", "l", "d", "m", "k", "ng", "st",
+             "nd", "nt", "ck"]
+_SUFFIX = ["", "", "", "", "s", "ed", "ing", "er", "ly", "tion"]
+
+
+def zipfian_vocabulary(vocab_size: int = 20000,
+                       seed: int = 11) -> "list[tuple[str, float]]":
+    """(word, probability) list: real-English head + syllable-morphology
+    tail (onset-vowel-coda syllables and common suffixes, so character
+    adjacency statistics resemble natural text), with Zipf-Mandelbrot
+    frequencies f(r) ~ 1/(r + 2.7)^1.05 — the distribution BPE
+    tokenizer training actually sees, vs the synthetic documents
+    table's 31 near-uniform words (VERDICT r9 item 2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    words: list[str] = []
+    seen = set()
+    for w in _ZIPF_HEAD:
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    while len(words) < vocab_size:
+        n_syl = int(rng.integers(1, 4))
+        w = "".join(
+            _SYL_ONSET[int(rng.integers(len(_SYL_ONSET)))]
+            + _SYL_VOWEL[int(rng.integers(len(_SYL_VOWEL)))]
+            + _SYL_CODA[int(rng.integers(len(_SYL_CODA)))]
+            for _ in range(n_syl)) + _SUFFIX[int(rng.integers(len(_SUFFIX)))]
+        if w and w not in seen:
+            seen.add(w)
+            words.append(w)
+    ranks = np.arange(1, len(words) + 1, dtype=np.float64)
+    wts = 1.0 / np.power(ranks + 2.7, 1.05)
+    wts /= wts.sum()
+    return list(zip(words, wts.tolist()))
+
+
+def zipfian_documents(spark: SparkSession, n_docs: int = 20000,
+                      words_per_doc: int = 100, vocab_size: int = 20000,
+                      seed: int = 11) -> DataFrame:
+    """Natural-text-shaped corpus: every token drawn iid from the
+    Zipf-Mandelbrot vocabulary via a 16-bit inverse-CDF lookup table.
+
+    Scale shape: the LUT (65536 rows) is built driver-side from the
+    model-sized vocabulary and BROADCAST; each token slot derives a
+    deterministic md5 uniform, quantizes it, and equi-joins the LUT —
+    no range join, no driver-side corpus. Document assembly is one
+    groupBy(doc_id) over the token table. Columns match the documents
+    table contract (doc_id, text, lang, source, n_chars)."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = zipfian_vocabulary(vocab_size, seed)
+    cum = np.cumsum([p for _, p in vocab])
+    buckets = np.searchsorted(cum, (np.arange(65536) + 0.5) / 65536.0)
+    buckets = np.minimum(buckets, len(vocab) - 1)
+    lut = spark.createDataFrame(
+        pd.DataFrame({"bucket": np.arange(65536, dtype=np.int64),
+                      "word": [vocab[i][0] for i in buckets]}))
+
+    toks = (spark.range(n_docs * words_per_doc)
+            .select((F.col("id") / words_per_doc).cast("long")
+                    .alias("doc_id"),
+                    F.pmod(F.col("id"), F.lit(words_per_doc)).alias("pos"),
+                    F.pmod(F.conv(F.substring(
+                        F.md5(F.concat_ws("_", F.col("id").cast("string"),
+                                          F.lit(str(seed)))), 1, 15),
+                        16, 10).cast("long"), F.lit(65536)).alias("bucket")))
+    docs = (toks.join(F.broadcast(lut), "bucket")
+            .groupBy("doc_id")
+            .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"]), " ").alias("text")))
+    return docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("zipf_fixture").alias("source"),
+        F.length("text").alias("n_chars"))

@@ -981,6 +981,7 @@ def _materialize(slot: str, df: DataFrame) -> DataFrame:
 
 def bpe_merges(df: DataFrame, n_merges: int = 4,
                text_col: str = "text", max_batch: int = 64,
+               band: float | None = None,
                _stats: dict | None = None) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules over the corpus —
     distributed byte-pair-encoding tokenizer training (Sennrich et al.
@@ -1019,14 +1020,40 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
     the prefix is a single pair), and one Arrow-batched rewrite of the
     lineage-truncated word table.
 
+    ``band``: None (default) keeps the EXACT greedy contract above —
+    the mode every oracle certifies. A float delta in [0, 1) switches
+    to documented APPROXIMATE frequency-band batching (what production
+    tokenizer trainers do when exact merge order stops mattering):
+    each round commits the whole symbol-disjoint prefix whose counts
+    are >= (1-delta) * the round's top count, SKIPPING the created-
+    pair triple-bound job and its strict-dominance cut. The
+    approximation is bounded, not loose (property-tested):
+
+    * every committed pair's count is a TRUE round-start count (the
+      disjointness rule is kept, so counts are exact under the batch)
+      within (1-delta) of the round's maximum — a merge can only be
+      "early" by pairs whose frequency is within the band;
+    * rounds' top counts are monotone non-increasing (a created pair
+      never exceeds the count of the merge that created it), so the
+      band threshold also never rises — merges committed out of exact
+      order still arrive in band order;
+    * delta=0 commits exact count-ties only.
+
+    Merge chains no longer serialize rounds under band mode: deep
+    vocabularies train in O(n_merges / band_width) rounds instead of
+    O(n_merges). Exactness stays the default and the cross-engine
+    oracle contract.
+
     Words are restricted to ``[A-Za-z0-9]+`` (the encode fold's state
     encoding and the oracle's sentinel characters require symbols free
     of whitespace and '|'). Returns (step, lhs, rhs, pair_count) — the
     merge table a tokenizer would persist. ``_stats`` (tests) receives
-    {"rounds", "merges"}.
+    {"rounds", "merges", "round_log": [{"c_max", "committed"}]}.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if band is not None and not 0.0 <= band < 1.0:
+        raise ValueError("band must be None (exact) or a float in [0, 1)")
     words = (df.select(F.explode(tokens_col(text_col)).alias("w"))
              .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
@@ -1080,7 +1107,13 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
             touched |= {s1, s2, merged}
             if len(pref) >= budget or merged in vocab_syms:
                 break
-        if len(pref) == 1:
+        if band is not None:
+            # frequency-band batching: the disjoint prefix within
+            # (1-band) of the top count commits wholesale — no
+            # triple-bound job, bounded (not exact) merge order
+            thr = (1.0 - band) * pref[0][2]
+            committed = [(s1, s2, n) for s1, s2, n, _ in pref if n >= thr]
+        elif len(pref) == 1:
             committed = [pref[0][:3]]
         else:
             # EXACT created-pair bounds: every pair a merge (a,b)->m
@@ -1122,6 +1155,10 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
                 k = s1 + sep + s2
                 cap = max(cap, bound.get(("L", k), 0),
                           bound.get(("R", k), 0))
+        if _stats is not None:
+            _stats.setdefault("round_log", []).append(
+                {"c_max": int(top[0]["n"]),
+                 "committed": [int(n) for _, _, n in committed]})
         for s1, s2, n in committed:
             rules.append((len(rules) + 1, s1, s2, n))
             vocab_syms.add(s1 + s2)

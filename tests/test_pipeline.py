@@ -1327,6 +1327,101 @@ def test_bpe_batched_learner_commits_multiple_merges_per_round(spark):
     assert stats["rounds"] < 12, stats  # genuinely batched
 
 
+def test_bpe_band_mode_bounded_approximation(spark):
+    """The documented approximate mode (band=delta, VERDICT r9 item 2)
+    must honor its bounded contract on every corpus, verified by an
+    independent pure-Python replay of each driver round:
+
+    * every emitted pair_count is the TRUE round-start count (symbol-
+      disjointness is kept under the batch, so counts stay exact);
+    * every committed pair is within (1-delta) of its round's max;
+    * per-round commits are pairwise symbol-disjoint incl. merged
+      tokens;
+    * round max counts are monotone non-increasing (created pairs
+      never exceed their creator), so the band threshold never rises;
+    * delta=0 commits exact count-ties only;
+    * the first merge is exact greedy's first merge."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(11)
+    corpora = [
+        # near-tie-rich: many disjoint words with close counts
+        ["quick brown vixen jumps over lazy hounds " * 4] * 5,
+        # dominant-word chain (stays sequential: disjointness is kept)
+        ["abcdefgh " * 50 + "xy xz zy"],
+        # random 3-letter mix with skewed repeats
+        [" ".join(rng.choice(["abc", "cab", "bca", "aabbcc", "cba"])
+                  for _ in range(40)) for _ in range(2)],
+    ]
+    for corpus in corpora:
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}))
+        exact_stats = {}
+        text.bpe_merges(docs, n_merges=10, _stats=exact_stats).collect()
+        for delta in (0.0, 0.25, 0.6):
+            stats = {}
+            got = [tuple(r) for r in
+                   text.bpe_merges(docs, n_merges=10, band=delta,
+                                   _stats=stats)
+                   .orderBy("step").collect()]
+            assert got[0] == _classic_bpe(corpus, 1)[0]
+            log = stats["round_log"]
+            assert sum(len(r["committed"]) for r in log) == len(got)
+
+            words = Counter()
+            for tx in corpus:
+                for w in tx.split():
+                    if re.fullmatch(r"[A-Za-z0-9]+", w):
+                        words[w] += 1
+            seqs = {w: list(w) for w in words}
+            it = iter(got)
+            c_prev = float("inf")
+            for rnd in log:
+                pc = Counter()
+                for w, syms in seqs.items():
+                    for i in range(len(syms) - 1):
+                        pc[(syms[i], syms[i + 1])] += words[w]
+                c_max = max(pc.values())
+                assert rnd["c_max"] == c_max
+                assert c_max <= c_prev, "band threshold rose"
+                c_prev = c_max
+                if delta == 0.0:
+                    assert all(c == c_max for c in rnd["committed"])
+                touched: set = set()
+                for n_rec in rnd["committed"]:
+                    step, s1, s2, n = next(it)
+                    assert n == n_rec
+                    assert pc[(s1, s2)] == n, "stale committed count"
+                    assert n >= (1.0 - delta) * c_max - 1e-9
+                    assert not ({s1, s2, s1 + s2} & touched)
+                    touched |= {s1, s2, s1 + s2}
+                    for w, syms in seqs.items():
+                        out, i = [], 0
+                        while i < len(syms):
+                            if (i + 1 < len(syms) and syms[i] == s1
+                                    and syms[i + 1] == s2):
+                                out.append(s1 + s2)
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        seqs[w] = out
+            # a wide band on the near-tie corpus must genuinely batch
+            # (exact and tight bands may differ either way: exact's
+            # dominance bound can out-batch a delta=0 tie-only band)
+            if corpus is corpora[0] and delta == 0.6:
+                assert stats["rounds"] < len(got), \
+                    (stats["rounds"], exact_stats["rounds"])
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["ab ab ba"]}))
+    for bad in (1.0, -0.1, 2.5):
+        with pytest.raises(ValueError, match="band"):
+            text.bpe_merges(docs, n_merges=2, band=bad)
+
+
 # -- product quantization ----------------------------------------------------
 
 
