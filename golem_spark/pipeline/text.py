@@ -1172,7 +1172,8 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
 
 
 def bpe_encode(df: DataFrame, n_merges: int = 4,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               rules: "list[tuple[str, str]] | None" = None) -> DataFrame:
     """Tokenize the corpus with freshly-learned BPE merges — the
     encode half of the tokenizer story (:func:`bpe_merges` is the
     learn half): apply the ``n_merges`` learned rules IN LEARNED ORDER
@@ -1188,11 +1189,20 @@ def bpe_encode(df: DataFrame, n_merges: int = 4,
     aggregate), never folded per occurrence. Returns per-document
     (n_words, n_subwords, n_chars, chars_per_subword) — the
     compression-ratio profile a tokenizer report shows.
+
+    ``rules``: precomputed ``[(lhs, rhs), ...]`` merge list in priority
+    order — the production shape (learn ONCE on a training corpus,
+    possibly with ``bpe_merges(band=...)``, encode many corpora with
+    the persisted table); ``n_merges`` is ignored when given. Default
+    None learns the rules from ``df`` itself.
     """
     from golem_spark.pipeline._cache import _swap_cache
 
-    rules = [(r["lhs"], r["rhs"]) for r in
-             bpe_merges(df, n_merges, text_col).collect()]
+    if rules is None:
+        rules = [(r["lhs"], r["rhs"]) for r in
+                 bpe_merges(df, n_merges, text_col).collect()]
+    else:
+        rules = [(str(a), str(b)) for a, b in rules]
     docw = df.select("doc_id",
                      F.explode(tokens_col(text_col)).alias("w")) \
              .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))

@@ -1277,6 +1277,49 @@ def _classic_bpe(texts, n_merges):
     return rules
 
 
+def test_bpe_encode_with_precomputed_rules(spark):
+    """rules= applies a persisted merge table without re-learning (the
+    production learn-once/encode-many shape): identical output to the
+    learn-inline path on the training corpus, and correct greedy
+    left-to-right application on a corpus the rules were NOT learned
+    on, verified by a per-word Python replay."""
+    train = ["the theme thesis there " * 3] * 4
+    docs_a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(train)), "text": train}))
+    rules = [(r["lhs"], r["rhs"]) for r in
+             text.bpe_merges(docs_a, n_merges=6).orderBy("step").collect()]
+
+    inline = sorted(map(tuple, text.bpe_encode(docs_a, n_merges=6).collect()))
+    pre = sorted(map(tuple, text.bpe_encode(docs_a, rules=rules).collect()))
+    assert inline == pre
+
+    other = ["theory thermos python zebra", "the the the unrelated"]
+    docs_b = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(other)), "text": other}))
+    got = {r["doc_id"]: r["n_subwords"]
+           for r in text.bpe_encode(docs_b, rules=rules).collect()}
+
+    def apply_rules(w):
+        syms = list(w)
+        for s1, s2 in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import re
+    for doc_id, tx in enumerate(other):
+        want = sum(len(apply_rules(w)) for w in tx.split()
+                   if re.fullmatch(r"[A-Za-z0-9]+", w))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
 def test_bpe_batched_learner_stays_exactly_greedy(spark):
     """The batched learner (top-B provably-safe prefix per round) must
     remain EXACTLY greedy-equivalent on corpora engineered to stress
