@@ -138,8 +138,10 @@ def auto_n_seeds(n: int, cap: int = 16384) -> int:
     capped quantizer yields ~6e5-vector expected cells, far from the
     ~1e5-cluster regime the SemDeDup paper runs). At that scale pass
     an explicit n_seeds or use a two-level quantizer (route on a
-    coarse seed, re-quantize within the cell) — a bigger broadcast is
-    not the right tool. A warning fires when the cap binds."""
+    coarse seed, re-quantize within the cell;
+    :func:`semantic_dedup_two_level` is the built-in dedup variant) —
+    a bigger broadcast is not the right tool. A warning fires when
+    the cap binds."""
     import math
     import warnings
 
@@ -148,8 +150,8 @@ def auto_n_seeds(n: int, cap: int = 16384) -> int:
         warnings.warn(
             f"auto_n_seeds: corpus n={n} wants {root} seeds but the "
             f"broadcast cap is {cap}; expected cell size ~{n // cap} "
-            f"vectors. Pass an explicit n_seeds or use a two-level "
-            f"quantizer beyond ~{cap**2} rows.", RuntimeWarning,
+            f"vectors. Pass an explicit n_seeds or a two-level "
+            f"quantizer (semantic_dedup_two_level) beyond ~{cap**2} rows.", RuntimeWarning,
             stacklevel=2)
     return max(16, min(cap, root))
 
@@ -836,6 +838,69 @@ def _with_cells(df: DataFrame, n_seeds: int,
         .select(F.col(id_col),
                 F.array_min(neg_cos)["seed_id"].alias("cell"),
                 e.alias("ev"), nrm.alias("nrm"))))
+
+
+def semantic_dedup_two_level(df: DataFrame, n_seeds="auto", sub_k: int = 4,
+                             threshold: float = 0.9,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             seed_centroids=None) -> DataFrame:
+    """SemDeDup with a TWO-LEVEL quantizer — the scale path past
+    auto_n_seeds' 16384-seed broadcast cap (corpora beyond ~2.7e8
+    rows, where a flat quantizer's expected cell keeps growing with
+    the corpus; see the cap warning in :func:`auto_n_seeds`).
+
+    Level 1 is the flat broadcast-seed routing (:func:`_with_cells`,
+    zero shuffle). Level 2 re-quantizes WITHIN each coarse cell
+    against the cell's ``sub_k`` smallest-id members (the same
+    deterministic first-n convention as the level-1 oracle fixture),
+    and the quadratic pair pass keys on (cell, subcell) — effective
+    cell count n_seeds x sub_k without a bigger broadcast:
+
+    * the sub-seed table is cell-keyed and model-sized (n_seeds x
+      sub_k rows), so level-2 routing is ONE cell-keyed distributed
+      join (n x sub_k intermediate rows, linear) + a min_by argmax —
+      no n_seeds x sub_k broadcast, no per-cell driver loop;
+    * hot-cell pair work drops by ~sub_k (adversarial measurement in
+      tests/test_scale_hygiene.py), at the standard hierarchical-IVF
+      recall trade-off: duplicates straddling a SUB-cell boundary are
+      missed, exactly as level-1 misses cell-straddling ones.
+
+    Output (vec_id, cell, subcell, keep) ordered by vec_id; keep
+    semantics match :func:`semantic_dedup` (drop every vector with a
+    same-(cell, subcell) neighbor of cosine >= threshold and a
+    smaller id)."""
+    from pyspark.sql import Window
+
+    if sub_k < 1:
+        raise ValueError("sub_k must be >= 1")
+    assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
+    w = Window.partitionBy("cell").orderBy(id_col)
+    seeds2 = (assigned.select("cell", id_col, "ev", "nrm")
+              .withColumn("srk", F.row_number().over(w))
+              .filter(F.col("srk") <= sub_k)
+              .select("cell", "srk", F.col("ev").alias("sv"),
+                      F.col("nrm").alias("snrm")))
+    ncos = -(_dot(F.col("ev"), F.col("sv")) / (F.col("nrm") * F.col("snrm")))
+    subc = (assigned.join(seeds2, "cell")
+            .groupBy(id_col)
+            .agg(F.min(F.struct(ncos.alias("ncos"),
+                                F.col("srk").alias("srk")))["srk"]
+                 .cast("long").alias("subcell")))
+    sub = _swap_cache("semdedup2_cells", assigned.join(subc, id_col))
+    a, b = sub.alias("a"), sub.alias("b")
+    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                             F.col("a.subcell") == F.col("b.subcell"),
+                             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+               .filter(cos >= threshold)
+               .select(F.col(f"b.{id_col}").alias(id_col))
+               .distinct())
+    d = dropped.withColumn("__dropped", F.lit(True))
+    return (sub.join(d, on=id_col, how="left")
+            .select(id_col, "cell", "subcell",
+                    F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
+            .orderBy(id_col))
 
 
 def hard_negatives(df: DataFrame, n_seeds="auto", k: int = 2,

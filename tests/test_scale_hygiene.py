@@ -401,3 +401,44 @@ def test_gate_refuses_disabled_glm_certificates(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_GLM_CERTIFICATES", raising=False)
     mod.require_certificates()
     assert os.environ["SPARK_GRAFT_GLM_CERTIFICATES"] == "1"
+
+
+def test_two_level_semdedup_subdivides_hot_cells(spark):
+    """semantic_dedup_two_level is the documented scale path past the
+    auto_n_seeds broadcast cap: on the adversarial clustered corpus
+    the (cell, subcell) groups must be strictly finer than the coarse
+    cells — hot-group size and the quadratic pair budget both drop —
+    while keep semantics stay the SemDeDup contract (verified against
+    the DuckDB oracle by the p124 gate; here we check the skew claim
+    and that sub_k=1 degenerates to the one-level keep-list)."""
+    from collections import Counter
+
+    from golem_spark.pipeline.similarity import (semantic_dedup,
+                                                 semantic_dedup_two_level)
+    from golem_spark.pipeline.skewstress import adversarial_cell_embeddings
+
+    vecs = adversarial_cell_embeddings(spark, 4000).persist()
+    try:
+        one = semantic_dedup(vecs, n_seeds=16, threshold=0.95).collect()
+        two = semantic_dedup_two_level(vecs, n_seeds=16, sub_k=8,
+                                       threshold=0.95).collect()
+        deg = semantic_dedup_two_level(vecs, n_seeds=16, sub_k=1,
+                                       threshold=0.95).collect()
+    finally:
+        vecs.unpersist()
+
+    cells = Counter(r["cell"] for r in one)
+    groups = Counter((r["cell"], r["subcell"]) for r in two)
+    assert len(groups) > len(cells)
+    assert max(groups.values()) < max(cells.values())
+    pairs = lambda c: sum(v * (v - 1) // 2 for v in c.values())  # noqa: E731
+    assert pairs(groups) < pairs(cells) / 2, (pairs(groups), pairs(cells))
+
+    # sub_k=1 puts every cell member in subcell 1: exactly one-level
+    assert ({r["vec_id"]: (r["cell"], r["keep"]) for r in deg}
+            == {r["vec_id"]: (r["cell"], r["keep"]) for r in one})
+    # two-level only ever MISSES boundary-straddling dup pairs: its
+    # drop set is a subset of one-level's
+    dropped_two = {r["vec_id"] for r in two if not r["keep"]}
+    dropped_one = {r["vec_id"] for r in one if not r["keep"]}
+    assert dropped_two <= dropped_one
