@@ -442,3 +442,30 @@ def test_two_level_semdedup_subdivides_hot_cells(spark):
     dropped_two = {r["vec_id"] for r in two if not r["keep"]}
     dropped_one = {r["vec_id"] for r in one if not r["keep"]}
     assert dropped_two <= dropped_one
+
+
+def test_zipfian_fixture_deterministic_and_zipf_shaped(spark):
+    """The Zipfian BPE fixture must be reproducible (md5-derived token
+    draws — same corpus every call, so recorded batch factors are
+    comparable across rounds) and actually Zipf-shaped (top word ~5%
+    of tokens, head dominates the tail)."""
+    from collections import Counter
+
+    from golem_spark.pipeline.skewstress import (zipfian_documents,
+                                                 zipfian_vocabulary)
+
+    a = zipfian_documents(spark, n_docs=50, words_per_doc=40,
+                          vocab_size=500).collect()
+    b = zipfian_documents(spark, n_docs=50, words_per_doc=40,
+                          vocab_size=500).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    toks = Counter(w for r in a for w in r["text"].split())
+    total = sum(toks.values())
+    top = toks.most_common(10)
+    assert top[0][0] in ("the", "of", "and")
+    assert 0.02 <= top[0][1] / total <= 0.10
+    # head-heaviness: top-10 words cover well over a uniform share
+    assert sum(c for _, c in top) / total > 0.15
+    # vocabulary words are learner-compatible (alnum only)
+    assert all(w.isalnum() for w, _ in zipfian_vocabulary(300))
