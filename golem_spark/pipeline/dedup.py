@@ -293,14 +293,26 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     (Spark's setCheckpointDir contract); once round k's snapshot is
     materialized, round k-2's files are deleted (only labels k and
     k-1 are reachable), the fixed point keeps a single snapshot, and
-    the NEXT dup_components call deletes the whole previous subdir
-    when it drops the parked final frame — so on-disk state is one
-    live snapshot, not one directory per round per call. The context's
-    prior checkpoint dir is restored before returning (setCheckpointDir
-    mutates SparkContext-global state that every later checkpoint()
-    caller would otherwise silently inherit); concurrent checkpoint()
-    callers in OTHER threads during the loop still see this call's
-    dir — point them at their own.
+    a LATER dup_components call deletes the whole previous subdir
+    once the previously RETURNED frame is no longer referenced by the
+    caller (weakref-gated, ContextCleaner-style — holding an earlier
+    result across later calls is supported; its snapshot is simply
+    deferred, never deleted out from under it). So on-disk state is
+    one live snapshot per still-referenced result, not one directory
+    per round per call.
+
+    Concurrency (ADVICE r10): setCheckpointDir is SparkContext-GLOBAL,
+    so reliable-checkpoint runs are SERIALIZED on a module lock —
+    concurrent ``dup_components(checkpoint_dir=...)`` calls queue
+    rather than redirect each other's round snapshots into a subdir
+    the other call's pruner owns. localCheckpoint runs (no
+    ``checkpoint_dir``) touch no global state and stay concurrent.
+    The context's prior checkpoint dir is restored before returning —
+    the USER-FACING directory (resolved ``<dir>/<uuid>`` child
+    stripped), so repeated calls don't nest later checkpoint() callers
+    ever deeper. Unrelated checkpoint() callers in OTHER threads
+    during the loop still see this call's dir — point them at their
+    own.
     """
     from golem_spark.pipeline._cache import _swap_cache
 
@@ -310,10 +322,19 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     sc = pairs.sparkSession.sparkContext
     prev_ckpt = resolved_ckpt = None
     if checkpoint_dir is not None:
-        opt = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt = opt.get() if opt.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
-        resolved_ckpt = sc._jsc.sc().getCheckpointDir().get()
+        # serialize: a concurrent reliable-checkpoint call would
+        # redirect this call's later round snapshots into ITS private
+        # subdir, where its keep=2 prune can delete a still-referenced
+        # label snapshot mid-loop (ADVICE r10).
+        _CC_CKPT_LOCK.acquire()
+        try:
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt = opt.get() if opt.isDefined() else None
+            sc.setCheckpointDir(checkpoint_dir)
+            resolved_ckpt = sc._jsc.sc().getCheckpointDir().get()
+        except BaseException:
+            _CC_CKPT_LOCK.release()
+            raise
 
     def _snap(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
@@ -341,50 +362,73 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     # label snapshots are ever reachable, and the cleaner reclaims the
     # rest between jobs (asserted growth-bounded in
     # test_pipeline_cache_growth_is_bounded).
-    labels = _snap(edges.select("x").distinct()
-                   .select("x", F.col("x").alias("lbl")))
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        nb_min = (edges.join(labels.select(F.col("x").alias("y"),
-                                           F.col("lbl").alias("nlbl")), "y")
-                  .groupBy("x").agg(F.min("nlbl").alias("nb")))
-        jump = (labels.select("x", F.col("lbl").alias("j"))
-                .join(labels.select(F.col("x").alias("j"),
-                                    F.col("lbl").alias("jlbl")), "j")
-                .select("x", "jlbl"))
-        labels = _snap(labels.join(nb_min, "x", "left")
-                       .join(jump, "x", "left")
-                       .select("x", F.least(
-                           F.col("lbl"), F.coalesce("nb", "lbl"),
-                           F.coalesce("jlbl", "lbl")).alias("lbl"))
-                       )  # _snap drops the prev reference
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:  # labels only decrease: fixed point
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        raise RuntimeError(f"dup_components did not converge in {max_iter} "
-                           "rounds; use star-contraction for this graph")
-    if checkpoint_dir is not None:
-        # only the fixed point stays reachable past this line
-        _prune_reliable_checkpoints(sc, resolved_ckpt, keep=1)
-        try:
-            # restore the context-global dir (None clears it in local
-            # mode; on a cluster with no prior dir the clear can throw
-            # inside Spark's path validation — best-effort there)
-            sc._jsc.sc().setCheckpointDir(prev_ckpt)
-        except Exception:  # noqa: BLE001
-            pass
+    finished = False
+    try:
+        labels = _snap(edges.select("x").distinct()
+                       .select("x", F.col("x").alias("lbl")))
+        prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        converged = False
+        for _ in range(max_iter):
+            nb_min = (edges.join(labels.select(F.col("x").alias("y"),
+                                               F.col("lbl").alias("nlbl")),
+                                 "y")
+                      .groupBy("x").agg(F.min("nlbl").alias("nb")))
+            jump = (labels.select("x", F.col("lbl").alias("j"))
+                    .join(labels.select(F.col("x").alias("j"),
+                                        F.col("lbl").alias("jlbl")), "j")
+                    .select("x", "jlbl"))
+            labels = _snap(labels.join(nb_min, "x", "left")
+                           .join(jump, "x", "left")
+                           .select("x", F.least(
+                               F.col("lbl"), F.coalesce("nb", "lbl"),
+                               F.coalesce("jlbl", "lbl")).alias("lbl"))
+                           )  # _snap drops the prev reference
+            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if new_sum == prev_sum:  # labels only decrease: fixed point
+                converged = True
+                break
+            prev_sum = new_sum
+        if not converged:
+            raise RuntimeError(
+                f"dup_components did not converge in {max_iter} "
+                "rounds; use star-contraction for this graph")
+        if checkpoint_dir is not None:
+            # only the fixed point stays reachable past this line
+            _prune_reliable_checkpoints(sc, resolved_ckpt, keep=1)
+        finished = True
+    finally:
+        if checkpoint_dir is not None:
+            if not finished:
+                # exception escaped: no frame will ever reference this
+                # call's snapshots — drop the whole private subdir now
+                _delete_ckpt_subdir(sc, resolved_ckpt)
+            try:
+                # restore the context-global dir — the USER-FACING one:
+                # getCheckpointDir() returns the resolved <dir>/<uuid>
+                # child and setCheckpointDir appends a FRESH uuid to
+                # whatever it is given, so restoring the resolved path
+                # would nest later checkpoint() callers one level
+                # deeper per call (ADVICE r10). None clears it in
+                # local mode; on a cluster with no prior dir the clear
+                # can throw inside Spark's path validation —
+                # best-effort there.
+                sc._jsc.sc().setCheckpointDir(_user_ckpt_dir(prev_ckpt))
+            except Exception:  # noqa: BLE001
+                pass
+            _CC_CKPT_LOCK.release()
     import threading
+    import weakref
 
-    live = {t.ident for t in threading.enumerate()}
-    for k in [k for k in _CC_FINAL if k not in live]:
-        _release_cc_final(_CC_FINAL.pop(k))  # dead-thread snapshots
-    _release_cc_final(_CC_FINAL.pop(threading.get_ident(), None))
-    _CC_FINAL[threading.get_ident()] = (labels, sc, resolved_ckpt)
-    return labels.select(F.col("x").alias("doc_id"), F.col("lbl").alias("rep"))
+    ret = labels.select(F.col("x").alias("doc_id"),
+                        F.col("lbl").alias("rep"))
+    _gc_cc_snapshots()
+    # park this call's snapshot with a weakref to the RETURNED frame:
+    # a later call releases the files only once the caller has dropped
+    # it (ADVICE r10 — deleting unconditionally broke the "run two
+    # dedups, then act on the first result" pattern).
+    _CC_FINAL[threading.get_ident()] = (labels, sc, resolved_ckpt,
+                                        weakref.ref(ret))
+    return ret
 
 
 def _prune_reliable_checkpoints(sc, dir_str: str, keep: int) -> None:
@@ -416,14 +460,9 @@ def _prune_reliable_checkpoints(sc, dir_str: str, keep: int) -> None:
         pass
 
 
-def _release_cc_final(entry) -> None:
-    """Drop a parked final-labels snapshot: the localCheckpoint blocks
-    are reclaimed by the ContextCleaner once unreferenced; a reliable
-    checkpoint's private <dir>/<uuid> subdir is deleted here (nothing
-    can reach it once the frame reference is gone)."""
-    if not entry:
-        return
-    _df, sc, resolved = entry
+def _delete_ckpt_subdir(sc, resolved: str | None) -> None:
+    """Delete a call's private <dir>/<uuid> checkpoint subdir (Hadoop
+    FileSystem API so HDFS/S3 paths work the same as local ones)."""
     if resolved is None:
         return
     try:
@@ -434,9 +473,63 @@ def _release_cc_final(entry) -> None:
         pass
 
 
-# final label snapshots per thread, released by the next call (the
-# checkpoint blocks back the RETURNED frame, so they must outlive it)
+def _gc_cc_snapshots() -> None:
+    """ContextCleaner-style release of parked final-label snapshots:
+    a parked entry's files are deleted ONLY once the weakref to the
+    RETURNED frame is dead (the caller dropped their result) — a
+    caller holding an earlier result across later dup_components calls
+    keeps its snapshot alive (ADVICE r10). Still-referenced entries
+    from finished threads are deferred and retried on every call; the
+    localCheckpoint case (resolved None) needs no file deletion — the
+    parked strong ref just drops, and Spark's ContextCleaner reclaims
+    the blocks."""
+    import threading
+
+    live = {t.ident for t in threading.enumerate()}
+    for k in [k for k in _CC_FINAL if k not in live]:
+        _CC_DEFERRED.append(_CC_FINAL.pop(k))
+    _CC_DEFERRED.append(_CC_FINAL.pop(threading.get_ident(), None))
+    still_held = []
+    for entry in _CC_DEFERRED:
+        if entry is None:
+            continue
+        _df, sc, resolved, ret_ref = entry
+        if ret_ref() is not None:  # caller still holds the result
+            still_held.append(entry)
+            continue
+        _delete_ckpt_subdir(sc, resolved)
+    _CC_DEFERRED[:] = still_held
+
+
+# final label snapshot per thread: (labels_df, sc, resolved_ckpt_dir,
+# weakref-to-returned-frame). The checkpoint blocks/files back the
+# RETURNED frame, so they must outlive it; release is weakref-gated in
+# _gc_cc_snapshots. _CC_DEFERRED holds entries whose returned frame
+# was still referenced when a later call tried to release them.
 _CC_FINAL: dict = {}
+_CC_DEFERRED: list = []
+
+import re as _re  # noqa: E402
+import threading as _threading  # noqa: E402
+
+# serializes reliable-checkpoint dup_components runs (setCheckpointDir
+# is SparkContext-global; see the dup_components docstring)
+_CC_CKPT_LOCK = _threading.Lock()
+
+_UUID_RE = _re.compile(
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+
+
+def _user_ckpt_dir(resolved: str | None) -> str | None:
+    """Recover the USER-FACING checkpoint dir from the resolved one:
+    SparkContext.setCheckpointDir always appends a fresh UUID child,
+    so getCheckpointDir() returns <user-dir>/<uuid>. Strip exactly one
+    trailing UUID component (restoring the resolved path would nest a
+    new UUID under it on every restore — ADVICE r10)."""
+    if resolved is None:
+        return None
+    head, _sep, tail = resolved.rstrip("/").rpartition("/")
+    return head if head and _UUID_RE.match(tail) else resolved
 
 
 def _dup_components_driver(pairs: DataFrame, a_col: str,

@@ -123,7 +123,7 @@ def ann_lsh_topk(df: DataFrame, query_ids=(0, 1, 2), k: int = 5,
             .select("query_id", id_col, "cos"))
 
 
-def auto_n_seeds(n: int, cap: int = 16384) -> int:
+def auto_n_seeds(n: int, cap: int = 16384, warn_cap: bool = True) -> int:
     """Corpus-scaled coarse-quantizer size: ceil-ish sqrt(n), floored
     at 16 (the demo/oracle fixture size) and capped by the broadcast
     budget (16384 seeds x 64-dim doubles ~ 8 MB in the one-row seed
@@ -146,7 +146,7 @@ def auto_n_seeds(n: int, cap: int = 16384) -> int:
     import warnings
 
     root = math.isqrt(max(int(n), 0))
-    if root > cap:
+    if root > cap and warn_cap:
         warnings.warn(
             f"auto_n_seeds: corpus n={n} wants {root} seeds but the "
             f"broadcast cap is {cap}; expected cell size ~{n // cap} "
@@ -156,15 +156,17 @@ def auto_n_seeds(n: int, cap: int = 16384) -> int:
     return max(16, min(cap, root))
 
 
-def _resolve_n_seeds(df: DataFrame, n_seeds) -> int:
+def _resolve_n_seeds(df: DataFrame, n_seeds, warn_cap: bool = True) -> int:
     """'auto' -> auto_n_seeds(corpus count) (one count job, columnar
     parquet count at scan level); ints pass through for the pinned
-    oracle fixtures and tests."""
+    oracle fixtures and tests. ``warn_cap=False`` suppresses the
+    broadcast-cap RuntimeWarning — used when the caller IS the
+    two-level quantizer the warning recommends (ADVICE r10)."""
     if isinstance(n_seeds, str):
         if n_seeds != "auto":
             raise ValueError(f"n_seeds must be an int or 'auto', "
                              f"got {n_seeds!r}")
-        return auto_n_seeds(df.count())
+        return auto_n_seeds(df.count(), warn_cap=warn_cap)
     return int(n_seeds)
 
 
@@ -874,6 +876,13 @@ def semantic_dedup_two_level(df: DataFrame, n_seeds="auto", sub_k: int = 4,
 
     if sub_k < 1:
         raise ValueError("sub_k must be >= 1")
+    if seed_centroids is None:
+        # resolve here with the cap warning OFF: this function IS the
+        # two-level quantizer the warning recommends, so firing it on
+        # the documented scale path would be self-referential noise
+        # (ADVICE r10). The cap itself still applies — level 1 stays
+        # within the broadcast budget; level 2 is what scales past it.
+        n_seeds = _resolve_n_seeds(df, n_seeds, warn_cap=False)
     assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
     w = Window.partitionBy("cell").orderBy(id_col)
     seeds2 = (assigned.select("cell", id_col, "ev", "nrm")

@@ -321,6 +321,157 @@ def test_dup_components_checkpoint_hygiene(spark, tmp_path, monkeypatch):
     assert count_rdd_dirs() == 1, "previous call's snapshots leaked"
 
 
+def test_dup_components_previous_result_survives_next_call(spark, tmp_path):
+    """ADVICE r10: a caller may hold the FIRST durable-checkpoint
+    result across a SECOND dup_components call and act on it
+    afterwards — release of the first call's private subdir is
+    weakref-gated on the returned frame, so the files must still be
+    there (the old unconditional delete made this pattern fail with
+    missing-checkpoint-file errors). Once the first result is dropped,
+    the deferred release actually fires."""
+    import gc
+    import os
+
+    import pandas as pd
+
+    from golem_spark.pipeline import dedup
+
+    chain = [(i, i + 1) for i in range(100, 124)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    ckpt1, ckpt2 = str(tmp_path / "cc1"), str(tmp_path / "cc2")
+
+    def rdd_dirs(root):
+        return sum(1 for dp, dns, _ in os.walk(root)
+                   for d in dns if d.startswith("rdd-"))
+
+    first = dedup.dup_components(pairs, driver_max_edges=0,
+                                 checkpoint_dir=ckpt1)
+    dedup.dup_components(pairs, driver_max_edges=0,
+                         checkpoint_dir=ckpt2).collect()
+    assert rdd_dirs(ckpt1) == 1, "held result's snapshot was deleted"
+    out = {r["doc_id"]: r["rep"] for r in first.collect()}  # still usable
+    assert all(rep == 100 for rep in out.values())
+    del first, out
+    gc.collect()
+    dedup._gc_cc_snapshots()  # deferred release fires once dropped
+    assert rdd_dirs(ckpt1) == 0, "dropped result's snapshot leaked"
+
+
+def test_dup_components_restore_is_user_facing_dir(spark, tmp_path):
+    """ADVICE r10: restoring the RESOLVED <dir>/<uuid> child would
+    nest later checkpoint() callers one UUID deeper per call; the
+    restore must strip back to the user-facing directory, so the
+    post-call dir is a direct child of the original argument."""
+    import pandas as pd
+
+    from golem_spark.pipeline import dedup
+
+    sc = spark.sparkContext
+    user_dir = str(tmp_path / "user_ckpt")
+    sc.setCheckpointDir(user_dir)
+    resolved_before = sc._jsc.sc().getCheckpointDir().get()
+    try:
+        chain = [(i, i + 1) for i in range(100, 116)]
+        pairs = spark.createDataFrame(
+            pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+        dedup.dup_components(pairs, driver_max_edges=0,
+                             checkpoint_dir=str(tmp_path / "cc")).collect()
+        resolved_after = sc._jsc.sc().getCheckpointDir().get()
+        # direct child of user_dir (a sibling uuid), NOT nested under
+        # the previous resolved child
+        assert not resolved_after.startswith(resolved_before.rstrip("/")
+                                             + "/")
+        import os
+        parent = os.path.dirname(resolved_after.rstrip("/"))
+        assert parent.endswith("user_ckpt")
+    finally:
+        try:
+            sc._jsc.sc().setCheckpointDir(None)
+        except Exception:  # noqa: BLE001
+            pass
+
+    # the strip helper itself
+    strip = dedup._user_ckpt_dir
+    assert strip(None) is None
+    u = "01234567-89ab-cdef-0123-456789abcdef"
+    assert strip(f"/data/ck/{u}") == "/data/ck"
+    assert strip(f"hdfs://nn/ck/{u}/") == "hdfs://nn/ck"
+    assert strip("/data/ck/not-a-uuid") == "/data/ck/not-a-uuid"
+
+
+def test_dup_components_concurrent_durable_calls(spark, tmp_path):
+    """ADVICE r10: concurrent dup_components(checkpoint_dir=...) calls
+    serialize on the module lock instead of redirecting each other's
+    round snapshots into a subdir the other call's pruner owns. Both
+    must finish with correct labels and no missing-file errors."""
+    import threading
+
+    import pandas as pd
+
+    from golem_spark.pipeline.dedup import dup_components
+
+    chain = [(i, i + 1) for i in range(100, 116)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    results, errors = {}, []
+
+    def run(tag):
+        try:
+            out = dup_components(pairs, driver_max_edges=0,
+                                 checkpoint_dir=str(tmp_path / tag))
+            results[tag] = {r["doc_id"]: r["rep"] for r in out.collect()}
+        except Exception as exc:  # noqa: BLE001
+            errors.append((tag, exc))
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    for tag in ("a", "b"):
+        assert all(rep == 100 for rep in results[tag].values())
+
+
+def test_two_level_auto_suppresses_cap_warning(spark, monkeypatch):
+    """ADVICE r10: semantic_dedup_two_level IS the remedy the
+    auto_n_seeds cap warning recommends, so its own auto resolution
+    must not fire that warning (self-referential noise on the
+    documented scale path). The warning still fires for flat callers."""
+    import warnings
+
+    from golem_spark.pipeline import similarity
+
+    # unit level: warn_cap toggles the RuntimeWarning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert similarity.auto_n_seeds(10**10, cap=16,
+                                       warn_cap=False) == 16
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        similarity.auto_n_seeds(10**10, cap=16)
+    assert any(issubclass(w.category, RuntimeWarning) for w in rec)
+
+    # integration: the two-level path resolves with warn_cap=False
+    seen = []
+    real = similarity._resolve_n_seeds
+
+    def spy(df, n_seeds, warn_cap=True):
+        seen.append((n_seeds, warn_cap))
+        return real(df, n_seeds, warn_cap=warn_cap)
+
+    monkeypatch.setattr(similarity, "_resolve_n_seeds", spy)
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    similarity.semantic_dedup_two_level(vecs, n_seeds="auto",
+                                        sub_k=2).collect()
+    # the 'auto' resolution (the only one that can warn) ran with the
+    # cap warning suppressed; int pass-throughs never warn
+    autos = [wc for (ns, wc) in seen if ns == "auto"]
+    assert autos and all(wc is False for wc in autos)
+
+
 def test_dup_components_nonconvergence_raises(spark):
     import pandas as pd
 
