@@ -3299,6 +3299,125 @@ def bpe_encode_oracle_sql(n_merges: int) -> str:
     GROUP BY doc_id ORDER BY doc_id""")
 
 
+def _bpe_band_fold_sql(plist_ref: str) -> str:
+    """Multi-pair variant of _bpe_fold_sql: one left-to-right pass
+    merging whichever of the round's committed pairs matches. Valid
+    because a round's commits are pairwise symbol-DISJOINT (incl.
+    merged tokens) — no commit can consume or extend another's output,
+    so one simultaneous pass equals the engine's sequential per-pair
+    application (_merge_word). ``plist_ref`` is a scalar 's1|s2 s1|s2'
+    list ('' for an empty round)."""
+    st = "CASE WHEN strpos(acc,'|')=0 THEN '|'||acc ELSE acc END"
+    out = f"split_part({st},'|',1)"
+    prev = f"split_part({st},'|',2)"
+    hit = (f"strpos(' ' || {plist_ref} || ' ', "
+           f"' ' || {prev} || '|' || x || ' ') > 0")
+    merged = f"({prev} || x)"
+    return f"""list_reduce(syms, (acc, x) ->
+      CASE
+        WHEN ({st}) LIKE '%|' THEN ({st}) || x
+        WHEN {hit} THEN
+          (CASE WHEN {out} = '' THEN {merged}
+                ELSE {out} || ' ' || {merged} END) || '|'
+        ELSE
+          (CASE WHEN {out} = '' THEN {prev}
+                ELSE {out} || ' ' || {prev} END) || '|' || x
+      END)"""
+
+
+def bpe_band_oracle_sql(n_merges: int, band: float,
+                        max_batch: int = 64) -> str:
+    """Generated oracle for p125: replay the BANDED BPE rounds
+    (text.bpe_merges(band=...)) entirely in SQL and emit the same
+    per-merge audit log — every value cross-derived, which certifies
+    the approximate mode's bounded contract (true round-start counts,
+    per-round band threshold, monotone maxima, band order) against an
+    independent engine rather than an in-test replay (VERDICT r10
+    item 3). Rounds are unrolled to the worst case (one merge per
+    round); exhausted rounds commit nothing via the budget guard.
+    Each round k mirrors the driver walk exactly:
+
+    * rk: pairs ranked (count DESC, s1, s2), cut to the driver's
+      collect limit max(2*budget, 8);
+    * cut: the contiguous-prefix cuts — EXCLUSIVE at the first rank
+      sharing a symbol (incl. merged tokens) with any earlier rank,
+      INCLUSIVE at the budget or at a merged token colliding with a
+      previously committed one (single-char initial symbols can never
+      collide with length>=2 merged tokens);
+    * com: prefix rows with count >= (1-band) * the round's top count
+      (same IEEE double arithmetic as the driver);
+    * seq: one fold pass applying the round's disjoint batch.
+    """
+    k_max = n_merges
+    final = ("(CASE WHEN strpos(stv,'|')=0 THEN stv "
+             "WHEN split_part(stv,'|',2)='' THEN split_part(stv,'|',1) "
+             "WHEN split_part(stv,'|',1)='' THEN split_part(stv,'|',2) "
+             "ELSE split_part(stv,'|',1)||' '||split_part(stv,'|',2) END)")
+    ctes = list(_bpe_chain_ctes(0))  # words + seq0
+    ctes.append(
+        "cm0 AS MATERIALIZED (SELECT 0 AS rnd, 0::BIGINT AS step, '' AS s1, '' AS s2, "
+        "0::BIGINT AS n, 0::BIGINT AS c_max, '' AS m "
+        "FROM (VALUES (1)) _t(_x) WHERE FALSE)")
+    for k in range(1, k_max + 1):
+        j = k - 1
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT pr[1] AS s1, pr[2] AS s2, SUM(cnt)::BIGINT AS n
+      FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS pr
+            FROM seq{j}) u
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2)""")
+        ctes.append(f"""bud{k} AS MATERIALIZED (
+      SELECT LEAST({max_batch}, {n_merges} -
+                   (SELECT COUNT(*) FROM cm{j}))::BIGINT AS b)""")
+        ctes.append(f"""rk{k} AS MATERIALIZED (
+      SELECT s1, s2, n, s1 || s2 AS m,
+             ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2) AS rn
+      FROM p{k}
+      QUALIFY rn <= GREATEST(2 * (SELECT b FROM bud{k}), 8))""")
+        ctes.append(f"""cth{k} AS MATERIALIZED (
+      SELECT r.rn,
+             EXISTS (SELECT 1 FROM rk{k} e WHERE e.rn < r.rn AND
+                     (e.s1 IN (r.s1, r.s2, r.m)
+                      OR e.s2 IN (r.s1, r.s2, r.m)
+                      OR e.m IN (r.s1, r.s2, r.m))) AS conflict,
+             (r.rn >= (SELECT b FROM bud{k})
+              OR r.m IN (SELECT m FROM cm{j})) AS stop_inc
+      FROM rk{k} r)""")
+        ctes.append(f"""cut{k} AS MATERIALIZED (
+      SELECT COALESCE(MIN(CASE WHEN conflict THEN rn END), 1000000)
+               AS excl,
+             COALESCE(MIN(CASE WHEN stop_inc THEN rn END), 1000000)
+               AS incl
+      FROM cth{k})""")
+        ctes.append(f"""com{k} AS MATERIALIZED (
+      SELECT r.rn, r.s1, r.s2, r.n, r.m
+      FROM rk{k} r, cut{k} c, bud{k} b
+      WHERE b.b > 0 AND r.rn < c.excl AND r.rn <= c.incl
+        AND r.n::DOUBLE >= (1.0 - {band!r}) *
+            (SELECT n FROM rk{k} WHERE rn = 1)::DOUBLE)""")
+        ctes.append(f"""cm{k} AS MATERIALIZED (
+      SELECT * FROM cm{j}
+      UNION ALL
+      SELECT {k} AS rnd,
+             (SELECT COUNT(*) FROM cm{j}) + rn AS step,
+             s1, s2, n,
+             (SELECT n FROM rk{k} WHERE rn = 1) AS c_max, m
+      FROM com{k})""")
+        if k < k_max:
+            ctes.append(f"""pl{k} AS MATERIALIZED (
+      SELECT COALESCE(string_agg(s1 || '|' || s2, ' ' ORDER BY rn), '')
+             AS s FROM com{k})""")
+            ctes.append(f"""seq{k} AS MATERIALIZED (
+      SELECT w, cnt,
+             string_split({final.replace('stv', f'f{k}')}, ' ') AS syms
+      FROM (SELECT w, cnt, {_bpe_band_fold_sql(f'pl{k}.s')} AS f{k}
+            FROM seq{j}, pl{k}) ff)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT step::INT AS step, rnd::INT AS "round",
+           c_max::BIGINT AS c_max, s1 AS lhs, s2 AS rhs,
+           n::BIGINT AS pair_count
+    FROM cm{k_max} ORDER BY step""")
+
+
 _add(
     "p106_bpe_merges",
     lambda t: text.bpe_merges(t["documents"], n_merges=4).orderBy("step"),
@@ -3309,6 +3428,12 @@ _add(
     "p107_bpe_encode",
     lambda t: text.bpe_encode(t["documents"], n_merges=4).orderBy("doc_id"),
     bpe_encode_oracle_sql(4),
+)
+
+_add(
+    "p125_bpe_band_log",
+    lambda t: text.bpe_merge_log(t["documents"], n_merges=8, band=0.1),
+    bpe_band_oracle_sql(8, 0.1),
 )
 
 

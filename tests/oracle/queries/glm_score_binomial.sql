@@ -1,6 +1,6 @@
 WITH s AS (
       SELECT CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE 1.0 END AS pos,
-             1.0 / (1.0 + EXP(-(0.7040438221897719 + 0.00020013477765335393*l_quantity + -1.6834935168007865e-07*l_extendedprice + -0.21004370145502374*l_discount))) AS prob
+             1.0 / (1.0 + EXP(-(0.7040438221897719 + 0.00020013477765335388*l_quantity + -1.6834935168007775e-07*l_extendedprice + -0.21004370145502363*l_discount))) AS prob
       FROM lineitem),
     r AS (
       SELECT pos, prob,

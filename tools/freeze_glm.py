@@ -79,17 +79,32 @@ def freeze_one_sf(spark, sf_dir: str) -> tuple[int, dict]:
         ]
         print(f"{sf_dir} {fam}: {fit.n_sigma} path points frozen")
 
-    wide_frozen: dict[str, list[tuple[float, int]]] = {}
+    def wide_rows(fit):
+        """Per path point: (dev_ratio, n_nonzero, intercepts-per-target,
+        sparse nonzero (feature_idx, target, raw_value) triples) — the
+        beta enters the oracle's grouped one-hot KKT certificate
+        (_wide_kkt_sql) as a VALUES lookup, so only nonzeros are
+        frozen."""
+        rows = []
+        for k in range(fit.n_sigma):
+            co = fit.coefficients[:, :, k]          # (p+1, m) raw units
+            nz = [(int(j), int(t), float(co[1 + j, t]))
+                  for j in range(co.shape[0] - 1)
+                  for t in range(co.shape[1])
+                  if co[1 + j, t] != 0.0]
+            rows.append((float(fit.deviance_ratio[k]),
+                         int((np.abs(co[1:, :]) > 0).sum()),
+                         tuple(float(v) for v in co[0, :]),
+                         tuple(nz)))
+        return rows
+
+    wide_frozen: dict[str, list] = {}
     for fam, spec in WIDE_SPECS.items():
         fit = owl(df=_wide_sparse_frame(li, fam),
                   sparse_features=("idx", "val"), sparse_p=WIDE_P,
                   label_col="label", family=fam, sigma=spec["sigmas"],
                   lam="oscar", q=_WIDE_Q, **spec["owl_kwargs"])
-        wide_frozen[fam] = [
-            (float(fit.deviance_ratio[k]),
-             int((np.abs(fit.coefficients[1:, :, k]) > 0).sum()))
-            for k in range(fit.n_sigma)
-        ]
+        wide_frozen[fam] = wide_rows(fit)
         print(f"{sf_dir} wide {fam}: {fit.n_sigma} path points frozen")
 
     # ultrawide (p=10007) gaussian stress goldens
@@ -97,10 +112,7 @@ def freeze_one_sf(spark, sf_dir: str) -> tuple[int, dict]:
     fit = owl(df=_uw_frame(li), sparse_features=("idx", "val"),
               sparse_p=UW_P, label_col="label", family="gaussian",
               sigma=_UW_SIGMAS, lam="oscar", q=_WIDE_Q)
-    uw_frozen = {"gaussian": [
-        (float(fit.deviance_ratio[k]),
-         int((np.abs(fit.coefficients[1:, :, k]) > 0).sum()))
-        for k in range(fit.n_sigma)]}
+    uw_frozen = {"gaussian": wide_rows(fit)}
     print(f"{sf_dir} ultrawide gaussian: {fit.n_sigma} path points frozen")
 
     # CV per-(fold, path-point) coefficients for the glm_cv_* queries:
