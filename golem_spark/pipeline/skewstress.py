@@ -157,6 +157,44 @@ def ivf_cell_stats(vecs: DataFrame, n_seeds="auto",
     }
 
 
+def two_level_subcell_stats(vecs: DataFrame, n_seeds: int = 16,
+                            sub_k: int = 8, threshold: float = 0.95,
+                            learned: bool = False) -> dict:
+    """Measured (cell, subcell) skew profile of semantic_dedup_two_level
+    (p124): group_pairs IS the two-level quadratic pair budget,
+    max_group the hottest reducer's share. Run once with the first-n
+    sub-seed convention (the oracle fixture) and once with
+    ``learned=True`` (per-cell mini-Lloyd) so the SCALE_AUDIT artifact
+    records the level-2 analogue of the first-n-vs-learned level-1
+    comparison (VERDICT r10 item 5)."""
+    from golem_spark.pipeline.similarity import semantic_dedup_two_level
+
+    n_vecs = vecs.count()
+    out = semantic_dedup_two_level(vecs, n_seeds=n_seeds, sub_k=sub_k,
+                                   threshold=threshold,
+                                   learned_sub_seeds=learned)
+    prof = (out.groupBy("cell", "subcell").agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.max("sz").alias("max_group"),
+                 F.sum(F.when(F.col("sz") > 1,
+                              F.col("sz") * (F.col("sz") - 1) / 2)
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("group_pairs")).collect()[0])
+    quad = n_vecs * (n_vecs - 1) // 2
+    return {
+        "n_vecs": n_vecs,
+        "n_seeds": n_seeds,
+        "sub_k": sub_k,
+        "learned_sub_seeds": learned,
+        "n_groups": int(prof["n_groups"]),
+        "max_group": int(prof["max_group"]),
+        "group_pairs": int(prof["group_pairs"]),
+        "quadratic_pairs": int(quad),
+        "pair_fraction": round(prof["group_pairs"] / max(quad, 1), 6),
+        "max_group_fraction": round(prof["max_group"] / max(n_vecs, 1), 6),
+    }
+
+
 def lsh_bucket_stats(docs: DataFrame) -> dict:
     """Measured skew profile of the MinHash-LSH candidate join on
     ``docs``: the (lang, len_bucket, band, bkey) bucket histogram that

@@ -863,3 +863,70 @@ def test_streaming_dedup_recovers_from_checkpoint_restart(spark, tmp_path):
     assert sum(1 for d in streamed.values() if d < 100000) > 0
     # ...and post-restart fresh hashes still emitted
     assert sum(1 for d in streamed.values() if d >= 200000) > 0
+
+
+def test_streaming_neardup_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Restart recovery for the near-dup twin (VERDICT r10 item 6 —
+    after budget_admission (r8) and exact-dedup (r9) it is the last
+    stateful streaming operator without a kill-and-resume test). Its
+    state is per-LSH-bucket member lists, so recovery must do two
+    things at once: pair a post-restart document against PRE-restart
+    bucket members (state recovered, cross-lifecycle pairs appear) and
+    not re-emit pre-restart pairs. Lifecycle 1 streams the first half
+    of the corpus to a durable parquet sink and stops (simulated
+    crash); lifecycle 2 is a brand-new query from the same
+    checkpointLocation over the second half. The union of the sink
+    across both lifecycles must equal the batch minhash_lsh_pairs
+    candidates over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.dedup import minhash_lsh_pairs
+    from golem_spark.streaming.dedup import DOCS_SCHEMA
+    from golem_spark.streaming.neardup import streaming_neardup_pairs
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (spark.readStream.schema(DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").format("parquet")
+                  .load(str(src) + "/*"))
+        return (streaming_neardup_pairs(stream)
+                .writeStream.outputMode("append").format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt).start())
+
+    cut = 250  # sf0.001 has 500 docs; near-dup clones span the cut
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    pre_restart = {(r["doc_a"], r["doc_b"])
+                   for r in spark.read.parquet(sink).collect()}
+
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    s_pairs = {(r["doc_a"], r["doc_b"])
+               for r in spark.read.parquet(sink).collect()}
+    b_pairs = {(r["doc_a"], r["doc_b"])
+               for r in minhash_lsh_pairs(docs).collect()}
+    assert len(b_pairs) > 0
+    assert s_pairs == b_pairs
+    # cross-lifecycle pairs exist: a post-restart doc collided with a
+    # bucket member recovered from the lifecycle-1 state store
+    cross = {(a, b) for a, b in s_pairs - pre_restart
+             if a < cut <= b or b < cut <= a}
+    assert len(cross) > 0

@@ -444,6 +444,31 @@ def test_two_level_semdedup_subdivides_hot_cells(spark):
     assert dropped_two <= dropped_one
 
 
+def test_learned_sub_seeds_bound_hot_subcell(spark):
+    """VERDICT r10 item 5: on a clustered cell the first-n sub-seed
+    convention is the level-2 analogue of the first-n level-1 seeds —
+    the pure hot-direction vector is the cluster MEAN, so as a
+    sub-seed it out-cosines the jittered sub-seeds for most members
+    and one subcell absorbs a quarter of the corpus. The learned
+    per-cell mini-Lloyd sub-quantizer must bound the hot subcell
+    (and the pair budget) strictly below the first-n profile, and
+    both are recorded per round by tools/scale_audit.py."""
+    from golem_spark.pipeline.skewstress import (adversarial_cell_embeddings,
+                                                 two_level_subcell_stats)
+
+    vecs = adversarial_cell_embeddings(spark, 4000).persist()
+    try:
+        first = two_level_subcell_stats(vecs, learned=False)
+        learned = two_level_subcell_stats(vecs, learned=True)
+    finally:
+        vecs.unpersist()
+    # measured on the deterministic fixture: first-n max_group 1033
+    # (0.258 of corpus), learned 574 (0.144)
+    assert learned["max_group"] < first["max_group"]
+    assert learned["max_group_fraction"] < 0.2 < first["max_group_fraction"]
+    assert learned["group_pairs"] < first["group_pairs"]
+
+
 def test_zipfian_fixture_deterministic_and_zipf_shaped(spark):
     """The Zipfian BPE fixture must be reproducible (md5-derived token
     draws — same corpus every call, so recorded batch factors are
