@@ -930,3 +930,157 @@ def test_streaming_neardup_recovers_from_checkpoint_restart(spark, tmp_path):
     cross = {(a, b) for a, b in s_pairs - pre_restart
              if a < cut <= b or b < cut <= a}
     assert len(cross) > 0
+
+
+def test_stateful_user_scores_recovers_from_checkpoint_restart(
+        spark, tmp_path):
+    """Restart recovery for the per-user running-score twin — its
+    state is per-key running (n, sum_value, sum_score, last_ts), so a
+    recovered restart must CONTINUE each user's counters, not restart
+    them from zero. The operator emits in update mode (one snapshot
+    row per user per micro-batch), which the file sink rejects, so the
+    durable sink is foreachBatch appending each update batch to
+    parquet — recovery still flows through the same checkpoint state
+    store. Lifecycle 1 streams the first half of the events and stops
+    (simulated crash); lifecycle 2 is a brand-new query from the same
+    checkpointLocation over the rest. The LAST snapshot per user
+    (max n_events) must equal the batch groupBy over the whole table,
+    which is only possible if lifecycle 2 resumed the recovered
+    per-user state."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.streaming.scoring import EVENTS_SCHEMA
+    from golem_spark.streaming.stateful import stateful_user_scores
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = 500  # event_id median: every user has events on both sides
+    src = tmp_path / "events_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").format("parquet")
+                  .load(str(src) + "/*"))
+
+        def append(batch_df, _bid):
+            batch_df.write.mode("append").parquet(sink)
+
+        return (stateful_user_scores(stream)
+                .writeStream.outputMode("update").foreachBatch(append)
+                .option("checkpointLocation", ckpt).start())
+
+    events.filter(F.col("event_id") < cut).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    pre = {r["user_id"]: r["n_events"]
+           for r in spark.read.parquet(sink).collect()}
+
+    events.filter(F.col("event_id") >= cut).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = {}
+    for r in spark.read.parquet(sink).collect():
+        if (r["user_id"] not in final
+                or r["n_events"] > final[r["user_id"]]["n_events"]):
+            final[r["user_id"]] = r
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(
+        -(F.lit(0.01) * F.col("value") + F.lit(-1.0))))
+    batch = {r["user_id"]: r for r in events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.avg(score).alias("avg_score"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .alias("last_ts")).collect()}
+    assert set(final) == set(batch) and len(batch) > 0
+    for uid in batch:
+        assert final[uid]["n_events"] == batch[uid]["n_events"]
+        assert abs(final[uid]["sum_value"]
+                   - batch[uid]["sum_value"]) < 1e-6
+        assert abs(final[uid]["avg_score"]
+                   - batch[uid]["avg_score"]) < 1e-9
+        assert final[uid]["last_ts"] == batch[uid]["last_ts"]
+    # the post-restart snapshots CONTINUED recovered counters: some
+    # user seen in both lifecycles ends with n_events strictly above
+    # its lifecycle-1 count (impossible from fresh state, which would
+    # report only lifecycle-2 rows)
+    assert any(batch[u]["n_events"] > n for u, n in pre.items()
+               if batch[u]["n_events"] != n)
+
+
+def test_kmv_stream_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Restart recovery for the streaming per-source KMV sketch — its
+    state is the k smallest hashes seen so far plus a monotonic
+    update_seq. After a kill-and-resume, the final snapshot per source
+    must equal the batch sketch over the WHOLE corpus (the k-smallest
+    union is order- and restart-insensitive), and update_seq must
+    count micro-batches across BOTH lifecycles — a fresh (unrecovered)
+    state would restart it at 1. Update-mode output, so the durable
+    sink is foreachBatch parquet appends, as in the user-scores twin."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.pipeline.sketch import kmv_distinct_by_group
+    from golem_spark.streaming.curation import (DOCS_SCHEMA,
+                                                kmv_by_group_stream)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (spark.readStream.schema(DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").format("parquet")
+                  .load(str(src) + "/*"))
+
+        def append(batch_df, _bid):
+            batch_df.write.mode("append").parquet(sink)
+
+        return (kmv_by_group_stream(stream, "text", k=16)
+                .writeStream.outputMode("update").foreachBatch(append)
+                .option("checkpointLocation", ckpt).start())
+
+    cut = 250  # sf0.001 has 500 docs; every source spans the cut
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = {}
+    for r in spark.read.parquet(sink).collect():
+        if (r["source"] not in final
+                or r["update_seq"] > final[r["source"]]["update_seq"]):
+            final[r["source"]] = r
+    batch = {r["source"]: (r["n_kept"], r["kth_hash"], r["est_distinct"])
+             for r in kmv_distinct_by_group(docs, "source", "text",
+                                            k=16).collect()}
+    assert set(final) == set(batch) and len(batch) > 1
+    for s in batch:
+        assert (final[s]["n_kept"], final[s]["kth_hash"],
+                final[s]["est_distinct"]) == batch[s]
+    # the recovered update_seq continued across the restart: sources
+    # present in both lifecycles saw one micro-batch per lifecycle
+    assert max(r["update_seq"] for r in final.values()) >= 2

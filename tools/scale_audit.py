@@ -216,6 +216,56 @@ def wide_p_ceiling_binomial(spark, sf_dir: str) -> dict:
     }
 
 
+def wide_p_ceiling_multinomial(spark, sf_dir: str) -> dict:
+    """Round 11 — the MULTI-TARGET wide-p ceiling, completing the
+    family matrix (gaussian r10, binomial r11). Multinomial is the
+    structurally heaviest path: m-1 coefficient columns per feature
+    (the sorted-L1 prox and the screening gradient run over p*(m-1)
+    entries) and per-class prox-Newton pseudo-gradients. Same 100k
+    one-hot design off lineitem, response l_returnflag A/N/R with R
+    dropped (m=2 targets), screening ON — the claim is the screened
+    near-sigma_max regime keeps active sets a small fraction of p for
+    the multi-target solver too."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from golem_spark.path import owl
+    from golem_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    p = 100_007
+    frame = li.select(
+        F.array((F.col("l_linenumber") - 1).cast("int"),
+                (F.lit(7) + F.pmod(F.col("l_orderkey"),
+                                   F.lit(50_000))).cast("int"),
+                (F.lit(50_007) + F.pmod(F.col("l_partkey"),
+                                        F.lit(50_000))).cast("int")
+                ).alias("idx"),
+        F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0)).alias("val"),
+        F.col("l_returnflag").alias("label"))
+    n = frame.count()
+    t0 = time.monotonic()
+    fit = owl(df=frame, sparse_features=("idx", "val"), sparse_p=p,
+              label_col="label", family="multinomial", n_sigma=4,
+              lambda_min_ratio=0.65, lam="bh", q=0.2, screening=True)
+    wall = round(time.monotonic() - t0, 2)
+    sizes = [int(len(a)) for a in fit.active_sets]
+    return {
+        "p": p,
+        "n": int(n),
+        "family": "multinomial",
+        "m_targets": int(fit.coefficients.shape[1]),
+        "screening": True,
+        "n_sigma_fitted": int(fit.n_sigma),
+        "wall_sec": wall,
+        "active_set_sizes": sizes,
+        "max_active_fraction": round(max(sizes) / p, 6),
+        "n_violations_per_point": [len(v) for v in fit.violations],
+        "dev_ratio": [round(float(d), 6) for d in fit.deviance_ratio],
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
@@ -254,11 +304,14 @@ def main() -> None:
             print(f"SKEW {k}: {v}")
     widep = None
     widep_b = None
+    widep_m = None
     if "--no-widep" not in sys.argv[1:]:
         widep = wide_p_ceiling(spark, sf_dir)
         print(f"WIDE-P {widep}")
         widep_b = wide_p_ceiling_binomial(spark, sf_dir)
         print(f"WIDE-P-BINOMIAL {widep_b}")
+        widep_m = wide_p_ceiling_multinomial(spark, sf_dir)
+        print(f"WIDE-P-MULTINOMIAL {widep_m}")
     if json_path:
         import json
 
@@ -267,7 +320,8 @@ def main() -> None:
                        "unexplained_flags": unexplained,
                        "skew_stress": skew,
                        "wide_p_ceiling": widep,
-                       "wide_p_ceiling_binomial": widep_b}, fh, indent=1)
+                       "wide_p_ceiling_binomial": widep_b,
+                       "wide_p_ceiling_multinomial": widep_m}, fh, indent=1)
         print(f"wrote {json_path}")
 
 
