@@ -129,6 +129,56 @@ def _power_eig_max(G: np.ndarray, iters: int = 16) -> float:
     return float(v @ (G @ v))
 
 
+class _KronH:
+    """Structured fixed-majorization Hessian H = S (x) G under the
+    column-major vec convention: H @ vec_F(D) = vec_F(G @ D @ S), with
+    S a small symmetric m x m target-space factor (identity for
+    multi-target gaussian, the Bohning 0.5*(I - 11'/(m+1)) for
+    multinomial) and G the p x p active-set Gram.
+
+    Exists so _prox_quadratic never has to materialize the (p*m)^2
+    Kronecker product (np.kron allocated ~2 GB PER OUTER ITERATION at
+    the p=100k audit's 8k-wide active sets) or invert the
+    (p*m) x (p*m) matrix (O(m^3 p^3), redone on every ADMM rho
+    rebalance). The spectral split (H + rho I)^-1 =
+    (Q (x) U) diag(1 / (s_m (x) s_p + rho)) (Q (x) U)' needs ONE eigh
+    of G per (subset, lambda) cache entry plus the trivial m x m
+    eigensystem; every rho change after that is a diagonal update."""
+
+    def __init__(self, G: np.ndarray, S: np.ndarray):
+        self.G = G
+        self.S = S
+        self.p = G.shape[0]
+        self.m = S.shape[0]
+
+    def matvec(self, v: np.ndarray) -> np.ndarray:
+        D = v.reshape((self.p, self.m), order="F")
+        return (self.G @ D @ self.S).ravel(order="F")
+
+    def eig(self, cache: dict | None):
+        """(s_p, U, s_m, Q) with PSD clipping on the Gram spectrum
+        (eigh round-off can dip tiny eigenvalues below zero)."""
+        if cache is not None and "kron_eig" in cache:
+            return cache["kron_eig"]
+        s_p, U = np.linalg.eigh(self.G)
+        s_m, Q = np.linalg.eigh(self.S)
+        out = (np.clip(s_p, 0.0, None), U, np.clip(s_m, 0.0, None), Q)
+        if cache is not None:
+            cache["kron_eig"] = out
+        return out
+
+
+def _kron_solve(eig, rho: float, q: np.ndarray, p: int,
+                m: int) -> np.ndarray:
+    """(H + rho I)^-1 q for H = S (x) G via the cached eigensystems —
+    two thin (p x p)(p x m) gemms and one elementwise scale, the same
+    per-iteration flops as the dense (p*m)^2 matvec it replaces."""
+    s_p, U, s_m, Q = eig
+    W = U.T @ q.reshape((p, m), order="F") @ Q
+    W /= (s_p[:, None] * s_m[None, :] + rho)
+    return (U @ W @ Q.T).ravel(order="F")
+
+
 def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
                     lam: np.ndarray, pen0: int, *, max_iter: int = 5000,
                     tol: float = 1e-8, alpha: float = 1.5,
@@ -150,27 +200,46 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
     p, m = beta0.shape
     pm = p * m
     b0 = beta0.ravel(order="F")
-    q0 = H @ b0 - lin.ravel(order="F")
-    if cache is not None and fixed_h and "Hinv" in cache:
-        rho = cache["rho"]
-        Hinv = cache["Hinv"]
-    else:
+    structured = isinstance(H, _KronH)
+    if structured:
+        # kron-structured fixed majorizations (always fixed_h): the
+        # eigensystem replaces the dense inverse, and rho changes cost
+        # nothing — see _KronH
+        q0 = H.matvec(b0) - lin.ravel(order="F")
+        kr_eig = H.eig(cache)
+        Hinv = None
         if cache is not None and "rho" in cache:
-            rho = cache["rho"]  # preseeded (full-Gram eigenvalue bound)
+            rho = cache["rho"]
         else:
-            # power iteration: the rho heuristic only needs the top
-            # eigenvalue's scale, never the full O(p^3) spectrum
-            eig_max = _power_eig_max(H) if pm > 1 else float(H[0, 0])
+            eig_max = float(kr_eig[0].max() * kr_eig[2].max())
             rho = (eig_max ** (1.0 / 3.0)) * (float(lam.max()) ** (2.0 / 3.0)) \
                 if lam.size and lam.max() > 0 else max(eig_max, 1.0)
             rho = max(rho, 1e-12)
-        Hinv = np.linalg.inv(H + rho * np.eye(pm))
-        if cache is not None:
-            if fixed_h:
+            if cache is not None:
                 cache["rho"] = rho
-                cache["Hinv"] = Hinv
+    else:
+        q0 = H @ b0 - lin.ravel(order="F")
+        if cache is not None and fixed_h and "Hinv" in cache:
+            rho = cache["rho"]
+            Hinv = cache["Hinv"]
+        else:
+            if cache is not None and "rho" in cache:
+                rho = cache["rho"]  # preseeded (full-Gram eig bound)
             else:
-                cache.setdefault("rho", rho)
+                # power iteration: the rho heuristic only needs the top
+                # eigenvalue's scale, never the full O(p^3) spectrum
+                eig_max = _power_eig_max(H) if pm > 1 else float(H[0, 0])
+                rho = (eig_max ** (1.0 / 3.0)) * \
+                    (float(lam.max()) ** (2.0 / 3.0)) \
+                    if lam.size and lam.max() > 0 else max(eig_max, 1.0)
+                rho = max(rho, 1e-12)
+            Hinv = np.linalg.inv(H + rho * np.eye(pm))
+            if cache is not None:
+                if fixed_h:
+                    cache["rho"] = rho
+                    cache["Hinv"] = Hinv
+                else:
+                    cache.setdefault("rho", rho)
     # warm-start the splitting state across outer iterations (cache'd
     # fixed-H strategies only): successive subproblems differ only in
     # the linear term, so the previous (z, u) is near-optimal
@@ -184,7 +253,7 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
     b = b0.copy()
     for it in range(max_iter):
         q = q0 + rho * (z - u)
-        b = Hinv @ q
+        b = _kron_solve(kr_eig, rho, q, p, m) if structured else Hinv @ q
         z_old = z
         b_hat = alpha * b + (1 - alpha) * z_old
         z = b_hat + u
@@ -211,10 +280,11 @@ def _prox_quadratic(H: np.ndarray, lin: np.ndarray, beta0: np.ndarray,
             if rho_new != rho:
                 u *= rho / rho_new
                 rho = rho_new
-                Hinv = np.linalg.inv(H + rho * np.eye(pm))
                 cache["rho"] = rho
-                if fixed_h:
-                    cache["Hinv"] = Hinv
+                if not structured:  # kron path: diagonal update, free
+                    Hinv = np.linalg.inv(H + rho * np.eye(pm))
+                    if fixed_h:
+                        cache["Hinv"] = Hinv
                 cache["n_rho"] = cache.get("n_rho", 0) + 1
     if adaptive:
         cache["z"] = z.copy()
@@ -353,14 +423,17 @@ def prox_newton(backend, beta: np.ndarray, lam: np.ndarray, *,
         if local_hessian:
             Hmat = H + 1e-9 * np.eye(p_tot * m)
         elif fam == "gaussian":
-            # multi-target: Hessian of 0.5||Y-XB||_F^2 is I_m (x) X'X
-            Hmat = gram if m == 1 else np.kron(np.eye(m), gram)
+            # multi-target: Hessian of 0.5||Y-XB||_F^2 is I_m (x) X'X —
+            # kron-structured, never materialized (see _KronH)
+            Hmat = gram if m == 1 else _KronH(gram, np.eye(m))
         elif fam == "binomial":
             Hmat = 0.25 * gram
         else:
             # Bohning bound 0.5 (I - 11'/(m+1)) (x) X'X; vec_F(G d B) =
-            # (B (x) G) vec_F(d) for symmetric B
-            Hmat = 0.5 * np.kron(B, gram)
+            # (B (x) G) vec_F(d) for symmetric B — kron-structured: one
+            # eigh of the active Gram instead of an O((p*m)^3) inverse
+            # per (path point x rho rebalance), and no (p*m)^2 buffer
+            Hmat = _KronH(gram, 0.5 * B)
 
         # inexact subproblem solves (cached strategies only, so narrow
         # uncached paths stay bitwise identical): while the outer gap is
