@@ -86,6 +86,69 @@ def _cpu_canary_sec() -> float:
     return round(best, 4)
 
 
+def _load_baseline(here: str):
+    """Newest prior-round bench archive for canary-normalized deltas
+    (VERDICT r11 item 5): returns (label, {query: sec}, canary_min)
+    or None. Prefers a local two-line archive (bench_r{N}_*.json,
+    full per-query detail + summary canaries) over the driver's
+    BENCH_r{N}.json (top-25 + canaries); override with
+    $SPARK_GRAFT_BENCH_BASELINE=path."""
+    import glob
+
+    def parse(path):
+        qs, canary = None, None
+        try:
+            txt = open(path).read()
+        except OSError:
+            return None
+        try:  # driver artifact: one JSON object with a "parsed" summary
+            d = json.loads(txt)
+            p = d.get("parsed") or {}
+            return (p.get("queries"), min(p["canary_sec"])
+                    if p.get("canary_sec") else None)
+        except ValueError:
+            pass
+        for line in txt.splitlines():  # local archive: JSON lines
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if d.get("detail") == "per_query_wall_clock":
+                qs = d.get("queries")
+            elif d.get("metric") == "total_query_wall_clock":
+                qs = qs or d.get("queries")
+                canary = min(d["canary_sec"]) if d.get("canary_sec") \
+                    else None
+        return (qs, canary)
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if override:
+        got = parse(override)
+        if got and got[0]:
+            return os.path.basename(override), got[0], got[1]
+        return None
+    cands = []
+    for pat, pref in (("bench_r*_*.json", 0), ("BENCH_r*.json", 1)):
+        for path in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"r(\d+)", os.path.basename(path))
+            if m:
+                cands.append((-int(m.group(1)), pref, path))
+    # within the newest round, prefer local detail archives and among
+    # them the QUIETEST window (smallest canary) — same convention the
+    # notes use for "the definitive number"
+    by_group: dict[tuple, list] = {}
+    for rnd, pref, path in cands:
+        by_group.setdefault((rnd, pref), []).append(path)
+    for key in sorted(by_group):
+        parsed = [(g[1], os.path.basename(p), g[0])
+                  for p in sorted(by_group[key])
+                  for g in [parse(p)] if g and g[0] and g[1]]
+        if parsed:
+            c, label, qs = min(parsed)
+            return label, qs, c
+    return None
+
+
 def main() -> None:
     # benchmark the serving computation, not the self-verification
     # pass on top of it: the glm_* KKT certificate aggregation
@@ -197,6 +260,32 @@ def main() -> None:
               "queries_cold": cold, "sf": sf}
     if len(windows) > 2:
         detail["queries_w3"] = windows[2]
+    # canary-normalized round-over-round deltas (VERDICT r11 item 5):
+    # host speed drifts round to round (r11's quiet canary was ~1.8x
+    # r10's), so raw per-query deltas conflate machine and code. The
+    # fixed numpy canary is the machine-speed unit: normalized delta =
+    # t_now / (t_prev * canary_now/canary_prev) - 1. BENCH_NOTES
+    # quotes these numbers instead of hand-arguing from canary_sec.
+    norm = None
+    base = _load_baseline(os.path.dirname(os.path.abspath(__file__)))
+    if base and base[2]:
+        blabel, bqs, bcanary = base
+        ratio = min(canary) / bcanary
+        deltas = {n: round(best[n] / (bqs[n] * ratio) - 1.0, 3)
+                  for n in best if bqs.get(n)}
+        detail["queries_norm_delta_vs_prior"] = deltas
+        common = [n for n in deltas]
+        tot_now = sum(best[n] for n in common)
+        tot_prev = sum(bqs[n] for n in common)
+        norm = {
+            "baseline": blabel,
+            "canary_ratio_vs_baseline": round(ratio, 3),
+            "norm_total_delta": round(tot_now / (tot_prev * ratio) - 1.0, 3)
+            if tot_prev else None,
+            "n_compared": len(common),
+            "worst_norm_regressions": dict(
+                sorted(deltas.items(), key=lambda kv: -kv[1])[:5]),
+        }
     print(json.dumps(detail))
     slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:25])
     summary = {
@@ -217,6 +306,8 @@ def main() -> None:
     if steals[0] is not None:
         summary["steal_pct"] = steals
     summary["canary_sec"] = canary
+    if norm is not None:
+        summary["canary_normalized"] = norm
     if jobs > 1:
         summary["jobs"] = jobs
         summary["pooled_wall_sec"] = round(sum(walls), 4)

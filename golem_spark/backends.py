@@ -1740,7 +1740,8 @@ def _label_classes(df: DataFrame, label_col: str, stats) -> list:
 
 def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
                         family_name: str, intercept: bool = True,
-                        center: bool = True, scale: str = "l2"):
+                        center: bool = True, scale: str = "l2",
+                        persist: bool = True):
     """Assemble a SparkBackend from a raw DataFrame.
 
     One aggregation pass computes n + per-column center/scale + response
@@ -1960,7 +1961,8 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         lgamma_sum = float(sum(r["s"] for r in parts))
 
     backend_cls = ArrowSparkBackend if wide else SparkBackend
-    backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n, lgamma_sum)
+    backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n,
+                          lgamma_sum, persist=persist)
     if family_name == "poisson" and not wide:
         # sigma_max gradient from the fused stats pass: X_std'(1-y) =
         # (X'1 - X'y - c*(n - sum_y)) / s, all terms already aggregated

@@ -171,8 +171,18 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                              "sparse_features=(idx_col, val_col) + sparse_p")
         if center is None:
             center = True
+        # the gaussian sufficient-stats ADMM route reads the
+        # standardized frame EXACTLY ONCE (one fused Gram+X'y+yty
+        # pass, then the whole path is driver-local) — caching it
+        # first writes n x p doubles to memory/disk for a frame that
+        # is never re-read. At tall n that cache write dominates the
+        # pass (measured ~8 GB at n=5e6 x p=200); skip it.
+        single_pass = (family == "gaussian"
+                       and len(feature_cols) + (1 if intercept else 0)
+                       <= 2000)
         backend, meta = build_spark_backend(df, feature_cols, label_col, family,
-                                            intercept=intercept, center=center, scale=scale)
+                                            intercept=intercept, center=center, scale=scale,
+                                            persist=not single_pass)
         n = backend.n
         p_feat = len(feature_cols)
         m = backend.m
@@ -364,6 +374,12 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     screening_on = bool(screening)
     full_admm_state: dict[str, Any] = {}
     pn_caches: dict[tuple, dict] = {}  # (subset, lam_max) -> factorization
+    # kron-path eigensystems are lambda-INDEPENDENT (rho enters
+    # _kron_solve as a diagonal update), so they live under a
+    # subset-only key and survive lambda changes that evict pn_caches
+    # entries — the O(p^3) eigh of the active Gram runs once per
+    # distinct subset, not once per path point
+    kron_eig_caches: dict[bytes, tuple] = {}
 
     def full_gradient(b: np.ndarray) -> np.ndarray:
         if use_admm:
@@ -433,11 +449,22 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                 key = (sub_idx.tobytes(),
                        float(lam_k.max()) if lam_k.size else 0.0)
                 s_cache = pn_caches.setdefault(key, {})
-                # entries hold dense (p*m)^2 inverses; lam changes at
-                # every path point so old keys never recur — keep only
-                # the most recent few (KKT re-entries reuse the newest)
+                # dense-Hinv entries (m == 1) hold (p*m)^2 inverses
+                # whose rho is baked in, which is why the key carries
+                # lam_max; kron-path entries (m > 1) hold (s_p, U, s_m,
+                # Q) eigensystems for which rho is a free diagonal
+                # update — those are seeded from the subset-only
+                # kron_eig_caches below so a subset reused across path
+                # points never re-runs the O(p^3) eigh. lam changes at
+                # every path point so old pn_caches keys never recur —
+                # keep only the most recent few (KKT re-entries reuse
+                # the newest)
                 while len(pn_caches) > 4:
                     pn_caches.pop(next(iter(pn_caches)))
+                if m > 1:
+                    prior_eig = kron_eig_caches.get(sub_idx.tobytes())
+                    if prior_eig is not None:
+                        s_cache.setdefault("kron_eig", prior_eig)
                 if (gram_s is not None and sub_idx.size > 48
                         and "rho" not in s_cache):
                     # power-iteration eig estimate of the strategy's
@@ -449,10 +476,15 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
                     s_cache["rho"] = max(
                         (e ** (1.0 / 3.0)) * (lmx ** (2.0 / 3.0))
                         if lmx > 0 else max(e, 1.0), 1e-12)
-            return prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
-                               max_passes=max_passes, tol_rel_gap=tol_rel_gap,
-                               tol_infeas=tol_infeas, diagnostics=diagnostics,
-                               init_eval=init_eval, solver_cache=s_cache)
+            res = prox_newton(sub_backend, sub_beta, lam_k, gram=gram_s,
+                              max_passes=max_passes, tol_rel_gap=tol_rel_gap,
+                              tol_infeas=tol_infeas, diagnostics=diagnostics,
+                              init_eval=init_eval, solver_cache=s_cache)
+            if s_cache is not None and "kron_eig" in s_cache:
+                kron_eig_caches[sub_idx.tobytes()] = s_cache["kron_eig"]
+                while len(kron_eig_caches) > 4:
+                    kron_eig_caches.pop(next(iter(kron_eig_caches)))
+            return res
         return fista(sub_backend, sub_beta, lam_k, max_passes=max_passes,
                      tol_rel_gap=tol_rel_gap, tol_infeas=tol_infeas,
                      diagnostics=diagnostics)

@@ -3827,6 +3827,136 @@ _add(
     """,
 )
 
+def lloyd_semdedup2_oracle_sql(n_seeds: int = 16, sub_k: int = 3,
+                               threshold: float = 0.4,
+                               sample_cap: int = 512,
+                               n_iter: int = 8) -> str:
+    """Generated oracle for p126: the LEARNED-sub-seed two-level
+    SemDeDup (similarity.semantic_dedup_two_level with
+    learned_sub_seeds=True — the configuration the scale audit
+    RECOMMENDS past the broadcast cap, VERDICT r11 item 3). DuckDB
+    replays the per-cell spherical mini-Lloyd fit
+    (similarity._learned_sub_seed_table -> _lloyd_spherical) exactly,
+    the way p46 replays a Lloyd step and p125 replays the banded BPE
+    rounds — nothing about the learned quantizer is memorized:
+
+    * samp: the md5-of-id-ordered bounded sample (<= sample_cap rows
+      per cell; Spark's row_number window is cell-bounded), rows
+      normalized to unit vectors (X / max(||x||, 1e-12));
+    * c0: init centroids = the sub_k smallest-id sample members
+      (np.argsort(__id) then C = X[:k] — k = min(sub_k, |cell|)
+      falls out of the id_rk <= sub_k filter);
+    * n_iter unrolled Lloyd rounds, each assignment the argmax dot
+      against current centroids (ties -> lowest srk, np.argmax's
+      first-occurrence), each update the NORMALIZED per-centroid sum
+      with empty/degenerate centroids keeping their previous value
+      (the nrm > 1e-12 guard in _lloyd_spherical);
+    * routing/pair/keep tail identical to p124, with the learned
+      table in place of the first-n sub-seeds (snrm =
+      max(||C||, 1e-12), _learned_sub_seed_table's output column).
+    """
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+    n AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM e),
+    s AS (SELECT vec_id AS seed_id, ev AS sv, nrm AS snrm FROM n
+          WHERE vec_id < {n_seeds}),
+    xr AS (
+      SELECT n.vec_id, s.seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.ev, s.sv) / (n.nrm * s.snrm) DESC,
+                        s.seed_id) AS rn
+      FROM n, s),
+    cells AS (SELECT vec_id, seed_id AS cell FROM xr WHERE rn = 1),
+    a AS MATERIALIZED (SELECT c.vec_id, c.cell, n.ev, n.nrm
+          FROM cells c JOIN n USING (vec_id)),
+    samp AS MATERIALIZED (
+      SELECT cell, vec_id,
+             list_transform(ev, x -> x / GREATEST(nrm, 1e-12)) AS xv
+      FROM (SELECT cell, vec_id, ev, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY md5(vec_id::VARCHAR), vec_id) AS smp_r
+            FROM a)
+      WHERE smp_r <= {sample_cap}),
+    sd AS MATERIALIZED (SELECT cell, vec_id,
+                  unnest(range(len(xv))) AS i, unnest(xv) AS v
+           FROM samp),
+    c0 AS MATERIALIZED (
+      SELECT cell, id_rk AS srk, xv AS cv FROM (
+        SELECT cell, vec_id, xv,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY vec_id) AS id_rk
+        FROM samp)
+      WHERE id_rk <= {sub_k})"""
+    rounds = []
+    for t in range(n_iter):
+        rounds.append(f""",
+    asg{t} AS MATERIALIZED (
+      SELECT cell, vec_id, srk FROM (
+        SELECT s.cell, s.vec_id, c.srk,
+               ROW_NUMBER() OVER (PARTITION BY s.cell, s.vec_id
+                 ORDER BY list_dot_product(s.xv, c.cv) DESC, c.srk) AS rn
+        FROM samp s JOIN c{t} c USING (cell))
+      WHERE rn = 1),
+    sm{t} AS MATERIALIZED (
+      SELECT g.cell, g.srk, d.i, SUM(d.v) AS sv
+      FROM asg{t} g JOIN sd d
+        ON g.cell = d.cell AND g.vec_id = d.vec_id
+      GROUP BY g.cell, g.srk, d.i),
+    vv{t} AS MATERIALIZED (
+      SELECT cell, srk, list(sv ORDER BY i) AS vec,
+             sqrt(SUM(sv * sv)) AS nn
+      FROM sm{t} GROUP BY cell, srk),
+    c{t + 1} AS MATERIALIZED (
+      SELECT c.cell, c.srk,
+             CASE WHEN v.nn > 1e-12
+                  THEN list_transform(v.vec, x -> x / v.nn)
+                  ELSE c.cv END AS cv
+      FROM c{t} c LEFT JOIN vv{t} v
+        ON c.cell = v.cell AND c.srk = v.srk)"""[1:])
+    tail = f""",
+    s2 AS MATERIALIZED (SELECT cell, srk, cv AS sv,
+                  GREATEST(sqrt(list_dot_product(cv, cv)), 1e-12) AS snrm
+           FROM c{n_iter}),
+    sxr AS (
+      SELECT a.vec_id, s2.srk,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.ev, s2.sv)
+                        / (a.nrm * s2.snrm) DESC,
+                        s2.srk) AS rn
+      FROM a JOIN s2 USING (cell)),
+    b AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, sxr.srk::BIGINT AS subcell, a.ev, a.nrm
+      FROM a JOIN sxr ON a.vec_id = sxr.vec_id AND sxr.rn = 1),
+    drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM b AS x JOIN b AS y
+        ON x.cell = y.cell AND x.subcell = y.subcell
+       AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.ev, y.ev) / (x.nrm * y.nrm) >= {threshold})
+    SELECT b.vec_id, b.cell, b.subcell, (d.vec_id IS NULL) AS keep
+    FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
+    ORDER BY b.vec_id
+    """
+    return head + ",\n    " + ",\n    ".join(r.strip(",\n ")
+                                             for r in rounds) + tail
+
+
+_add(
+    "p126_semantic_dedup_two_level_learned",
+    # the scale-RECOMMENDED two-level configuration: per-cell
+    # mini-Lloyd sub-seeds instead of the first-n convention (p124
+    # keeps certifying that one); same fixture pins as p124 so the
+    # drop path stays exercised after the sub_k=3 split
+    lambda t: similarity.semantic_dedup_two_level(
+        t["embeddings"], n_seeds=16, sub_k=3, threshold=0.4,
+        learned_sub_seeds=True),
+    lloyd_semdedup2_oracle_sql(16, 3, 0.4),
+)
+
 _add(
     "p117_hard_negatives",
     # near_dup=0.45 on the synthetic corpus so the exclusion branch is

@@ -33,6 +33,20 @@ def test_multitarget_ols_oracle():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_multitarget_ols_oracle_m4():
+    """4-target gaussian (m = 4 matrix-RHS ADMM; m beyond the m = 2
+    production bench shape — VERDICT r11 item 6): at sigma -> 0 each
+    target's column must solve its own OLS problem."""
+    x, y, _ = random_problem(n=200, p=6, n_targets=4, seed=106)
+    assert y.shape == (200, 4)
+    fit = owl(x, y, family="gaussian", sigma=[1e-9])
+    assert fit.coefficients.shape == (7, 4, 1)
+    for t in range(4):
+        expect = _ols(x, y[:, t])
+        np.testing.assert_allclose(fit.coefficients[:, t, 0], expect,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_multitarget_path_and_scoring():
     x, y, _ = random_problem(n=120, p=6, n_targets=3, seed=102)
     fit = owl(x, y, family="gaussian", n_sigma=8)

@@ -121,11 +121,23 @@ def test_kron_structured_subproblem_equals_dense():
     from golem_spark.solvers import _KronH, _kron_solve, _prox_quadratic
 
     rng = np.random.default_rng(7)
-    for m, pen0 in ((2, 1), (3, 0)):
+    # m spans every production shape AND beyond: Bohning target factors
+    # at m = 2/3/5 (3/4/6-class multinomial), identity at m = 4
+    # (4-target gaussian), and a random PSD S at m = 6 — the algebra is
+    # m-generic and this pins it past the m = 2 production uses
+    cases = [(2, 1, "bohning"), (3, 0, "bohning"), (5, 1, "bohning"),
+             (4, 0, "identity"), (6, 1, "random_psd")]
+    for m, pen0, s_kind in cases:
         p = 37
         X = rng.normal(size=(150, p))
         G = X.T @ X / 150
-        B = np.eye(m) - np.ones((m, m)) / (m + 1)
+        if s_kind == "bohning":
+            B = np.eye(m) - np.ones((m, m)) / (m + 1)
+        elif s_kind == "identity":
+            B = 2.0 * np.eye(m)
+        else:
+            R = rng.normal(size=(m, m))
+            B = R @ R.T / m + 0.1 * np.eye(m)
         H_dense = 0.5 * np.kron(B, G)
         kh = _KronH(G, 0.5 * B)
 

@@ -52,6 +52,39 @@ def test_spark_multinomial_equals_local(spark):
                                dist.coefficients[:, :, :K], atol=2e-3)
 
 
+def test_spark_multinomial_6class_structured_equals_local(spark):
+    """Path-level exercise of the _KronH structured solver at m = 5
+    (6 classes): p_total*m = 15*5 = 75 > PN_LOCAL_H_LIMIT['multinomial']
+    = 60, so the distributed fit takes the Bohning fixed-majorization
+    path whose subproblems run through _KronH eigensystems — cross-
+    checked against the independent local FISTA solver. Guards the
+    m-generic eigendecomposition algebra beyond its m = 2 production
+    uses (VERDICT r11 item 6)."""
+    from golem_spark.solvers import pn_local_hessian
+
+    x, y, _ = random_problem(n=300, p=13, n_targets=5, q=0.15,
+                             amplitude=1.0, response="multinomial",
+                             seed=61)
+    assert len(np.unique(y)) == 6
+    # the gate that routes this shape onto the structured path
+    assert not pn_local_hessian("multinomial", 14 * 5)
+    df, feats = _to_spark(spark, x, y.astype(int))
+    # short 2-point path: the Bohning bound's linear rate at m = 5
+    # costs one distributed pass per outer iteration, so a deep path
+    # here is test-suite poison; 2 points exercise warm starts +
+    # the structured subproblem without it
+    local = owl(x, y.astype(int), family="multinomial", n_sigma=2,
+                lambda_min_ratio=0.5)
+    dist = owl(df=df, feature_cols=feats, label_col="label",
+               family="multinomial", n_sigma=2, lambda_min_ratio=0.5)
+    assert dist.coefficients.shape[1] == 5  # m-1 targets, 6 classes
+    K = min(local.n_sigma, dist.n_sigma)
+    np.testing.assert_allclose(local.coefficients[:, :, :K],
+                               dist.coefficients[:, :, :K], atol=2e-3)
+    np.testing.assert_allclose(local.sigma[:K], dist.sigma[:K],
+                               rtol=1e-9)
+
+
 def test_spark_predict_and_score(spark):
     x, y, _ = random_problem(n=150, p=4, seed=23)
     df, feats = _to_spark(spark, x, y)

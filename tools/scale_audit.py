@@ -266,6 +266,99 @@ def wide_p_ceiling_multinomial(spark, sf_dir: str) -> dict:
     }
 
 
+def _tall_frame(spark, n_rows: int, p: int, family: str):
+    """Synthetic tall design, never materialized: p feature columns
+    from 32-bit column hashes of the row id (JVM-side, whole-stage
+    codegen — zero Python in the scan), a planted linear signal on
+    the first 5 features, family-encoded response. spark.range is
+    splittable, so the frame scans like a 100 TB table: every pass
+    streams n_rows x p doubles through the executors."""
+    from pyspark.sql import functions as F
+
+    cols = [(F.hash(F.col("id") * F.lit(p + 1) + F.lit(j))
+             / F.lit(2147483648.0)).alias(f"x{j}") for j in range(p)]
+    df = spark.range(0, n_rows, 1, 64).select(*cols)
+    lp = (F.lit(2.0) * F.col("x0") - F.lit(1.5) * F.col("x1")
+          + F.col("x2") - F.lit(0.75) * F.col("x3")
+          + F.lit(0.5) * F.col("x4"))
+    noise = F.hash((F.col("x0") * F.lit(1e6)).cast("long")) / F.lit(2147483648.0)
+    if family == "gaussian":
+        label = lp + F.lit(0.5) * noise
+    else:  # binomial
+        label = (lp + noise > 0).cast("double")
+    return df.withColumn("label", label)
+
+
+def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
+                   n_sigma: int = 4,
+                   lambda_min_ratio: float = 0.5) -> dict:
+    """VERDICT r11 item 1 — the TALL direction of the 100 TB story,
+    measured end-to-end (the symmetric counterpart of the three wide-p
+    ceilings). n >> p is the regime the design targets (SURVEY §4 "the
+    big-data sweet spot"; reference factorize-once design
+    src/owl.cpp:171-215, n>=p branch src/families/gaussian.h:88-93):
+
+    * gaussian: ONE fused distributed pass computes Gram + X'y +
+      ||y||^2 (backend.gaussian_sufficient_stats) and the ENTIRE path
+      is then driver-local ADMM on the p x p sufficient statistics —
+      the Spark job count is asserted, not argued;
+    * binomial: prox-Newton under the Bohning bound (p*m above the
+      local-Hessian crossover) — ONE Gram pass for the whole fit,
+      then one p-vector gradient pass per outer iteration;
+      fit.passes records the per-point pass counts.
+
+    Records wall, Spark jobs, per-point solver passes, peak driver
+    RSS, and scan throughput (rows/s through the heaviest pass)."""
+    import resource
+    import time
+
+    from golem_spark.path import owl
+
+    frame = _tall_frame(spark, n_rows, p, family)
+    sc = spark.sparkContext
+    group = f"tall_n_{family}"
+    sc.setJobGroup(group, "tall-n scale audit", False)
+    t0 = time.monotonic()
+    fit = owl(df=frame, feature_cols=[f"x{j}" for j in range(p)],
+              label_col="label", family=family, n_sigma=n_sigma,
+              lambda_min_ratio=lambda_min_ratio, screening=False)
+    wall = round(time.monotonic() - t0, 2)
+    sc.setJobGroup("", "", False)
+    jobs = sorted(sc.statusTracker().getJobIdsForGroup(group))
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    out = {
+        "family": family,
+        "n": int(n_rows),
+        "p": int(p),
+        "n_sigma_fitted": int(fit.n_sigma),
+        "wall_sec": wall,
+        "spark_jobs": len(jobs),
+        "solver_passes_per_point": [int(x) for x in fit.passes],
+        "driver_peak_rss_gib": round(rss_gib, 2),
+        "rows_per_sec_per_data_pass": int(n_rows * len(jobs) / wall),
+        "dev_ratio": [round(float(d), 6) for d in fit.deviance_ratio],
+    }
+    if family == "gaussian":
+        # the whole-fit contract, measured job by job: the fused
+        # build-stats agg runs as 2 AQE stage-jobs (partial + final
+        # exchange stage), the fused Gram+X'y+yty mapInArrow partial
+        # collect is 1 job, and every ADMM iteration after that is
+        # driver-local. 3 exactly; a 4th job = a distributed pass
+        # leaked into the path loop.
+        out["expected_jobs"] = 3
+        out["job_count_ok"] = bool(len(jobs) == 3)
+    else:
+        # build stats (2 AQE stage-jobs) + lambda_max gradient + ONE
+        # Bohning Gram pass + one gradient pass per solver outer
+        # iteration (sum(fit.passes)) + one KKT/eval pass per path
+        # point; aggregation-shaped passes may split into 2 AQE
+        # stage-jobs each, hence the factor-2 ceiling
+        expected = 2 * (3 + int(sum(fit.passes)) + int(fit.n_sigma))
+        out["expected_jobs_upper"] = expected
+        out["job_count_ok"] = bool(len(jobs) <= expected)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
@@ -312,6 +405,18 @@ def main() -> None:
         print(f"WIDE-P-BINOMIAL {widep_b}")
         widep_m = wide_p_ceiling_multinomial(spark, sf_dir)
         print(f"WIDE-P-MULTINOMIAL {widep_m}")
+    tall_g = None
+    tall_b = None
+    if "--no-talln" not in sys.argv[1:]:
+        # gaussian: 2e7 x 200 whole-path-from-one-stats-pass; binomial:
+        # 1e7 x 200, 2-point near-sigma_max path (the pass-accounting
+        # claim, not a deep fit — each gradient pass scans all rows)
+        tall_g = tall_n_ceiling(spark, "gaussian", 20_000_000, 200,
+                                n_sigma=4, lambda_min_ratio=0.5)
+        print(f"TALL-N-GAUSSIAN {tall_g}")
+        tall_b = tall_n_ceiling(spark, "binomial", 10_000_000, 200,
+                                n_sigma=2, lambda_min_ratio=0.8)
+        print(f"TALL-N-BINOMIAL {tall_b}")
     if json_path:
         import json
 
@@ -321,7 +426,9 @@ def main() -> None:
                        "skew_stress": skew,
                        "wide_p_ceiling": widep,
                        "wide_p_ceiling_binomial": widep_b,
-                       "wide_p_ceiling_multinomial": widep_m}, fh, indent=1)
+                       "wide_p_ceiling_multinomial": widep_m,
+                       "tall_n_ceiling_gaussian": tall_g,
+                       "tall_n_ceiling_binomial": tall_b}, fh, indent=1)
         print(f"wrote {json_path}")
 
 
