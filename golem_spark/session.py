@@ -28,18 +28,21 @@ def get_spark(app_name: str = "golem_spark", shuffle_partitions: int | None = No
         # larger Arrow batches amortize per-batch Python overhead in the
         # mapInPandas partial-reduction passes (default 10k)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # the default (100) drops whole-stage codegen for plans wider
-        # than 100 fields — exactly the tall-n dense-GLM shape (p~200
-        # feature columns through the standardized projection and
-        # medium-width aggs). Measured on a 200-column x 2e6-row agg
-        # (401 output fields): 17.0 s interpreted -> 6.0 s codegen
-        # (2.8x). Capped at 500, NOT higher: at ~800 generated agg
-        # fields Spark 4.1's codegen splits into a nested class that
-        # hits a Janino IllegalAccessError on
-        # BufferedRowIterator.partitionIndex (reproduced on the fused
-        # 200-feature build-stats agg), so the very widest aggs stay
-        # interpreted as before. Plans under 100 fields unaffected.
-        .config("spark.sql.codegen.maxFields", "500")
+        # spark.sql.codegen.maxFields stays at the Spark default (100)
+        # ON PURPOSE — both directions were measured (round 12):
+        # raising it to 500 made a 200-column x 2e6-row tall scan 2.8x
+        # faster (17.0 -> 6.0 s, whole-stage codegen re-enabled), but
+        # REGRESSED the iterative GLM bench queries 15-80% at sf0.1
+        # (glm_cv_gaussian 1.46 -> 2.74 s, glm_poisson_wide_sparse
+        # 3.56 -> 5.84 s warm): every prox-Newton/ADMM pass embeds new
+        # beta literals, so each pass pays Janino compilation of the
+        # 100-500-field generated code that interpreted mode skips.
+        # Tall single-pass scans opt in locally via
+        # spark.conf.set("spark.sql.codegen.maxFields", "500")
+        # (tools/scale_audit.py tall_n_ceiling does). Never set it
+        # above ~500: at ~800 generated agg fields Spark 4.1 codegen
+        # splits into a nested class that hits a Janino
+        # IllegalAccessError on BufferedRowIterator.partitionIndex.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos

@@ -317,11 +317,20 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
     frame = _tall_frame(spark, n_rows, p, family)
     sc = spark.sparkContext
     group = f"tall_n_{family}"
+    # re-enable whole-stage codegen for the ~200-field projections of
+    # this section only (measured 2.8x on the tall scan) — the session
+    # default stays 100 because iterative GLM fits re-compile every
+    # pass (see the session.py note); restored below
+    prev_mf = spark.conf.get("spark.sql.codegen.maxFields")
+    spark.conf.set("spark.sql.codegen.maxFields", "500")
     sc.setJobGroup(group, "tall-n scale audit", False)
     t0 = time.monotonic()
-    fit = owl(df=frame, feature_cols=[f"x{j}" for j in range(p)],
-              label_col="label", family=family, n_sigma=n_sigma,
-              lambda_min_ratio=lambda_min_ratio, screening=False)
+    try:
+        fit = owl(df=frame, feature_cols=[f"x{j}" for j in range(p)],
+                  label_col="label", family=family, n_sigma=n_sigma,
+                  lambda_min_ratio=lambda_min_ratio, screening=False)
+    finally:
+        spark.conf.set("spark.sql.codegen.maxFields", prev_mf)
     wall = round(time.monotonic() - t0, 2)
     sc.setJobGroup("", "", False)
     jobs = sorted(sc.statusTracker().getJobIdsForGroup(group))
