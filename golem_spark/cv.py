@@ -144,7 +144,9 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     max_workers: int = 2,
                     sparse_features: tuple[str, str] | None = None,
                     sparse_p: int | None = None,
-                    keep_cell_fits: bool = False, **owl_kwargs) -> TrainedOwl:
+                    keep_cell_fits: bool = False,
+                    beta_init_by_cell=None,
+                    full_beta_init=None, **owl_kwargs) -> TrainedOwl:
     """Distributed repeated k-fold CV: folds are a deterministic Knuth
     hash of ``key_col`` (kernel K15) computed as a column expression —
     no shuffle, no sampling; each grid cell is a filtered-DataFrame fit.
@@ -156,6 +158,14 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
     ``sparse_features``/``sparse_p``: run every cell through the sparse
     backend (feature_cols is ignored); held-out scoring evaluates the
     whole path in one Arrow pass per cell.
+
+    ``beta_init_by_cell``: optional ``(qv, fold, rep) -> array | None``
+    giving each cell fit a raw-unit warm start (owl's ``beta_init``
+    contract — initialization only, the fixed point is unchanged);
+    ``full_beta_init`` likewise seeds the full-data fits. Used by the
+    bench/gate CV queries to polish from the frozen per-fold goldens
+    instead of re-solving from cold (the CV analogue of the wide
+    queries' warm certification, VERDICT r12 item 4).
     """
     from golem_spark.score import score as _score
 
@@ -188,7 +198,8 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
 
     def full_fit(qv):
         return owl(df=df, label_col=label_col, family=family, q=qv,
-                   n_sigma=n_sigma, **fit_kw, **owl_kwargs)
+                   n_sigma=n_sigma, beta_init=full_beta_init,
+                   **fit_kw, **owl_kwargs)
 
     full_fits: dict = {}
     if not pinned_sigma:
@@ -207,8 +218,11 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
         train = df.filter(fc != fold)
         test = df.filter(fc == fold)
         sig = sig_pinned if pinned_sigma else full_fits[qv].sigma
+        bi = (beta_init_by_cell(qv, fold, rep)
+              if beta_init_by_cell is not None else None)
         cell_fit = owl(df=train, label_col=label_col,
-                       family=family, q=qv, sigma=sig, **fit_kw, **cell_kwargs)
+                       family=family, q=qv, sigma=sig, beta_init=bi,
+                       **fit_kw, **cell_kwargs)
         out = {}
         for m in measures:
             if sparse_features is not None:

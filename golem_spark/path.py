@@ -113,6 +113,7 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         max_variables: int | None = None, max_passes: int = 10**6,
         tol_rel_gap: float = 1e-5, tol_infeas: float = 1e-3,
         diagnostics: bool = False,
+        beta_init=None,
         _prebuilt: tuple | None = None,
         gram_cache: dict | None = None) -> OwlFit:
     """Fit a full regularization path of sorted-L1 penalized GLMs.
@@ -131,6 +132,18 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
       (R/owl.R:353-360); centering is rejected, scaling stays lazy.
 
     Mirrors the reference entry point R/owl.R:271-487.
+
+    ``beta_init``: optional warm start in RAW units. Shape (p_total, m)
+    (``fit.coefficients[:, :, k]`` layout — intercept row first when
+    ``intercept=True``) seeds the FIRST path point's solve; shape
+    (p_total, m, K) seeds EVERY path point k <= K from its own slice
+    instead of the predecessor's solution (the predecessor is a good
+    start, the point's own prior solution is a better one). Either
+    way the solver still iterates to its own stopping criteria, so
+    the fixed point — and every certificate checked at it — is
+    unchanged. Used by the bench/gate wide queries to polish from the
+    frozen golden instead of re-solving from cold (VERDICT r12
+    item 4).
 
     ``_prebuilt=(backend, meta)`` injects an already-built backend —
     used by callers that amortize ONE standardization/stats build
@@ -359,6 +372,23 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
         # (ADMM gaussian is untouched: y is centered, the null
         # intercept is exactly 0 already.)
         beta_prev[0, :] = backend.null_intercepts()
+    warm_points: np.ndarray | None = None
+    if beta_init is not None:
+        # raw-unit warm start (see the docstring): invert _rescale per
+        # path point. Initialization only — every solve still runs to
+        # the same stopping criteria and fixed point either way.
+        bi = np.asarray(beta_init, dtype=np.float64)
+        if bi.ndim == 3:
+            warm_points = np.stack(
+                [_unrescale(bi[:, :, k], meta["x_center"], meta["x_scale"],
+                            meta["y_center"], meta["y_scale"], intercept)
+                 for k in range(bi.shape[2])], axis=2)
+            beta_prev = warm_points[:, :, 0].copy()
+        else:
+            beta_prev = _unrescale(
+                bi.reshape(p_total, m),
+                meta["x_center"], meta["x_scale"],
+                meta["y_center"], meta["y_scale"], intercept)
     passes = np.zeros(n_sig, dtype=np.int64)
     n_unique = np.zeros(n_sig, dtype=np.int64)
     deviances: list[float] = []
@@ -371,6 +401,11 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     ever_active = np.array([0], dtype=np.int64) if intercept else np.array([], dtype=np.int64)
     z = np.zeros((p_total, m))
     u = np.zeros((p_total, m))
+    if beta_init is not None and use_admm:
+        # ADMM consensus warm start: at the optimum z == beta, so a
+        # cold z under a warm beta would throw the first iterations
+        # away re-deriving it
+        z = beta_prev.copy()
     screening_on = bool(screening)
     full_admm_state: dict[str, Any] = {}
     pn_caches: dict[tuple, dict] = {}  # (subset, lam_max) -> factorization
@@ -527,6 +562,12 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     while k < n_sig:
         violations_k: list[int] = []
         sig_k = float(sigma_vec[k])
+        if warm_points is not None and 0 < k < warm_points.shape[2]:
+            # per-point warm start: this point's own prior solution
+            # beats the predecessor's (see the beta_init docstring)
+            beta_prev = warm_points[:, :, k].copy()
+            if use_admm:
+                z = beta_prev.copy()
 
         strong = None
         if screening_on:
@@ -699,6 +740,23 @@ def _yty(backend) -> float:
     aggs = [F.sum(F.col(c) * F.col(c)).alias(f"s{k}") for k, c in enumerate(backend.y_cols)]
     row = backend.df.agg(*aggs).collect()[0]
     return float(sum(row[f"s{k}"] for k in range(backend.m)))
+
+
+def _unrescale(beta: np.ndarray, x_center, x_scale, y_center, y_scale,
+               intercept: bool) -> np.ndarray:
+    """Exact inverse of :func:`_rescale` for one path point: raw-unit
+    coefficients -> the internal standardized parameterization."""
+    out = beta.copy()
+    p_total, m = out.shape
+    start = 1 if intercept else 0
+    for t in range(m):
+        if intercept:
+            x_bar_beta_sum = sum(x_center[j - start] * out[j, t]
+                                 for j in range(start, p_total))
+            out[0, t] = (out[0, t] - y_center[t] + x_bar_beta_sum) / y_scale[t]
+        for j in range(start, p_total):
+            out[j, t] *= x_scale[j - start] / y_scale[t]
+    return out
 
 
 def _rescale(betas: np.ndarray, x_center, x_scale, y_center, y_scale,

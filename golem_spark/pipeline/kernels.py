@@ -3778,9 +3778,13 @@ _add(
     "p124_semantic_dedup_two_level",
     # same fixture conventions as p116: n_seeds pinned to 16 (library
     # default is 'auto'), threshold 0.4 so the drop path is exercised
-    # even after the sub_k=3 split (verified: drops survive the split)
+    # even after the sub_k=3 split (verified: drops survive the split).
+    # learned_sub_seeds=False pins the deterministic first-n sub-seed
+    # convention this oracle certifies (the library default flipped to
+    # learned in r13 — p126 certifies that one)
     lambda t: similarity.semantic_dedup_two_level(
-        t["embeddings"], n_seeds=16, sub_k=3, threshold=0.4),
+        t["embeddings"], n_seeds=16, sub_k=3, threshold=0.4,
+        learned_sub_seeds=False),
     r"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
@@ -3947,10 +3951,11 @@ def lloyd_semdedup2_oracle_sql(n_seeds: int = 16, sub_k: int = 3,
 
 _add(
     "p126_semantic_dedup_two_level_learned",
-    # the scale-RECOMMENDED two-level configuration: per-cell
-    # mini-Lloyd sub-seeds instead of the first-n convention (p124
-    # keeps certifying that one); same fixture pins as p124 so the
-    # drop path stays exercised after the sub_k=3 split
+    # the scale-RECOMMENDED two-level configuration (the library
+    # DEFAULT since r13): per-cell mini-Lloyd sub-seeds instead of the
+    # first-n convention (p124 keeps certifying that one); same
+    # fixture pins as p124 so the drop path stays exercised after the
+    # sub_k=3 split
     lambda t: similarity.semantic_dedup_two_level(
         t["embeddings"], n_seeds=16, sub_k=3, threshold=0.4,
         learned_sub_seeds=True),

@@ -898,7 +898,7 @@ def semantic_dedup_two_level(df: DataFrame, n_seeds="auto", sub_k: int = 4,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              seed_centroids=None,
-                             learned_sub_seeds: bool = False) -> DataFrame:
+                             learned_sub_seeds: bool = True) -> DataFrame:
     """SemDeDup with a TWO-LEVEL quantizer — the scale path past
     auto_n_seeds' 16384-seed broadcast cap (corpora beyond ~2.7e8
     rows, where a flat quantizer's expected cell keeps growing with
@@ -920,14 +920,17 @@ def semantic_dedup_two_level(df: DataFrame, n_seeds="auto", sub_k: int = 4,
       recall trade-off: duplicates straddling a SUB-cell boundary are
       missed, exactly as level-1 misses cell-straddling ones.
 
-    ``learned_sub_seeds=True`` replaces the first-``sub_k``-smallest-id
-    sub-seed convention with a per-cell spherical mini-Lloyd fit
-    (:func:`_learned_sub_seed_table`) — on clustered cells the first-n
-    convention is the level-2 analogue of the first-n level-1 seeds
-    the skew audit shows are ~6x worse than learned ones; the learned
-    sub-quantizer bounds the hot subcell (profile recorded per round
-    by tools/scale_audit.py). The default stays first-n: it is the
-    deterministic cross-engine oracle convention (p124).
+    ``learned_sub_seeds=True`` (the DEFAULT since round 13) replaces
+    the first-``sub_k``-smallest-id sub-seed convention with a
+    per-cell spherical mini-Lloyd fit (:func:`_learned_sub_seed_table`)
+    — on clustered cells the first-n convention is the level-2
+    analogue of the first-n level-1 seeds the skew audit shows are
+    ~6x worse than learned ones; the learned sub-quantizer bounds the
+    hot subcell (measured 14.4% vs 25.8%, profile recorded per round
+    by tools/scale_audit.py). Learned became the default once it got
+    its own end-to-end DuckDB oracle (p126 — SQL replays the bounded
+    sample + mini-Lloyd rounds); ``learned_sub_seeds=False`` keeps the
+    deterministic first-n convention, still oracle-certified by p124.
 
     Output (vec_id, cell, subcell, keep) ordered by vec_id; keep
     semantics match :func:`semantic_dedup` (drop every vector with a

@@ -117,3 +117,61 @@ def test_predict_and_score():
     assert mse.shape == (fit.n_sigma,)
     # the least-regularized point fits best on train data
     assert mse[-1] <= mse[0] + 1e-10
+
+
+def test_unrescale_inverts_rescale():
+    """_unrescale (the beta_init warm-start transform, VERDICT r12
+    item 4) is the exact inverse of _rescale at every path point."""
+    from golem_spark.path import _rescale, _unrescale
+
+    rng = np.random.default_rng(5)
+    p_total, m, K = 7, 3, 4
+    betas = rng.standard_normal((p_total, m, K))
+    x_center = rng.standard_normal(p_total - 1)
+    x_scale = rng.uniform(0.5, 3.0, p_total - 1)
+    y_center = rng.standard_normal(m)
+    y_scale = rng.uniform(0.5, 3.0, m)
+    raw = _rescale(betas, x_center, x_scale, y_center, y_scale, True)
+    for k in range(K):
+        back = _unrescale(raw[:, :, k], x_center, x_scale,
+                          y_center, y_scale, True)
+        np.testing.assert_allclose(back, betas[:, :, k], rtol=1e-12,
+                                   atol=1e-12)
+    # and without an intercept row
+    xc = np.zeros(p_total)
+    xs = rng.uniform(0.5, 3.0, p_total)
+    raw_ni = _rescale(betas, xc, xs, y_center, y_scale, False)
+    for k in range(K):
+        back = _unrescale(raw_ni[:, :, k], xc, xs, y_center, y_scale, False)
+        np.testing.assert_allclose(back, betas[:, :, k], rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_warm_start_fixed_point_unchanged():
+    """beta_init is initialization only: warm-starting every path point
+    from a prior fit's own solutions (the frozen-golden pattern the
+    wide bench queries use) must reproduce the same fixed points, and
+    a wrong warm start must be corrected, not trusted."""
+    x, y, _ = random_problem(n=150, p=8, seed=31)
+    sigmas = [0.3, 0.1, 0.03]
+    tight = {"tol_abs": 1e-10, "tol_rel": 1e-9}
+    cold = owl(x, y, family="gaussian", sigma=sigmas, **tight)
+    # per-point (p_total, m, K) warm start from the cold solutions
+    warm = owl(x, y, family="gaussian", sigma=sigmas,
+               beta_init=cold.coefficients, **tight)
+    np.testing.assert_allclose(warm.coefficients, cold.coefficients,
+                               atol=1e-7)
+    np.testing.assert_allclose(warm.deviance_ratio, cold.deviance_ratio,
+                               rtol=1e-8)
+    # first-point-only (p_total, m) form
+    warm0 = owl(x, y, family="gaussian", sigma=sigmas,
+                beta_init=cold.coefficients[:, :, 0], **tight)
+    np.testing.assert_allclose(warm0.coefficients, cold.coefficients,
+                               atol=1e-7)
+    # an adversarially WRONG warm start still converges to the optimum
+    bad = cold.coefficients.copy()
+    bad[1:, :, :] += 3.0  # push every penalized coef far off
+    rec = owl(x, y, family="gaussian", sigma=sigmas, beta_init=bad,
+              **tight)
+    np.testing.assert_allclose(rec.coefficients, cold.coefficients,
+                               atol=1e-6)

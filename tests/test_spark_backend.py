@@ -85,6 +85,44 @@ def test_spark_multinomial_6class_structured_equals_local(spark):
                                rtol=1e-9)
 
 
+def test_spark_multinomial_kron_kkt_reentry(spark):
+    """VERDICT r12 item 6: exercise the subset-keyed kron-eig cache
+    (path.py fit_subset) under KKT RE-ENTRY at m >= 3. Seed 0's pinned
+    sigmas force the strong rule to miss (verified: the local fit
+    records 18 and 7 violations with active sets 19 and 18 of 21), so
+    fit_subset re-runs on a GROWN subset mid-point — the one
+    cache-interaction path the 6-class test leaves implicit (there the
+    screening pass happens to be clean). Asserts a violation actually
+    occurred on a STRICT subset AND structured (Bohning/_KronH)
+    distributed coefficients match the independent local FISTA
+    solutions."""
+    from golem_spark.solvers import pn_local_hessian
+
+    x, y, _ = random_problem(n=250, p=20, n_targets=3, q=0.2,
+                             amplitude=1.2, response="multinomial",
+                             seed=0)
+    assert len(np.unique(y)) == 4
+    # p_total*m = 21*3 = 63 > 60: the distributed fit routes onto the
+    # _KronH structured path
+    assert not pn_local_hessian("multinomial", 21 * 3)
+    sigmas = [0.3818181906638856, 0.14066302411596354]
+    df, feats = _to_spark(spark, x, y.astype(int))
+    local = owl(x, y.astype(int), family="multinomial", screening=True,
+                sigma=sigmas)
+    dist = owl(df=df, feature_cols=feats, label_col="label",
+               family="multinomial", screening=True, sigma=sigmas)
+    p_total = 21
+    for fit in (local, dist):
+        assert any(
+            sum(v) > 0 and len(a) < p_total
+            for v, a in zip(fit.violations, fit.active_sets)), (
+            "expected a KKT violation on a strict subset; got "
+            f"violations={fit.violations} "
+            f"sizes={[len(a) for a in fit.active_sets]}")
+    np.testing.assert_allclose(dist.coefficients, local.coefficients,
+                               atol=2e-3)
+
+
 def test_spark_predict_and_score(spark):
     x, y, _ = random_problem(n=150, p=4, seed=23)
     df, feats = _to_spark(spark, x, y)

@@ -121,7 +121,9 @@ def freeze_one_sf(spark, sf_dir: str) -> tuple[int, dict]:
     from golem_spark.glm_queries import CV_SPECS, _cv_cells
     cv_frozen = {}
     for cv_fam, cv_sp in CV_SPECS.items():
-        trained = _cv_cells(spark, sf_dir, cv_fam)
+        # warm=False: the freeze must fit COLD — warm-starting from the
+        # previous goldens here would make re-freezing circular
+        trained = _cv_cells(spark, sf_dir, cv_fam, warm=False)
         cv_q = float(cv_sp["q"])
         n_folds = int(cv_sp["number"])
         cv_frozen[cv_fam] = [

@@ -284,8 +284,23 @@ def _tall_frame(spark, n_rows: int, p: int, family: str):
     noise = F.hash((F.col("x0") * F.lit(1e6)).cast("long")) / F.lit(2147483648.0)
     if family == "gaussian":
         label = lp + F.lit(0.5) * noise
-    else:  # binomial
+    elif family == "binomial":
         label = (lp + noise > 0).cast("double")
+    elif family == "multinomial":
+        # 4 classes by thresholding the same planted signal: every
+        # class has mass (the hash noise spreads z), classes 0/3 are
+        # the tails so the decision structure is genuinely multiclass
+        z = lp + noise
+        label = (F.when(z < F.lit(-1.0), F.lit(0))
+                 .when(z < F.lit(0.0), F.lit(1))
+                 .when(z < F.lit(1.0), F.lit(2))
+                 .otherwise(F.lit(3))).cast("double")
+    elif family == "poisson":
+        # bounded rate so counts stay modest (exp clipped at e^2~7.4)
+        label = F.floor(F.exp(F.least(F.lit(0.4) * lp + F.lit(0.3) * noise,
+                                      F.lit(2.0)))).cast("double")
+    else:
+        raise ValueError(f"unknown family {family!r}")
     return df.withColumn("label", label)
 
 
@@ -305,7 +320,14 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
     * binomial: prox-Newton under the Bohning bound (p*m above the
       local-Hessian crossover) — ONE Gram pass for the whole fit,
       then one p-vector gradient pass per outer iteration;
-      fit.passes records the per-point pass counts.
+      fit.passes records the per-point pass counts;
+    * multinomial (r12 item 3): the Bohning/_KronH structured path at
+      m = 3 (4 classes) — same one-Gram-pass shape as binomial, one
+      combined pass per outer iteration carrying a p x m payload;
+    * poisson (r12 item 3): local weighted Hessian, refreshed per
+      outer iteration, with step-halving line searches — every
+      backtrack is one more eval_hess pass, counted in fit.passes,
+      and there is NO whole-fit Gram pass.
 
     Records wall, Spark jobs, per-point solver passes, peak driver
     RSS, and scan throughput (rows/s through the heaviest pass)."""
@@ -358,11 +380,18 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
         out["job_count_ok"] = bool(len(jobs) == 3)
     else:
         # build stats (2 AQE stage-jobs) + lambda_max gradient + ONE
-        # Bohning Gram pass + one gradient pass per solver outer
-        # iteration (sum(fit.passes)) + one KKT/eval pass per path
-        # point; aggregation-shaped passes may split into 2 AQE
-        # stage-jobs each, hence the factor-2 ceiling
-        expected = 2 * (3 + int(sum(fit.passes)) + int(fit.n_sigma))
+        # Bohning Gram pass (binomial/multinomial fixed majorizations;
+        # poisson has no global curvature bound, so no Gram pass — its
+        # extra cost is line-search eval_hess passes, which fit.passes
+        # already counts per backtrack) + one combined gradient(+H)
+        # pass per solver evaluation (sum(fit.passes); multinomial's
+        # p x m gradient is still ONE pass — m scales the payload, not
+        # the pass count) + one KKT/eval pass per path point;
+        # aggregation-shaped passes may split into 2 AQE stage-jobs
+        # each, hence the factor-2 ceiling
+        gram_passes = 0 if family == "poisson" else 1
+        expected = 2 * (2 + gram_passes + int(sum(fit.passes))
+                        + int(fit.n_sigma))
         out["expected_jobs_upper"] = expected
         out["job_count_ok"] = bool(len(jobs) <= expected)
     return out
@@ -416,16 +445,29 @@ def main() -> None:
         print(f"WIDE-P-MULTINOMIAL {widep_m}")
     tall_g = None
     tall_b = None
+    tall_m = None
+    tall_p = None
     if "--no-talln" not in sys.argv[1:]:
         # gaussian: 2e7 x 200 whole-path-from-one-stats-pass; binomial:
         # 1e7 x 200, 2-point near-sigma_max path (the pass-accounting
-        # claim, not a deep fit — each gradient pass scans all rows)
+        # claim, not a deep fit — each gradient pass scans all rows);
+        # multinomial (VERDICT r12 item 3): 5e6 x 200 x 4 classes —
+        # the Bohning/_KronH path at m=3, p*m=603 >> the 60 local-H
+        # crossover, one distributed pass per outer iteration with an
+        # m-scaled payload; poisson: 1e7 x 200 — local-Hessian line
+        # searches, extra eval_hess passes per backtrack, no Gram pass
         tall_g = tall_n_ceiling(spark, "gaussian", 20_000_000, 200,
                                 n_sigma=4, lambda_min_ratio=0.5)
         print(f"TALL-N-GAUSSIAN {tall_g}")
         tall_b = tall_n_ceiling(spark, "binomial", 10_000_000, 200,
                                 n_sigma=2, lambda_min_ratio=0.8)
         print(f"TALL-N-BINOMIAL {tall_b}")
+        tall_m = tall_n_ceiling(spark, "multinomial", 5_000_000, 200,
+                                n_sigma=2, lambda_min_ratio=0.8)
+        print(f"TALL-N-MULTINOMIAL {tall_m}")
+        tall_p = tall_n_ceiling(spark, "poisson", 10_000_000, 200,
+                                n_sigma=2, lambda_min_ratio=0.8)
+        print(f"TALL-N-POISSON {tall_p}")
     if json_path:
         import json
 
@@ -437,7 +479,9 @@ def main() -> None:
                        "wide_p_ceiling_binomial": widep_b,
                        "wide_p_ceiling_multinomial": widep_m,
                        "tall_n_ceiling_gaussian": tall_g,
-                       "tall_n_ceiling_binomial": tall_b}, fh, indent=1)
+                       "tall_n_ceiling_binomial": tall_b,
+                       "tall_n_ceiling_multinomial": tall_m,
+                       "tall_n_ceiling_poisson": tall_p}, fh, indent=1)
         print(f"wrote {json_path}")
 
 
