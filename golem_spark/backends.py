@@ -524,13 +524,19 @@ class SparkBackend:
                             self.intercept, self.n, self._lgamma_sum, persist=False)
 
     def lambda_max_gradient(self) -> np.ndarray:
-        """|X^T y~| in ONE fused aggregation pass (lambdaMax.h:8-60).
+        """|X^T y~| in ONE fused aggregation pass (lambdaMax.h:8-60) —
+        or ZERO passes when build_spark_backend already derived it from
+        the fused stats pass (poisson's X'y ride-along, the
+        binomial/multinomial grouped per-class sums — the common path).
 
         The family-specific centered forms distribute over the sum:
         sum(c*(y - mu)) = sum(c*y) - mu*sum(c), and the multinomial's
         standardize-then-rescale (divide by sd, multiply back) cancels —
         so per-target means come from the same pass instead of a
         separate statistics job."""
+        pre = getattr(self, "_lam_max_grad", None)
+        if pre is not None:
+            return pre
         fam = self.family.name
         cols = [F.col(c) for c in self.feat_cols]
         y0 = F.col(self.y_cols[0])
@@ -1765,7 +1771,49 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     if wide and len(label_cols) > 1:
         raise ValueError("wide-p mode supports a single label column")
 
-    if not wide:
+    class_stats: dict | None = None
+    if not wide and family_name in ("binomial", "multinomial"):
+        # ONE fused pass, GROUPED BY the label (class cardinality is
+        # tiny, so the grouped aggregation costs what the flat one
+        # does, map-side combined): row count, null counts, per-feature
+        # sum + raw second moment — PER CLASS. Class discovery is the
+        # group keys, and the per-class feature sums make the sigma_max
+        # gradient AND the null-model means closed-form driver-side
+        # (stashed below once x_scale is known), so these families
+        # never pay the separate lambda_max_gradient scan. The
+        # reference's factorize-once shape (src/owl.cpp:171-215) for
+        # every dense family: gaussian's comes from the ADMM Gram pass,
+        # poisson's from the X'y ride-along, these two from the groups.
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in feature_cols:
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+            aggs.append(F.sum(F.col(c).cast("double")).alias(f"__sum_{c}"))
+            aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"__ss_{c}"))
+        grows = [r.asDict() for r in
+                 df.groupBy(F.col(label_col).alias("__lab")).agg(*aggs).collect()]
+        n = int(sum(r["__n"] for r in grows))
+        null_lab = int(sum(r["__n"] for r in grows if r["__lab"] is None))
+        stats = {"__n": n, f"__null_{label_col}": null_lab}
+        for c in feature_cols:
+            stats[f"__null_{c}"] = int(sum(r[f"__null_{c}"] for r in grows))
+            stats[f"__mean_{c}"] = sum(r[f"__sum_{c}"] for r in grows) / max(n, 1)
+            stats[f"__ss_{c}"] = sum(r[f"__ss_{c}"] for r in grows)
+        class_stats = {
+            r["__lab"]: (int(r["__n"]),
+                         np.array([float(r[f"__sum_{c}"]) for c in feature_cols]))
+            for r in grows if r["__lab"] is not None}
+        stats["__classes"] = list(class_stats)
+        if label_numeric:
+            stats["__ymean"] = sum(float(k) * v[0]
+                                   for k, v in class_stats.items()) / max(n, 1)
+            stats["__ymin"] = min((float(k) for k in class_stats),
+                                  default=float("inf"))
+        bad = [c for c in feature_cols if stats[f"__null_{c}"] > 0]
+        if null_lab > 0:
+            bad.append(label_col)
+        if bad:
+            raise ValueError(f"missing values in columns: {bad}")
+    elif not wide:
         # ONE fused pass: null counts (rejected like the reference,
         # R/owl.R:350-351), row count, per-feature mean + raw second
         # moment (closed-form l2/sd scales), label mean/min.
@@ -1787,10 +1835,6 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
                 aggs.append(F.sum(F.col(c).cast("double")
                                   * F.col(label_col).cast("double"))
                             .alias(f"__xy_{c}"))
-        if family_name in ("binomial", "multinomial"):
-            # class discovery fused into the same pass (GLM labels have
-            # few distinct values; saves a separate distinct() job)
-            aggs.append(F.collect_set(F.col(label_col)).alias("__classes"))
         stats = df.agg(*aggs).collect()[0]
         n = int(stats["__n"])
         bad = [c for c in [*feature_cols, *label_cols] if stats[f"__null_{c}"] > 0]
@@ -1971,6 +2015,23 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
         g = (n * mu - xy - x_center * (n - n * ymean)) / x_scale
         backend._lam_max_grad = np.abs(g)
         backend._null_mu = np.array([ymean])
+    elif class_stats is not None:
+        # binomial/multinomial sigma_max gradient from the grouped
+        # stats pass: for an indicator response yt = [label = c_k],
+        # X_std'(yt - mean(yt)) = (xsum_k - (n_k/n) * X'1) / s — the
+        # centering terms cancel identically, so the gradient (and the
+        # null-model class means) come from the per-class feature sums
+        # with ZERO additional scans
+        gcls = classes[1:2] if family_name == "binomial" \
+            else classes[:n_targets]
+        sx = n * mu
+        G = np.stack(
+            [(class_stats[c][1] - (class_stats[c][0] / n) * sx) / x_scale
+             for c in gcls], axis=1)
+        backend._lam_max_grad = np.abs(G.ravel(order="F"))
+        backend._stash_null_mu(
+            family_name,
+            np.array([class_stats[c][0] / n for c in gcls]))
     meta = {
         "x_center": x_center,
         "x_scale": x_scale,

@@ -40,6 +40,33 @@ def test_spark_equals_local(spark, family, response):
     np.testing.assert_allclose(local.sigma[:K], dist.sigma[:K], rtol=1e-9)
 
 
+def test_fused_lambda_max_gradient_equals_scan(spark):
+    """The grouped stats pass derives the binomial/multinomial
+    sigma_max gradient (and null means) driver-side with zero extra
+    scans; it must equal the dedicated aggregation pass it replaces."""
+    from golem_spark.backends import build_spark_backend
+
+    for fam, resp, m in (("binomial", "binomial", 1),
+                         ("multinomial", "multinomial", 2)):
+        x, y, _ = random_problem(n=300, p=5, n_targets=max(m, 2),
+                                 response=resp, seed=17)
+        df, feats = _to_spark(spark, x, y.astype(float))
+        backend, _ = build_spark_backend(df, feats, "label", fam)
+        try:
+            fused = getattr(backend, "_lam_max_grad", None)
+            assert fused is not None, f"{fam}: gradient not fused"
+            fused_mu = backend._null_mu.copy()
+            # force the scan path and compare
+            backend._lam_max_grad = None
+            scanned = backend.lambda_max_gradient()
+            np.testing.assert_allclose(fused, scanned, rtol=1e-9,
+                                       atol=1e-12, err_msg=fam)
+            np.testing.assert_allclose(fused_mu, backend._null_mu,
+                                       rtol=1e-12, err_msg=fam)
+        finally:
+            backend.unpersist()
+
+
 def test_spark_multinomial_equals_local(spark):
     x, y, _ = random_problem(n=200, p=4, n_targets=2,
                              response="multinomial", seed=22)
