@@ -67,6 +67,28 @@ def test_fused_lambda_max_gradient_equals_scan(spark):
             backend.unpersist()
 
 
+def test_grouped_stats_rejects_nulls(spark):
+    """The grouped binomial/multinomial stats pass must reject null
+    labels (a null GROUP, not a null-count aggregate) and null
+    features exactly like the flat dense pass (R/owl.R:350-351)."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(pd.DataFrame({
+        "x0": [1.0, 2.0, 3.0, 4.0],
+        "x1": [0.5, 0.25, 0.125, 1.5],
+        "label": ["a", "b", "a", "b"]}))
+    null_lab = base.withColumn(
+        "label", F.when(F.col("x0") < 2, None).otherwise(F.col("label")))
+    with pytest.raises(ValueError, match="label"):
+        owl(df=null_lab, feature_cols=["x0", "x1"], label_col="label",
+            family="binomial", n_sigma=2)
+    null_feat = base.withColumn(
+        "x1", F.when(F.col("x0") < 2, None).otherwise(F.col("x1")))
+    with pytest.raises(ValueError, match="x1"):
+        owl(df=null_feat, feature_cols=["x0", "x1"], label_col="label",
+            family="binomial", n_sigma=2)
+
+
 def test_spark_multinomial_equals_local(spark):
     x, y, _ = random_problem(n=200, p=4, n_targets=2,
                              response="multinomial", seed=22)
