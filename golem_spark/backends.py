@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from golem_spark.families import Family, get_family, _lgamma
 
+# Driver-collect bound for the grouped-by-label stats pass: each class
+# row carries 3p+1 aggregate columns, so the collect must be capped
+# before a high-cardinality (mistakenly continuous) label can exhaust
+# driver memory. 1024 classes x ~600 columns at p=200 is ~5 MB —
+# comfortably driver-sized — and far beyond any real multinomial use
+# of a sorted-L1 GLM; binomial is capped at its legal 2 classes.
+_MAX_MULTINOMIAL_CLASSES = 1024
+
 
 # ---------------------------------------------------------------------------
 # Standardization statistics
@@ -1789,8 +1797,23 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
             aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
             aggs.append(F.sum(F.col(c).cast("double")).alias(f"__sum_{c}"))
             aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"__ss_{c}"))
+        # Bound the driver collect (each grouped row carries 3p+1
+        # aggregate columns): a mistakenly continuous / high-cardinality
+        # label — the classic family='binomial' user error — would
+        # otherwise ship n_distinct x ~3p values to the driver before
+        # the class-count validation below ever ran. The LIMIT caps the
+        # rows fetched at the legal class count (+1 for a possible
+        # null-label group, +1 to detect overflow) with zero extra
+        # scans; overflow raises the class-cardinality error here, on
+        # at most cap+2 collected rows.
+        cap = 2 if family_name == "binomial" else _MAX_MULTINOMIAL_CLASSES
         grows = [r.asDict() for r in
-                 df.groupBy(F.col(label_col).alias("__lab")).agg(*aggs).collect()]
+                 df.groupBy(F.col(label_col).alias("__lab")).agg(*aggs)
+                 .limit(cap + 2).collect()]
+        if len(grows) > cap + 1:
+            raise ValueError(
+                f"family {family_name!r} found more than {cap} distinct "
+                f"label values in {label_col!r} — is the label continuous?")
         n = int(sum(r["__n"] for r in grows))
         null_lab = int(sum(r["__n"] for r in grows if r["__lab"] is None))
         stats = {"__n": n, f"__null_{label_col}": null_lab}

@@ -133,3 +133,40 @@ def test_wide_kkt_engine_flags_reject_wrong_beta(spark):
     bad.coefficients = bad.coefficients * 1.5
     flags = _spark_wide_kkt_flags(fr, fam, bad, spec["sigmas"], WIDE_P)
     assert flags[1] is False
+
+
+def test_cv_warm_start_survives_mid_grid_kill(spark, monkeypatch):
+    """Warm starts added driver state to the CV queries (frozen goldens
+    loaded per fit). Pin the restart contract (VERDICT r13 item 7):
+    kill a CV run mid-grid, then verify a fresh run from the SAME
+    frozen goldens reproduces the 1e-6-rounded outputs exactly —
+    i.e. ``beta_init`` carries no cross-fit or cross-run state."""
+    import golem_spark.glm_queries as gq
+
+    q = gq.GLM_QUERIES["glm_cv_binomial"]
+    ref = [tuple(r) for r in q(spark, SF).collect()]
+
+    orig = gq._cv_warm_starts
+    state = {"cells": 0, "warm": False}
+
+    def boom(fam, n, m, n_sigma):
+        by_cell, full_bi = orig(fam, n, m, n_sigma)
+        assert by_cell is not None  # sf0.001 must actually be warm
+        state["warm"] = True
+
+        def killed(qv, fold, rep):
+            state["cells"] += 1
+            if state["cells"] == 3:  # mid-grid: after 2 cells started
+                raise RuntimeError("simulated mid-grid kill")
+            return by_cell(qv, fold, rep)
+
+        return killed, full_bi
+
+    monkeypatch.setattr(gq, "_cv_warm_starts", boom)
+    with pytest.raises(RuntimeError, match="mid-grid kill"):
+        q(spark, SF)
+    assert state["warm"] and state["cells"] >= 3
+    monkeypatch.setattr(gq, "_cv_warm_starts", orig)
+
+    again = [tuple(r) for r in q(spark, SF).collect()]
+    assert again == ref

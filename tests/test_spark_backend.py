@@ -89,6 +89,24 @@ def test_grouped_stats_rejects_nulls(spark):
             family="binomial", n_sigma=2)
 
 
+def test_grouped_stats_bounds_label_cardinality(spark):
+    """A mistakenly continuous label under family='binomial' must raise
+    the class-cardinality error from a LIMIT-capped collect — never
+    ship n_distinct x 3p grouped aggregate rows to the driver."""
+    import pyspark.sql.functions as F
+
+    cont = spark.range(0, 2000).select(
+        (F.col("id") % 7).cast("double").alias("x0"),
+        (F.col("id") % 11).cast("double").alias("x1"),
+        (F.col("id") / 10.0).alias("label"))  # 2000 distinct values
+    with pytest.raises(ValueError, match="distinct label values"):
+        owl(df=cont, feature_cols=["x0", "x1"], label_col="label",
+            family="binomial", n_sigma=2)
+    with pytest.raises(ValueError, match="distinct label values"):
+        owl(df=cont, feature_cols=["x0", "x1"], label_col="label",
+            family="multinomial", n_sigma=2)
+
+
 def test_spark_multinomial_equals_local(spark):
     x, y, _ = random_problem(n=200, p=4, n_targets=2,
                              response="multinomial", seed=22)

@@ -266,7 +266,8 @@ def wide_p_ceiling_multinomial(spark, sf_dir: str) -> dict:
     }
 
 
-def _tall_frame(spark, n_rows: int, p: int, family: str):
+def _tall_frame(spark, n_rows: int, p: int, family: str,
+                n_classes: int = 4):
     """Synthetic tall design, never materialized: p feature columns
     from 32-bit column hashes of the row id (JVM-side, whole-stage
     codegen — zero Python in the scan), a planted linear signal on
@@ -287,14 +288,18 @@ def _tall_frame(spark, n_rows: int, p: int, family: str):
     elif family == "binomial":
         label = (lp + noise > 0).cast("double")
     elif family == "multinomial":
-        # 4 classes by thresholding the same planted signal: every
-        # class has mass (the hash noise spreads z), classes 0/3 are
-        # the tails so the decision structure is genuinely multiclass
+        # n_classes (default 4) by thresholding the same planted
+        # signal over evenly spaced cuts in [-2, 2]: every class has
+        # mass (the hash noise spreads z), the extreme classes are the
+        # tails so the decision structure is genuinely multiclass.
+        # n_classes parameterizes the m-payload scaling audit
+        # (VERDICT r13 item 5): m = n_classes - 1 scales the p x m
+        # gradient payload per pass, never the pass count.
         z = lp + noise
-        label = (F.when(z < F.lit(-1.0), F.lit(0))
-                 .when(z < F.lit(0.0), F.lit(1))
-                 .when(z < F.lit(1.0), F.lit(2))
-                 .otherwise(F.lit(3))).cast("double")
+        width = 4.0 / n_classes
+        label = (F.least(F.greatest(F.floor((z + F.lit(2.0)) / F.lit(width)),
+                                    F.lit(0)), F.lit(n_classes - 1))
+                 ).cast("double")
     elif family == "poisson":
         # bounded rate so counts stay modest (exp clipped at e^2~7.4)
         label = F.floor(F.exp(F.least(F.lit(0.4) * lp + F.lit(0.3) * noise,
@@ -306,7 +311,8 @@ def _tall_frame(spark, n_rows: int, p: int, family: str):
 
 def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
                    n_sigma: int = 4,
-                   lambda_min_ratio: float = 0.5) -> dict:
+                   lambda_min_ratio: float = 0.5,
+                   n_classes: int = 4) -> dict:
     """VERDICT r11 item 1 — the TALL direction of the 100 TB story,
     measured end-to-end (the symmetric counterpart of the three wide-p
     ceilings). n >> p is the regime the design targets (SURVEY §4 "the
@@ -336,9 +342,12 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
 
     from golem_spark.path import owl
 
-    frame = _tall_frame(spark, n_rows, p, family)
+    frame = _tall_frame(spark, n_rows, p, family, n_classes=n_classes)
     sc = spark.sparkContext
-    group = f"tall_n_{family}"
+    # unique per configuration: statusTracker accumulates job ids per
+    # group name for the session, so repeated runs of one family (the
+    # m-payload sweep) must not share a group
+    group = f"tall_n_{family}_{n_rows}_{n_classes}"
     # re-enable whole-stage codegen for the ~200-field projections of
     # this section only (measured 2.8x on the tall scan) — the session
     # default stays 100 because iterative GLM fits re-compile every
@@ -361,6 +370,7 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
         "family": family,
         "n": int(n_rows),
         "p": int(p),
+        **({"n_classes": int(n_classes)} if family == "multinomial" else {}),
         "n_sigma_fitted": int(fit.n_sigma),
         "wall_sec": wall,
         "spark_jobs": len(jobs),
@@ -379,8 +389,11 @@ def tall_n_ceiling(spark, family: str, n_rows: int, p: int,
         out["expected_jobs"] = 3
         out["job_count_ok"] = bool(len(jobs) == 3)
     else:
-        # build stats (2 AQE stage-jobs) + lambda_max gradient + ONE
-        # Bohning Gram pass (binomial/multinomial fixed majorizations;
+        # build stats (2 AQE stage-jobs; for binomial/multinomial the
+        # grouped-by-label variant also yields the lambda_max gradient
+        # and null means, so there is NO separate gradient scan — for
+        # poisson the X'y ride-along does the same) + ONE Bohning
+        # Gram pass (binomial/multinomial fixed majorizations;
         # poisson has no global curvature bound, so no Gram pass — its
         # extra cost is line-search eval_hess passes, which fit.passes
         # already counts per backtrack) + one combined gradient(+H)
@@ -446,6 +459,8 @@ def main() -> None:
     tall_g = None
     tall_b = None
     tall_m = None
+    tall_m8 = None
+    tall_m16 = None
     tall_p = None
     if "--no-talln" not in sys.argv[1:]:
         # gaussian: 2e7 x 200 whole-path-from-one-stats-pass; binomial:
@@ -465,6 +480,20 @@ def main() -> None:
         tall_m = tall_n_ceiling(spark, "multinomial", 5_000_000, 200,
                                 n_sigma=2, lambda_min_ratio=0.8)
         print(f"TALL-N-MULTINOMIAL {tall_m}")
+        # m-payload scaling (VERDICT r13 item 5): same n x p, class
+        # count 8 then 16 — the p x m gradient payload per pass is the
+        # claimed 100x risk dimension, the pass count must NOT scale
+        # with m (Bohning/_KronH: one combined pass per outer
+        # iteration). Run in increasing-m order so the ru_maxrss
+        # driver peak is attributable to the payload growth.
+        tall_m8 = tall_n_ceiling(spark, "multinomial", 5_000_000, 200,
+                                 n_sigma=2, lambda_min_ratio=0.8,
+                                 n_classes=8)
+        print(f"TALL-N-MULTINOMIAL-M8 {tall_m8}")
+        tall_m16 = tall_n_ceiling(spark, "multinomial", 5_000_000, 200,
+                                  n_sigma=2, lambda_min_ratio=0.8,
+                                  n_classes=16)
+        print(f"TALL-N-MULTINOMIAL-M16 {tall_m16}")
         tall_p = tall_n_ceiling(spark, "poisson", 10_000_000, 200,
                                 n_sigma=2, lambda_min_ratio=0.8)
         print(f"TALL-N-POISSON {tall_p}")
@@ -481,6 +510,8 @@ def main() -> None:
                        "tall_n_ceiling_gaussian": tall_g,
                        "tall_n_ceiling_binomial": tall_b,
                        "tall_n_ceiling_multinomial": tall_m,
+                       "tall_n_ceiling_multinomial_m8": tall_m8,
+                       "tall_n_ceiling_multinomial_m16": tall_m16,
                        "tall_n_ceiling_poisson": tall_p}, fh, indent=1)
         print(f"wrote {json_path}")
 
