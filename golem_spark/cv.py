@@ -137,6 +137,189 @@ def fold_expr(key_col: str, number: int, rep: int = 0):
     return F.pmod(h32, F.lit(number))
 
 
+class _GaussianStatsBackend:
+    """Driver-side sufficient-statistics backend for the grouped-CV
+    gaussian route: the slice of the backend contract the ADMM path
+    consumes (gram/xty/yty + shape attributes), built from per-fold
+    raw moments with ZERO data passes. ``owl`` accepts it through
+    ``_prebuilt``; its non-SparkBackend type routes the fit onto the
+    same driver-local sufficient-statistics ADMM the dense gaussian
+    path already uses."""
+
+    def __init__(self, n: int, p: int, intercept: bool,
+                 gram_std: np.ndarray, xty_std: np.ndarray, yty_c: float):
+        self.n = int(n)
+        self.p_orig = int(p)
+        self.intercept = bool(intercept)
+        self.p_total = int(p) + (1 if intercept else 0)
+        self.m = 1
+        self._gram = gram_std
+        self._xty = xty_std
+        self._yty_precomputed = float(yty_c)
+
+    def gram(self) -> np.ndarray:
+        return self._gram
+
+    def xty(self) -> np.ndarray:
+        return self._xty
+
+    def lambda_max_gradient(self) -> np.ndarray:
+        off = 1 if self.intercept else 0
+        return np.abs(self._xty[off:, :]).ravel(order="F")
+
+
+def _gaussian_fold_moments(df, feature_cols, label_col, key_col,
+                           number: int, rep: int = 0) -> list[dict]:
+    """ONE mapInArrow pass over (key, features, label) → per-fold RAW
+    moments {n, sy, yy, sx, xy, G}: everything k-fold gaussian CV needs.
+    Each cell's training complement is total − fold (exact algebra, see
+    :func:`_gaussian_stats_backend`), and the held-out mse is
+    closed-form from the fold's own moments — so the entire CV grid
+    costs ONE corpus scan per repeat instead of 2(k+1) stats/Gram scans
+    plus k scoring scans. Fold ids are the same Knuth hash as
+    :func:`fold_ids`, computed per batch in numpy. Payload is
+    number x O(p^2) doubles — bounded by the caller's p cap."""
+    from pyspark.sql import functions as F
+
+    p = len(feature_cols)
+    S = 4 + 3 * p + p * p  # n, sy, yy, nan_y, nanx(p), sx(p), xy(p), G(p^2)
+
+    sel = df.select(F.col(key_col).cast("long").alias("__k"),
+                    *[F.col(c).cast("double") for c in feature_cols],
+                    F.col(label_col).cast("double").alias("__y"))
+
+    def op(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = np.zeros(number * S)
+        for rb in batches:
+            keys = np.asarray(rb.column(0).to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            X = np.column_stack(
+                [np.asarray(rb.column(1 + j).to_numpy(zero_copy_only=False),
+                            dtype=np.float64) for j in range(p)])
+            y = np.asarray(rb.column(1 + p).to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+            folds = fold_ids(keys, number, rep)
+            for f in np.unique(folds):
+                mask = folds == f
+                Xf, yf = X[mask], y[mask]
+                # missing values (arrow nulls arrive as NaN) are
+                # counted per column and rejected driver-side exactly
+                # like the flat stats pass (R/owl.R:350-351)
+                nanx = np.isnan(Xf).sum(axis=0)
+                nany = int(np.isnan(yf).sum())
+                if nany:
+                    yf = np.nan_to_num(yf)
+                if nanx.any():
+                    Xf = np.nan_to_num(Xf)
+                off = int(f) * S
+                acc[off] += Xf.shape[0]
+                acc[off + 1] += float(yf.sum())
+                acc[off + 2] += float(yf @ yf)
+                acc[off + 3] += nany
+                acc[off + 4:off + 4 + p] += nanx
+                acc[off + 4 + p:off + 4 + 2 * p] += Xf.sum(axis=0)
+                acc[off + 4 + 2 * p:off + 4 + 3 * p] += Xf.T @ yf
+                acc[off + 4 + 3 * p:off + S] += (Xf.T @ Xf).ravel()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([acc], type=pa.list_(pa.float64()))], ["part"])
+
+    tot = np.zeros(number * S)
+    for row in sel.mapInArrow(op, "part array<double>").collect():
+        tot += np.asarray(row["part"])
+
+    out = []
+    for f in range(number):
+        v = tot[f * S:(f + 1) * S]
+        nan_cols = [c for j, c in enumerate(feature_cols) if v[4 + j] > 0]
+        if v[3] > 0:
+            nan_cols.append(label_col)
+        if nan_cols:
+            raise ValueError(f"missing values in columns: {nan_cols}")
+        out.append({"n": float(v[0]), "sy": float(v[1]), "yy": float(v[2]),
+                    "sx": v[4 + p:4 + 2 * p].copy(),
+                    "xy": v[4 + 2 * p:4 + 3 * p].copy(),
+                    "G": v[4 + 3 * p:S].reshape((p, p)).copy()})
+    return out
+
+
+def _moments_sub(a: dict, b: dict | None) -> dict:
+    """Training-complement moments: total − fold (b=None → total)."""
+    if b is None:
+        return a
+    return {k: a[k] - b[k] for k in ("n", "sy", "yy", "sx", "xy", "G")}
+
+
+def _gaussian_stats_backend(mom: dict, feature_cols: list[str],
+                            intercept: bool, center: bool, scale: str):
+    """(backend, meta) from raw moments — the zero-pass analogue of
+    build_spark_backend's gaussian route. Standardization matches its
+    closed forms exactly (l2: sqrt(ss − n c^2), sd: sqrt((ss − n
+    mu^2)/(n−1)), zero-scale guard → 1); the standardized Gram / X'y /
+    ||y_c||^2 follow from the centering algebra
+    X_std'X_std = D^{-1}(X'X − c sx' − sx c' + n c c')D^{-1}."""
+    p = len(feature_cols)
+    n = mom["n"]
+    sx, xy, G = mom["sx"], mom["xy"], mom["G"]
+    mu = sx / n
+    c = mu if center else np.zeros(p)
+    ymean = mom["sy"] / n
+    ss = np.diag(G)
+    if scale == "l2":
+        x_scale = np.sqrt(np.maximum(ss - n * c ** 2, 0.0))
+    elif scale == "sd":
+        x_scale = np.sqrt(np.maximum(ss - n * mu ** 2, 0.0) / max(n - 1, 1))
+    elif scale == "none":
+        x_scale = np.ones(p)
+    else:  # callers gate on l2/sd/none; l1/max need a centered pass
+        raise ValueError(f"grouped gaussian CV does not support scale={scale!r}")
+    if scale != "none":
+        x_scale = x_scale.copy()
+        x_scale[x_scale == 0.0] = 1.0
+
+    off = 1 if intercept else 0
+    p_total = p + off
+    gram = np.empty((p_total, p_total))
+    Gc = (G - np.outer(c, sx) - np.outer(sx, c) + n * np.outer(c, c))
+    gram[off:, off:] = Gc / np.outer(x_scale, x_scale)
+    xty = np.empty((p_total, 1))
+    xy_c = (xy - c * mom["sy"] - ymean * sx + n * c * ymean) / x_scale
+    xty[off:, 0] = xy_c
+    if intercept:
+        col = (sx - n * c) / x_scale
+        gram[0, 0] = n
+        gram[0, 1:] = col
+        gram[1:, 0] = col
+        xty[0, 0] = mom["sy"] - n * ymean
+    yty_c = mom["yy"] - 2.0 * ymean * mom["sy"] + n * ymean * ymean
+
+    backend = _GaussianStatsBackend(int(n), p, intercept, gram, xty, yty_c)
+    meta = {"x_center": c, "x_scale": x_scale,
+            "y_center": np.array([ymean]), "y_scale": np.ones(1),
+            "class_names": None, "n_targets": 1,
+            "feature_names": list(feature_cols)}
+    return backend, meta
+
+
+def _mse_from_moments(mom: dict, fit) -> np.ndarray:
+    """Held-out gaussian mse per path point, closed-form from the
+    fold's raw moments: mean((y − b0 − x·b)^2) = (yy − 2(b0 sy + b·xy)
+    + b0^2 n + 2 b0 b·sx + b'Gb)/n, with the fit's RAW-unit
+    coefficients — the zero-pass equivalent of scoring the held-out
+    fold row by row."""
+    n = mom["n"]
+    out = np.empty(fit.n_sigma)
+    for k in range(fit.n_sigma):
+        co = fit.coefficients[:, 0, k]
+        b0, b = (float(co[0]), co[1:]) if fit.intercept else (0.0, co)
+        out[k] = (mom["yy"] - 2.0 * (b0 * mom["sy"] + b @ mom["xy"])
+                  + b0 * b0 * n + 2.0 * b0 * (b @ mom["sx"])
+                  + b @ (mom["G"] @ b)) / n
+    return out
+
+
 def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     number: int = 5, repeats: int = 1,
                     measure: str | list[str] | None = None,
@@ -146,7 +329,8 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     sparse_p: int | None = None,
                     keep_cell_fits: bool = False,
                     beta_init_by_cell=None,
-                    full_beta_init=None, **owl_kwargs) -> TrainedOwl:
+                    full_beta_init=None,
+                    _grouped: bool | None = None, **owl_kwargs) -> TrainedOwl:
     """Distributed repeated k-fold CV: folds are a deterministic Knuth
     hash of ``key_col`` (kernel K15) computed as a column expression —
     no shuffle, no sampling; each grid cell is a filtered-DataFrame fit.
@@ -196,7 +380,52 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                                            dtype=np.float64))
                   if pinned_sigma else None)
 
+    # gaussian narrow-dense grid: ONE grouped mapInArrow pass per repeat
+    # yields per-fold raw moments; every cell's training complement is
+    # total − fold and the held-out mse is closed-form from the fold's
+    # own moments, so the whole (q x fold x rep) grid — full fits
+    # included — touches the data once per repeat (plus scans only for
+    # non-moment measures like mae). The per-cell route pays
+    # 2 stats/Gram scans per cell plus a scoring scan; at 100 TB with
+    # k folds that is 3k + 2 corpus reads collapsed into 1. The p cap
+    # matches the ADMM eligibility bound (p x p Gram driver-storable);
+    # l1/max scales need a centered data pass per cell, so they (and
+    # sparse/local frames) keep the per-cell route.
+    grouped: dict[int, list[dict]] | None = None
+    if _grouped is not False and (
+            family == "gaussian" and sparse_features is None
+            and feature_cols is not None and hasattr(df, "sparkSession")
+            and len(feature_cols) + 1 <= 2000
+            # per-partition moments payload is k x (p^2+3p+4) doubles;
+            # bound it at ~32 MB so the driver collect stays small even
+            # at the ADMM p cap with many folds
+            and number * (len(feature_cols) ** 2
+                          + 3 * len(feature_cols) + 4) <= 4_000_000
+            and owl_kwargs.get("scale", "l2") in ("l2", "sd", "none")):
+        grouped = {rep: _gaussian_fold_moments(df, feature_cols, label_col,
+                                               key_col, number, rep)
+                   for rep in range(repeats)}
+    # dense default center=None resolves to True inside owl
+    g_center = owl_kwargs.get("center") in (None, True)
+    g_scale = owl_kwargs.get("scale", "l2")
+    g_intercept = bool(owl_kwargs.get("intercept", True))
+    # moments are fold-partition sums of the same rows, so every
+    # repeat's total is the same quantity up to summation order; rep 0's
+    # serves the full fits
+    g_totals = ({k: sum(f[k] for f in grouped[0])
+                 for k in ("n", "sy", "yy", "sx", "xy", "G")}
+                if grouped else None)
     def full_fit(qv):
+        if grouped is not None:
+            # center/scale/intercept are baked into the prebuilt stats;
+            # owl's _prebuilt branch only echoes them into fit_options
+            bk, bmeta = _gaussian_stats_backend(g_totals, feature_cols,
+                                                intercept=g_intercept,
+                                                center=g_center,
+                                                scale=g_scale)
+            return owl(_prebuilt=(bk, bmeta), family=family, q=qv,
+                       n_sigma=n_sigma, beta_init=full_beta_init,
+                       **owl_kwargs)
         return owl(df=df, label_col=label_col, family=family, q=qv,
                    n_sigma=n_sigma, beta_init=full_beta_init,
                    **fit_kw, **owl_kwargs)
@@ -214,17 +443,32 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
 
     def run_cell(cell):
         qv, fold, rep = cell
-        fc = fold_expr(key_col, number, rep)
-        train = df.filter(fc != fold)
-        test = df.filter(fc == fold)
         sig = sig_pinned if pinned_sigma else full_fits[qv].sigma
         bi = (beta_init_by_cell(qv, fold, rep)
               if beta_init_by_cell is not None else None)
-        cell_fit = owl(df=train, label_col=label_col,
-                       family=family, q=qv, sigma=sig, beta_init=bi,
-                       **fit_kw, **cell_kwargs)
+        if grouped is not None:
+            comp = _moments_sub(g_totals, grouped[rep][fold])
+            bk, bmeta = _gaussian_stats_backend(comp, feature_cols,
+                                               intercept=g_intercept,
+                                               center=g_center,
+                                               scale=g_scale)
+            cell_fit = owl(_prebuilt=(bk, bmeta), family=family, q=qv,
+                           sigma=sig, beta_init=bi, **cell_kwargs)
+        else:
+            fc = fold_expr(key_col, number, rep)
+            train = df.filter(fc != fold)
+            cell_fit = owl(df=train, label_col=label_col,
+                           family=family, q=qv, sigma=sig, beta_init=bi,
+                           **fit_kw, **cell_kwargs)
         out = {}
+        test = None
         for m in measures:
+            if grouped is not None and m == "mse":
+                # held-out mse closed-form from the fold's own moments
+                out[m] = _mse_from_moments(grouped[rep][fold], cell_fit)
+                continue
+            if test is None:
+                test = df.filter(fold_expr(key_col, number, rep) == fold)
             if sparse_features is not None:
                 out[m] = _score(cell_fit, df=test,
                                 sparse_features=sparse_features,

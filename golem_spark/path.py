@@ -731,6 +731,11 @@ def _spark_primal_at_zero(backend) -> float:
 
 
 def _yty(backend) -> float:
+    pre = getattr(backend, "_yty_precomputed", None)
+    if pre is not None:
+        # sufficient-statistics backends (cv._GaussianStatsBackend)
+        # carry ||y_centered||^2 from their grouped moments pass
+        return float(pre)
     if isinstance(backend, LocalBackend):
         return float(np.sum(backend.y * backend.y))
     if isinstance(backend, LocalSparseBackend):

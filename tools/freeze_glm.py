@@ -9,6 +9,15 @@ values themselves are golden.
 
 Run after any solver change:  python tools/freeze_glm.py
 
+NOTE (r14): a full run regenerates EVERY golden, and run-to-run the
+regenerated values drift at the 1e-15 level (partial-aggregation
+summation order), which rewrites the oracle SQL constants of every glm
+query and therefore rotates ALL their fingerprints — re-occupying
+driver-window slots that stale queries need. After a scoped solver
+change, merge selectively: keep the committed goldens for families
+whose settings did not change and take only the changed entries (see
+the r14 round notes for the merge recipe).
+
 GUARD: refreezing is refused unless the statistical-oracle test subset
 (OLS/IRLS/lasso/MLlib cross-checks — the INDEPENDENT ground truth for
 coefficient values) passes in the same invocation. Without this, a
