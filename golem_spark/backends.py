@@ -338,6 +338,16 @@ class SparkBackend:
         _eval_hess_expr for cross-checking."""
         return self._arrow_view().eval_hess(beta)
 
+    def eval_multi(self, betas: list) -> list:
+        """[(primal, dual, grad)] for every beta from ONE data pass —
+        the Arrow machinery (same closures as :meth:`eval_hess`'s view),
+        so each result is bitwise what a per-beta Arrow pass returns."""
+        return self._arrow_view().eval_multi(betas)
+
+    def eval_hess_multi(self, betas: list) -> list:
+        """[(primal, dual, grad, hess)] for every beta from ONE pass."""
+        return self._arrow_view().eval_hess_multi(betas)
+
     def _eval_hess_expr(self, beta: np.ndarray):
         if self.p_total > self._QUAD_EXPR_MAX_P and self.family.name != "multinomial":
             return self._arrow_view().eval_hess(beta)
@@ -723,24 +733,16 @@ class ArrowSparkBackend(SparkBackend):
     """
 
     def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
-        import pandas as pd  # local import keeps the closure lean
-
-        feat_cols = list(self.feat_cols)
-        y_cols = list(self.y_cols)
-
-        def op(batches):
-            for pdf in batches:
-                X = pdf[feat_cols].to_numpy(dtype=np.float64)
-                Y = pdf[y_cols].to_numpy(dtype=np.float64)
-                yield pd.DataFrame({"part": [build_batch_fn(X, Y)]})
-
         if not hasattr(self, "_n_parts_cache"):
             self._n_parts_cache = []
         src = _bounded_partials_src(self.df, out_len, self._n_parts_cache)
-        return _collect_partials(src.mapInPandas(op, "part array<double>"),
+        return _collect_partials(self._map_partials(src, build_batch_fn),
                                  out_len)
 
-    def eval(self, beta: np.ndarray):
+    def _eval_closure(self, beta: np.ndarray):
+        """(batch_fn, out_len) for one beta — the exact per-batch
+        arithmetic of :meth:`eval`, shared by the single and fused
+        multi-beta passes so both produce identical partials."""
         fam = self.family.name
         b = np.ascontiguousarray(beta, dtype=np.float64)
         intercept = self.intercept
@@ -755,9 +757,70 @@ class ArrowSparkBackend(SparkBackend):
                 grad = np.vstack([g.sum(axis=0), grad])
             return np.concatenate([[primal, dual], grad.ravel(order="F")])
 
-        out = self._partial_reduce(batch, 2 + p_total * m)
-        grad = out[2:].reshape((p_total, m), order="F")
+        return batch, 2 + p_total * m
+
+    def _eval_finish(self, out: np.ndarray):
+        grad = out[2:].reshape((self.p_total, self.m), order="F")
         return float(out[0]), float(out[1]), grad
+
+    def eval(self, beta: np.ndarray):
+        batch, out_len = self._eval_closure(beta)
+        return self._eval_finish(self._partial_reduce(batch, out_len))
+
+    def _multi_reduce(self, built: list) -> list[np.ndarray]:
+        """ONE distributed pass evaluating several closures (guide §2.4:
+        K warm-start evaluations fused into a single scan). Per batch the
+        per-beta partials are computed by the SAME closures the
+        single-beta passes use and concatenated, so each beta's segment
+        accumulates over identical batches in identical order. The
+        coalesce bound uses the PER-BETA partial size so the fused pass
+        keeps the exact partition/batch grouping of the single passes
+        (a grouping change would shift partial-sum rounding by an ulp)."""
+        fns = [f for f, _ in built]
+        lens = [l for _, l in built]
+
+        def batch(*args):
+            return np.concatenate([f(*args) for f in fns])
+
+        if not hasattr(self, "_n_parts_cache"):
+            self._n_parts_cache = []
+        max_single = max(lens)
+        saved = _bounded_partials_src(self.df, max_single,
+                                      self._n_parts_cache)
+        out_len = sum(lens)
+        out = _collect_partials(
+            self._map_partials(saved, batch), out_len)
+        parts, pos = [], 0
+        for l in lens:
+            parts.append(out[pos:pos + l])
+            pos += l
+        return parts
+
+    def _map_partials(self, src: DataFrame, build_batch_fn) -> DataFrame:
+        import pandas as pd
+
+        feat_cols = list(self.feat_cols)
+        y_cols = list(self.y_cols)
+
+        def op(batches):
+            for pdf in batches:
+                X = pdf[feat_cols].to_numpy(dtype=np.float64)
+                Y = pdf[y_cols].to_numpy(dtype=np.float64)
+                yield pd.DataFrame({"part": [build_batch_fn(X, Y)]})
+
+        return src.mapInPandas(op, "part array<double>")
+
+    def eval_multi(self, betas: list) -> list:
+        """[(primal, dual, grad)] for every beta from ONE data pass."""
+        built = [self._eval_closure(b) for b in betas]
+        return [self._eval_finish(out)
+                for out in self._multi_reduce(built)]
+
+    def eval_hess_multi(self, betas: list) -> list:
+        """[(primal, dual, grad, hess)] for every beta from ONE pass."""
+        built = [self._eval_hess_closure(b) for b in betas]
+        return [self._eval_hess_finish(out)
+                for out in self._multi_reduce(built)]
 
     def primal(self, beta: np.ndarray) -> float:
         fam = self.family.name
@@ -771,7 +834,10 @@ class ArrowSparkBackend(SparkBackend):
 
         return float(self._partial_reduce(batch, 1)[0])
 
-    def eval_hess(self, beta: np.ndarray):
+    def _eval_hess_closure(self, beta: np.ndarray):
+        """(batch_fn, out_len) for one beta — the exact per-batch
+        arithmetic of :meth:`eval_hess` (single and fused passes share
+        it, so per-beta partials are identical either way)."""
         fam = self.family.name
         b = np.ascontiguousarray(beta, dtype=np.float64)
         intercept = self.intercept
@@ -806,22 +872,7 @@ class ArrowSparkBackend(SparkBackend):
                 return np.concatenate([[primal, dual],
                                        grad.ravel(order="F"), *blocks])
 
-            out = self._partial_reduce(
-                mbatch, 2 + p_total * m + n_blk * p_total * p_total)
-            grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
-            H = np.zeros((p_total * m, p_total * m))
-            pos = 2 + p_total * m
-            for k in range(m):
-                for l in range(k, m):
-                    blk = out[pos:pos + p_total * p_total].reshape(
-                        (p_total, p_total))
-                    pos += p_total * p_total
-                    H[k * p_total:(k + 1) * p_total,
-                      l * p_total:(l + 1) * p_total] = blk
-                    if l != k:
-                        H[l * p_total:(l + 1) * p_total,
-                          k * p_total:(k + 1) * p_total] = blk
-            return float(out[0]), float(out[1]), grad, H
+            return mbatch, 2 + p_total * m + n_blk * p_total * p_total
 
         def batch(X, Y):
             lp = (b[0][None, :] + X @ b[1:]) if intercept else X @ b
@@ -839,10 +890,32 @@ class ArrowSparkBackend(SparkBackend):
             return np.concatenate([[primal, dual], grad.ravel(order="F"),
                                    H.ravel()])
 
-        out = self._partial_reduce(batch, 2 + p_total * m + p_total * p_total)
+        return batch, 2 + p_total * m + p_total * p_total
+
+    def _eval_hess_finish(self, out: np.ndarray):
+        m = self.m
+        p_total = self.p_total
         grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
-        H = out[2 + p_total * m:].reshape((p_total, p_total))
+        if self.family.name == "multinomial":
+            H = np.zeros((p_total * m, p_total * m))
+            pos = 2 + p_total * m
+            for k in range(m):
+                for l in range(k, m):
+                    blk = out[pos:pos + p_total * p_total].reshape(
+                        (p_total, p_total))
+                    pos += p_total * p_total
+                    H[k * p_total:(k + 1) * p_total,
+                      l * p_total:(l + 1) * p_total] = blk
+                    if l != k:
+                        H[l * p_total:(l + 1) * p_total,
+                          k * p_total:(k + 1) * p_total] = blk
+        else:
+            H = out[2 + p_total * m:].reshape((p_total, p_total))
         return float(out[0]), float(out[1]), grad, H
+
+    def eval_hess(self, beta: np.ndarray):
+        batch, out_len = self._eval_hess_closure(beta)
+        return self._eval_hess_finish(self._partial_reduce(batch, out_len))
 
     def gram(self) -> np.ndarray:
         intercept = self.intercept
@@ -972,7 +1045,7 @@ class SparseArrowBackend(ArrowSparkBackend):
 
         return csr
 
-    def _partial_reduce(self, build_batch_fn, out_len: int) -> np.ndarray:
+    def _map_partials(self, src: DataFrame, build_batch_fn) -> DataFrame:
         """mapInArrow partial reduction: the (indices, values) list
         columns are consumed as raw Arrow buffers — values + offsets of
         the ListArray, zero-copy — instead of pandas object columns of
@@ -1019,11 +1092,7 @@ class SparseArrowBackend(ArrowSparkBackend):
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([part], type=pa.list_(pa.float64()))], ["part"])
 
-        if not hasattr(self, "_n_parts_cache"):
-            self._n_parts_cache = []
-        src = _bounded_partials_src(self.df, out_len, self._n_parts_cache)
-        return _collect_partials(src.mapInArrow(op, "part array<double>"),
-                                 out_len)
+        return src.mapInArrow(op, "part array<double>")
 
     @staticmethod
     def _lp(nrow, rows, cols, vals, b, intercept):
@@ -1053,7 +1122,10 @@ class SparseArrowBackend(ArrowSparkBackend):
 
     # -- contract ------------------------------------------------------------
 
-    def eval(self, beta: np.ndarray):
+    def _eval_closure(self, beta: np.ndarray):
+        """(batch_fn, out_len) for one beta — the exact per-batch
+        arithmetic of :meth:`eval` (single and fused multi-beta passes
+        share it, so per-beta partials are identical either way)."""
         fam = self.family.name
         b = np.ascontiguousarray(beta, dtype=np.float64)
         intercept, m, p_feat = self.intercept, self.m, self.p_feat
@@ -1065,9 +1137,11 @@ class SparseArrowBackend(ArrowSparkBackend):
             grad = xtgf(p_feat, rows, cols, vals, g, intercept)
             return np.concatenate([[primal, dual], grad.ravel(order="F")])
 
-        out = self._partial_reduce(batch, 2 + self.p_total * m)
-        grad = out[2:].reshape((self.p_total, m), order="F")
-        return float(out[0]), float(out[1]), grad
+        return batch, 2 + self.p_total * m
+
+    def eval(self, beta: np.ndarray):
+        batch, out_len = self._eval_closure(beta)
+        return self._eval_finish(self._partial_reduce(batch, out_len))
 
     def primal(self, beta: np.ndarray) -> float:
         fam = self.family.name
@@ -1179,7 +1253,10 @@ class SparseArrowBackend(ArrowSparkBackend):
         out = self._partial_reduce(batch, p_total * m + 1)
         return (out[:-1].reshape((p_total, m), order="F"), float(out[-1]))
 
-    def eval_hess(self, beta: np.ndarray):
+    def _eval_hess_closure(self, beta: np.ndarray):
+        """(batch_fn, out_len) for one beta — the exact per-batch
+        arithmetic of :meth:`eval_hess` (single and fused passes share
+        it, so per-beta partials are identical either way)."""
         fam = self.family.name
         b = np.ascontiguousarray(beta, dtype=np.float64)
         intercept, m, p_feat, p_total = (self.intercept, self.m, self.p_feat,
@@ -1213,10 +1290,7 @@ class SparseArrowBackend(ArrowSparkBackend):
                 return np.concatenate([[primal, dual],
                                        grad.ravel(order="F"), H.ravel()])
 
-            out = self._partial_reduce(batch, 2 + pm + pm * pm)
-            grad = out[2:2 + pm].reshape((p_total, m), order="F")
-            H = out[2 + pm:].reshape((pm, pm))
-            return float(out[0]), float(out[1]), grad, H
+            return batch, 2 + pm + pm * pm
 
         def batch(nrow, rows, cols, vals, Y):
             lp = lpf(nrow, rows, cols, vals, b, intercept)
@@ -1232,10 +1306,21 @@ class SparseArrowBackend(ArrowSparkBackend):
             return np.concatenate([[primal, dual], grad.ravel(order="F"),
                                    H.ravel()])
 
-        out = self._partial_reduce(batch, 2 + p_total * m + p_total * p_total)
-        grad = out[2:2 + p_total * m].reshape((p_total, m), order="F")
-        H = out[2 + p_total * m:].reshape((p_total, p_total))
+        return batch, 2 + p_total * m + p_total * p_total
+
+    def _eval_hess_finish(self, out: np.ndarray):
+        m, p_total = self.m, self.p_total
+        pm = p_total * m
+        grad = out[2:2 + pm].reshape((p_total, m), order="F")
+        if self.family.name == "multinomial":
+            H = out[2 + pm:].reshape((pm, pm))
+        else:
+            H = out[2 + pm:].reshape((p_total, p_total))
         return float(out[0]), float(out[1]), grad, H
+
+    def eval_hess(self, beta: np.ndarray):
+        batch, out_len = self._eval_hess_closure(beta)
+        return self._eval_hess_finish(self._partial_reduce(batch, out_len))
 
     def lambda_max_gradient(self) -> np.ndarray:
         """|X_std^T ytilde| per family (lambdaMax.h:8-60). The centered

@@ -530,6 +530,34 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
     # evaluation (init_eval). Every reuse is one full data pass saved.
     eval_cache: dict | None = None
 
+    # -- fused warm-point prefetch (guide §2: shuffle/scan fewer times) --
+    # Per-point golden warm starts make every point's first evaluation a
+    # pass at a beta known BEFORE the loop runs, so all of them fuse into
+    # ONE distributed pass. Each per-beta result is computed by the exact
+    # closure a per-point pass would run, over the identical batch
+    # grouping, so the seeded eval_cache is bitwise what the solver (or
+    # the strong rule) would have computed itself. Screening-on fits
+    # evaluate in SUBSET space inside the solver, so there only the
+    # full-space screening gradient is substituted (primal=None keeps
+    # cache_slice from feeding the solver a differently-summed eval).
+    warm_prefetch: list[dict] | None = None
+    if (warm_points is not None and use_prox_newton
+            and isinstance(backend, SparkBackend)):
+        bs = [np.ascontiguousarray(warm_points[:, :, kk])
+              for kk in range(warm_points.shape[2])]
+        if screening_on:
+            warm_prefetch = [
+                {"grad": g, "hess": None, "primal": None, "dual": None}
+                for _, _, g in backend.eval_multi(bs)]
+        elif pn_local_hessian(family, p_total * m):
+            warm_prefetch = [
+                {"grad": g, "hess": H, "primal": pr, "dual": du}
+                for pr, du, g, H in backend.eval_hess_multi(bs)]
+        else:
+            warm_prefetch = [
+                {"grad": g, "hess": None, "primal": pr, "dual": du}
+                for pr, du, g in backend.eval_multi(bs)]
+
     def full_eval(b: np.ndarray):
         """(primal, dual, grad, hess|None) over ALL columns. ADMM: zero
         data passes. Prox-Newton: eval_hess when the solver's local-
@@ -568,6 +596,10 @@ def owl(x=None, y=None, *, df=None, feature_cols=None, label_col=None,
             beta_prev = warm_points[:, :, k].copy()
             if use_admm:
                 z = beta_prev.copy()
+        if (warm_prefetch is not None and k < len(warm_prefetch)
+                and np.array_equal(beta_prev, warm_points[:, :, k])):
+            # this point's first evaluation came from the fused pass
+            eval_cache = {"beta": beta_prev.copy(), **warm_prefetch[k]}
 
         strong = None
         if screening_on:

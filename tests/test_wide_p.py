@@ -130,3 +130,78 @@ def test_wide_p_uses_arrow_backend(spark):
         assert type(sub) is SparkBackend
     finally:
         be.unpersist()
+
+
+def test_eval_multi_bitwise_matches_single_passes(spark):
+    """The fused multi-beta pass (warm-point prefetch, r14) must return
+    EXACTLY what the per-beta passes return: same closures over the
+    same batch grouping means the per-element float summation sequence
+    is identical, so the contract is bitwise, not approximate."""
+    for fam, m in (("binomial", 1), ("poisson", 1), ("multinomial", 2)):
+        if fam == "binomial":
+            x, y, _ = random_problem(n=180, p=9, response="binomial", seed=71)
+        elif fam == "poisson":
+            x, y, _ = random_problem(n=180, p=9, seed=72)
+            y = np.floor(np.abs(y) * 3).astype(float)
+        else:
+            x, y, _ = random_problem(n=180, p=9, seed=73)
+            y = (np.digitize(y, np.quantile(y, [0.33, 0.66]))).astype(float)
+        df, feats = _to_spark(spark, x, y)
+        be, _ = build_spark_backend(df, feats, "label", fam)
+        try:
+            view = be._arrow_view() if type(be) is SparkBackend else be
+            rng = np.random.default_rng(17)
+            betas = [rng.standard_normal((view.p_total, view.m)) * 0.1
+                     for _ in range(3)]
+            singles = [view.eval(b) for b in betas]
+            fused = view.eval_multi(betas)
+            for (p1, d1, g1), (p2, d2, g2) in zip(singles, fused):
+                assert p1 == p2 and d1 == d2, fam
+                assert np.array_equal(g1, g2), fam
+            singles_h = [view.eval_hess(b) for b in betas]
+            fused_h = view.eval_hess_multi(betas)
+            for (p1, d1, g1, H1), (p2, d2, g2, H2) in zip(singles_h, fused_h):
+                assert p1 == p2 and d1 == d2, fam
+                assert np.array_equal(g1, g2), fam
+                assert np.array_equal(H1, H2), fam
+        finally:
+            be.unpersist()
+
+
+def test_sparse_eval_multi_bitwise_matches_single_passes(spark):
+    """Sparse twin of the fused-pass bitwise contract."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.backends import build_sparse_backend
+    from golem_spark.session import load_tables
+
+    li = load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+    for fam in ("binomial", "poisson", "multinomial"):
+        if fam == "binomial":
+            lab = F.when(F.col("l_returnflag") == "R", "R").otherwise("o")
+        elif fam == "multinomial":
+            lab = F.col("l_returnflag")
+        else:
+            lab = F.col("l_quantity")
+        sdf = li.select(
+            F.array((F.col("l_linenumber") - 1).cast("int")).alias("idx"),
+            F.array(F.lit(1.0)).alias("val"), lab.alias("label"))
+        be, _ = build_sparse_backend(sdf, "idx", "val", "label", fam, 7,
+                                     intercept=True)
+        try:
+            rng = np.random.default_rng(23)
+            betas = [rng.standard_normal((be.p_total, be.m)) * 0.1
+                     for _ in range(3)]
+            singles = [be.eval(b) for b in betas]
+            for (p1, d1, g1), (p2, d2, g2) in zip(singles,
+                                                  be.eval_multi(betas)):
+                assert p1 == p2 and d1 == d2, fam
+                assert np.array_equal(g1, g2), fam
+            singles_h = [be.eval_hess(b) for b in betas]
+            for (p1, d1, g1, H1), (p2, d2, g2, H2) in zip(
+                    singles_h, be.eval_hess_multi(betas)):
+                assert p1 == p2 and d1 == d2, fam
+                assert np.array_equal(g1, g2), fam
+                assert np.array_equal(H1, H2), fam
+        finally:
+            be.unpersist()
