@@ -39,9 +39,20 @@ class TrainedOwl:
     summary: list[dict]                  # rows: measure, q, sigma, mean, se, lo, hi
     optima: dict[str, dict]              # per-measure best cell
     measure: list[str]
-    fit: OwlFit                          # refit on the full data at best q
+    # refit on the full data at best q — or a zero-arg thunk that
+    # produces it on first access (pinned-sigma Spark CV: the full fit
+    # is k+1 corpus scans a consumer that only reads the cell grid
+    # never needs, so it is deferred until someone asks for it)
+    fit: OwlFit
     data: list[dict] = field(default_factory=list)
     cell_fits: dict = field(default_factory=dict)  # (q, fold, rep) -> OwlFit (opt-in)
+
+    def __getattribute__(self, name):
+        val = object.__getattribute__(self, name)
+        if name == "fit" and callable(val):
+            val = val()
+            object.__setattr__(self, "fit", val)
+        return val
 
     def __repr__(self) -> str:
         lines = ["TrainedOwl:"]
@@ -479,37 +490,49 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
         return cell, out, cell_fit
 
     if max_workers > 1:
-        # with a pinned sigma the full fits don't gate the cells, so they
-        # can overlap the cell fits on the same pool
-        mw = max_workers + (len(qs) if pinned_sigma else 0)
-        with ThreadPoolExecutor(max_workers=max(mw, 2)) as pool:
-            full_futs = ({qv: pool.submit(full_fit, qv) for qv in qs}
-                         if pinned_sigma else {})
+        with ThreadPoolExecutor(max_workers=max(max_workers, 2)) as pool:
             raw = list(pool.map(run_cell, cells))
-            full_fits.update({qv: f.result() for qv, f in full_futs.items()})
     else:
-        # max_workers=1 means fully serial — run the cells, then any
-        # pinned-sigma full fits, with no thread pool at all
         raw = [run_cell(c) for c in cells]
-        if pinned_sigma:
-            full_fits.update({qv: full_fit(qv) for qv in qs})
     results = [(cell, out) for cell, out, _ in raw]
 
-    trained = _aggregate_cv(results, full_fits, qs, measures, number * repeats)
+    if pinned_sigma:
+        # the sigma grid is the pinned one, so nothing downstream NEEDS
+        # the full-data fits to aggregate: defer them behind
+        # TrainedOwl.fit (k+1 corpus scans skipped for consumers that
+        # only read the cell grid; .fit still refits on first access)
+        def lazy_full(qv):
+            def thunk():
+                if qv not in full_fits:
+                    full_fits[qv] = full_fit(qv)
+                return full_fits[qv]
+            return thunk
+        trained = _aggregate_cv(results, {qv: lazy_full(qv) for qv in qs},
+                                qs, measures, number * repeats,
+                                sigma_by_q={qv: sig_pinned for qv in qs})
+    else:
+        trained = _aggregate_cv(results, full_fits, qs, measures,
+                                number * repeats)
     if keep_cell_fits:
         trained.cell_fits = {cell: fit for cell, _, fit in raw}
     return trained
 
 
-def _aggregate_cv(results, full_fits, qs, measures, n_cells) -> TrainedOwl:
+def _aggregate_cv(results, full_fits, qs, measures, n_cells,
+                  sigma_by_q=None) -> TrainedOwl:
+    """``full_fits`` values are OwlFit objects, or zero-arg thunks when
+    the caller pinned sigma (then ``sigma_by_q`` supplies the grid and
+    the thunk is only resolved if someone reads ``TrainedOwl.fit``)."""
     summary: list[dict] = []
     data: list[dict] = []
     optima: dict[str, dict] = {}
     tq = _t975(n_cells - 1)
     for m in measures:
         for qv in qs:
-            sig = full_fits[qv].sigma
+            sig = (sigma_by_q[qv] if sigma_by_q is not None
+                   else full_fits[qv].sigma)
             scores = np.stack([out[m] for (cell, out) in results if cell[0] == qv])
+            sig = sig[:scores.shape[1]]
             means = scores.mean(axis=0)
             ses = scores.std(axis=0, ddof=1) / math.sqrt(n_cells) if n_cells > 1 \
                 else np.zeros(scores.shape[1])

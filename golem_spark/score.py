@@ -493,55 +493,64 @@ def _score_spark(fit: OwlFit, df: DataFrame, feature_cols, label_col, measure, s
                  for k in range(K)]
         return _spark_auc_all(df, y01, probs, weight_col)
 
+    # measure may be a LIST of non-auc measures: every measure's agg
+    # columns are siblings of ONE aggregation, so a serving query that
+    # reports mse+deviance+misclass pays one data pass instead of three
+    # (each column's value is computed by the same expression either way)
+    measures = [measure] if isinstance(measure, str) else list(measure)
     aggs = []
-    for k in range(K):
-        beta = betas[:, :, k]
-        if fam in ("gaussian", "poisson"):
-            pred = lp_expr(beta, 0)
-            if fam == "poisson":
-                pred = F.exp(pred)
-            d = pred - y.cast("double")
-            aggs.append((F.avg(d * d) if measure == "mse" else F.avg(F.abs(d))).alias(f"s{k}"))
-        elif fam == "binomial":
-            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_expr(beta, 0)))
-            if measure in ("mse", "mae"):
-                d = prob - y01
-                aggs.append((F.avg(d * d) if measure == "mse" else F.avg(F.abs(d))).alias(f"s{k}"))
-            elif measure == "deviance":
-                p = F.least(F.greatest(prob, F.lit(_CLAMP)), F.lit(1 - _CLAMP))
-                ll = y01 * F.log(p) + (F.lit(1.0) - y01) * F.log(F.lit(1.0) - p)
-                aggs.append((F.lit(-2.0) * F.avg(ll)).alias(f"s{k}"))
-            elif measure == "misclass":
-                wrong = (prob > 0.5) != (y01 == 1.0)
-                aggs.append(F.avg(F.when(wrong, 1.0).otherwise(0.0)).alias(f"s{k}"))
-        elif fam == "multinomial":
-            m = betas.shape[1]
-            lps = [lp_expr(beta, t) for t in range(m)]
-            mx = F.greatest(*lps, F.lit(0.0)) if m > 1 else F.greatest(lps[0], F.lit(0.0))
-            denom = F.exp(F.lit(0.0) - mx)
-            for t in range(m):
-                denom = denom + F.exp(lps[t] - mx)
-            probs = [F.exp(lps[t] - mx) / denom for t in range(m)] + [F.exp(F.lit(0.0) - mx) / denom]
-            inds = [F.when(y == names[t], 1.0).otherwise(0.0) for t in range(len(names))]
-            if measure in ("mse", "mae"):
-                terms = None
-                for pr, ind in zip(probs, inds):
-                    d = pr - ind
-                    t_ = d * d if measure == "mse" else F.abs(d)
-                    terms = t_ if terms is None else terms + t_
-                aggs.append((F.avg(terms) / F.lit(float(len(names)))).alias(f"s{k}"))
-            elif measure == "deviance":
-                ll = None
-                for pr, ind in zip(probs, inds):
-                    p = F.least(F.greatest(pr, F.lit(_CLAMP)), F.lit(1 - _CLAMP))
-                    t_ = ind * F.log(p)
-                    ll = t_ if ll is None else ll + t_
-                aggs.append((F.lit(-2.0) * F.avg(ll)).alias(f"s{k}"))
-            elif measure == "misclass":
-                arr = F.array(*probs)
-                pred_idx = F.array_position(arr, F.array_max(arr)) - 1
-                name_arr = F.array(*[F.lit(nm) for nm in names])
-                wrong = F.element_at(name_arr, (pred_idx + 1).cast("int")) != y
-                aggs.append(F.avg(F.when(wrong, 1.0).otherwise(0.0)).alias(f"s{k}"))
+    for mi, meas in enumerate(measures):
+        for k in range(K):
+            beta = betas[:, :, k]
+            a = f"s{mi}_{k}"
+            if fam in ("gaussian", "poisson"):
+                pred = lp_expr(beta, 0)
+                if fam == "poisson":
+                    pred = F.exp(pred)
+                d = pred - y.cast("double")
+                aggs.append((F.avg(d * d) if meas == "mse" else F.avg(F.abs(d))).alias(a))
+            elif fam == "binomial":
+                prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lp_expr(beta, 0)))
+                if meas in ("mse", "mae"):
+                    d = prob - y01
+                    aggs.append((F.avg(d * d) if meas == "mse" else F.avg(F.abs(d))).alias(a))
+                elif meas == "deviance":
+                    p = F.least(F.greatest(prob, F.lit(_CLAMP)), F.lit(1 - _CLAMP))
+                    ll = y01 * F.log(p) + (F.lit(1.0) - y01) * F.log(F.lit(1.0) - p)
+                    aggs.append((F.lit(-2.0) * F.avg(ll)).alias(a))
+                elif meas == "misclass":
+                    wrong = (prob > 0.5) != (y01 == 1.0)
+                    aggs.append(F.avg(F.when(wrong, 1.0).otherwise(0.0)).alias(a))
+            elif fam == "multinomial":
+                m = betas.shape[1]
+                lps = [lp_expr(beta, t) for t in range(m)]
+                mx = F.greatest(*lps, F.lit(0.0)) if m > 1 else F.greatest(lps[0], F.lit(0.0))
+                denom = F.exp(F.lit(0.0) - mx)
+                for t in range(m):
+                    denom = denom + F.exp(lps[t] - mx)
+                probs = [F.exp(lps[t] - mx) / denom for t in range(m)] + [F.exp(F.lit(0.0) - mx) / denom]
+                inds = [F.when(y == names[t], 1.0).otherwise(0.0) for t in range(len(names))]
+                if meas in ("mse", "mae"):
+                    terms = None
+                    for pr, ind in zip(probs, inds):
+                        d = pr - ind
+                        t_ = d * d if meas == "mse" else F.abs(d)
+                        terms = t_ if terms is None else terms + t_
+                    aggs.append((F.avg(terms) / F.lit(float(len(names)))).alias(a))
+                elif meas == "deviance":
+                    ll = None
+                    for pr, ind in zip(probs, inds):
+                        p = F.least(F.greatest(pr, F.lit(_CLAMP)), F.lit(1 - _CLAMP))
+                        t_ = ind * F.log(p)
+                        ll = t_ if ll is None else ll + t_
+                    aggs.append((F.lit(-2.0) * F.avg(ll)).alias(a))
+                elif meas == "misclass":
+                    arr = F.array(*probs)
+                    pred_idx = F.array_position(arr, F.array_max(arr)) - 1
+                    name_arr = F.array(*[F.lit(nm) for nm in names])
+                    wrong = F.element_at(name_arr, (pred_idx + 1).cast("int")) != y
+                    aggs.append(F.avg(F.when(wrong, 1.0).otherwise(0.0)).alias(a))
     row = df.agg(*aggs).collect()[0]
-    return np.array([float(row[f"s{k}"]) for k in range(K)])
+    out = np.array([[float(row[f"s{mi}_{k}"]) for k in range(K)]
+                    for mi in range(len(measures))])
+    return out[0] if isinstance(measure, str) else out
