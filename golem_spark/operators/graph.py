@@ -17,18 +17,20 @@ from pyspark.sql import DataFrame, functions as F
 
 def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
     """Part co-purchase edges: (src, dst) for every ordered pair of
-    DISTINCT parts in the same order. The self-join is keyed on the
-    order key, whose fan-out is bounded by order size (<= max_lines
-    lines), so the edge build is linear in lineitem — never an
-    unbounded cross product. Duplicate pairs collapse."""
-    parts = (lineitem.select(F.col("l_orderkey").alias("k"),
-                             F.col("l_partkey").alias("p"))
-             .distinct())
-    a = parts.select("k", F.col("p").alias("src"))
-    b = parts.select("k", F.col("p").alias("dst"))
-    return (a.join(b, "k")
-            .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst").distinct())
+    DISTINCT parts in the same order. One map-side-combined
+    ``collect_set`` per order replaces the keyed self-join (the set is
+    bounded by order size <= max_lines, so the per-order pair explosion
+    is a bounded flatMap, never an unbounded cross product), and the
+    in-array pair generation subsumes both the (k, p) DISTINCT and the
+    src != dst filter. Duplicate pairs collapse."""
+    per_order = (lineitem.groupBy(F.col("l_orderkey").alias("k"))
+                 .agg(F.collect_set("l_partkey").alias("ps")))
+    pairs = F.flatten(F.transform(
+        "ps", lambda x: F.transform(
+            F.filter("ps", lambda y: y != x),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    return (per_order.select(F.explode(pairs).alias("e"))
+            .select("e.src", "e.dst").distinct())
 
 
 def pagerank(edges: DataFrame, iterations: int = 2,

@@ -1658,6 +1658,57 @@ def test_pq_encode_matches_numpy_replay(emb):
         assert abs(r["d2"] - d2) < 1e-9
 
 
+def test_pq_arrow_encode_matches_expressions(emb):
+    """The Arrow-vectorized encode (r14) must be BITWISE what the
+    array-expression formulation computes: left-to-right accumulation,
+    Spark HALF_UP rounding, first-argmin ties — pinned here against an
+    inline rebuild of the old expression pipeline."""
+    from golem_spark.pipeline.similarity import (
+        _as_double, _dot, _ivf_seeds_row, _norm, _pq_codebook_row,
+        _pq_encode_arrow, _sq_dist)
+
+    n_sub, sub_dim, k_codes, n_seeds = 4, 16, 16, 16
+    cb = _pq_codebook_row(emb, k_codes, "embedding", "vec_id")
+    e = _as_double(F.col("embedding"))
+
+    def best_for(sub):
+        lo = sub * sub_dim + 1
+        cand = F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                F.round(_sq_dist(F.slice(e, lo, sub_dim),
+                                 F.slice(c["cv"], lo, sub_dim)), 6)
+                .alias("d2"),
+                c["code_id"].alias("code")))
+        return F.array_min(cand)
+
+    old = (emb.crossJoin(F.broadcast(cb))
+           .select(F.col("vec_id"),
+                   F.array(*[best_for(s) for s in range(n_sub)])
+                   .alias("bests"))
+           .select("vec_id", F.posexplode("bests").alias("sub", "b"))
+           .select("vec_id", F.col("sub").cast("long").alias("sub"),
+                   F.col("b.code").alias("code"), F.col("b.d2").alias("d2"))
+           .orderBy("vec_id", "sub").collect())
+    new = (similarity.pq_encode(emb).orderBy("vec_id", "sub").collect())
+    assert old == new
+
+    srow = _ivf_seeds_row(emb, n_seeds, "embedding", "vec_id")
+    nrm = _norm(e)
+    neg_cos = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
+                           .alias("ncos"), s["seed_id"].alias("seed_id")))
+    old_cells = (emb.crossJoin(F.broadcast(srow))
+                 .select("vec_id", F.array_min(neg_cos)["seed_id"]
+                         .alias("cell")).orderBy("vec_id").collect())
+    new_cells = (_pq_encode_arrow(emb, n_sub, sub_dim, k_codes,
+                                  "embedding", "vec_id", n_seeds=n_seeds)
+                 .filter(F.col("sub") == 0).select("vec_id", "cell")
+                 .orderBy("vec_id").collect())
+    assert old_cells == new_cells
+
+
 def test_pq_seeds_encode_to_themselves(emb):
     """Every seed vector's nearest codeword in every subspace is itself
     (d2 = 0) — the basic sanity of a codebook drawn from the data."""

@@ -273,15 +273,16 @@ def test_expectation_report_single_scan_single_exchange(tables):
 
 
 def test_pq_encode_no_corpus_shuffle(tables):
-    """PQ encode is a per-row array expression over ONE broadcast
-    codebook row: the only exchanges allowed are the broadcast itself
-    and the SinglePartition fold of the 16 seed rows — never a
-    hashpartitioning shuffle of the corpus."""
+    """PQ encode is ONE Arrow-vectorized projection over the corpus
+    scan (the codebook is driver-collected and closure-captured, model-
+    sized): never a hashpartitioning shuffle of the corpus, and the
+    per-row work is a single MapInArrow node, not per-element
+    interpreted expression evaluation."""
     from golem_spark.pipeline.similarity import pq_encode
 
     plan = _plan(pq_encode(tables["embeddings"]))
     assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInArrow" in plan
 
 
 def test_pq_topk_broadcasts_lut_and_combines(tables):
