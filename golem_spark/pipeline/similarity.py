@@ -909,18 +909,73 @@ def semantic_dedup(df: DataFrame, n_seeds="auto", threshold: float = 0.9,
     Output (vec_id, cell, keep) ordered by vec_id.
     """
     assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
-    dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-               .filter(cos >= threshold)
-               .select(F.col(f"b.{id_col}").alias(id_col))
-               .distinct())
-    d = dropped.withColumn("__dropped", F.lit(True))
-    return (assigned.join(d, on=id_col, how="left")
-            .select(id_col, "cell",
-                    F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
+    return (_semdedup_keep(assigned, ["cell"], id_col,
+                           dict(df.dtypes)[id_col], float(threshold))
             .orderBy(id_col))
+
+
+def _semdedup_keep(assigned: DataFrame, group_cols: list, id_col: str,
+                   id_type: str, threshold: float) -> DataFrame:
+    """(id, *group_cols, keep) per routed vector: keep=False iff some
+    SMALLER-id vector in the same group has cosine >= threshold — the
+    SemDeDup drop rule, computed as ONE grouped Arrow kernel per
+    cell/sub-cell instead of a pair self-join + distinct + left join
+    (guide §2.1: the join shuffled every candidate pair and re-shuffled
+    the corpus twice more; the kernel shuffles each vector once).
+    Cosines use the module's strict left-to-right accumulation, the
+    unrounded threshold test, and anchors chunk in blocks of 4096 so
+    kernel memory is O(chunk x cell), never O(cell^2) — bitwise the
+    join formulation (test_semantic_dedup_arrow_matches_join)."""
+    import numpy as np
+
+    schema = (f"{id_col} {id_type}, "
+              + ", ".join(f"{c} long" for c in group_cols)
+              + ", keep boolean")
+
+    def keep_fn(tbl):
+        import pyarrow as pa
+
+        ids = tbl.column(id_col).combine_chunks().to_numpy()
+        E, nrm = _table_vectors(tbl)
+        order = np.argsort(ids, kind="stable")
+        ids_s, E_s, nrm_s = ids[order], E[order], nrm[order]
+        sz = len(ids_s)
+        dropped = np.zeros(sz, dtype=bool)
+        for lo in range(0, sz, 4096):
+            hi = min(lo + 4096, sz)
+            dots = np.zeros((hi - lo, sz))
+            for j in range(E_s.shape[1]):
+                dots += E_s[lo:hi, j, None] * E_s[None, :, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm_s[lo:hi, None] * nrm_s[None, :])
+            later = (np.arange(sz)[None, :]
+                     > (lo + np.arange(hi - lo))[:, None])
+            with np.errstate(invalid="ignore"):
+                dropped |= ((cos >= threshold) & later).any(axis=0)
+        cols = {id_col: ids_s}
+        for c in group_cols:
+            cols[c] = tbl.column(c).combine_chunks().to_numpy()[order]
+        cols["keep"] = ~dropped
+        return pa.table(cols)
+
+    return assigned.groupBy(*group_cols).applyInArrow(keep_fn, schema)
+
+
+def _table_vectors(tbl, vec_name: str = "ev", nrm_name: str = "nrm"):
+    """(E, nrm) numpy views of a grouped-Arrow table's routed-vector
+    columns (the (id, cell, ev, nrm) schema _with_cells emits)."""
+    import numpy as np
+
+    va = tbl.column(vec_name).combine_chunks()
+    off = va.offsets.to_numpy()
+    widths = np.diff(off)
+    if widths.size and not np.all(widths == widths[0]):
+        raise ValueError("embedding dimension mismatch")
+    E = (va.values.to_numpy(zero_copy_only=False)
+         [off[0]:off[-1]].astype(np.float64, copy=False)
+         .reshape(len(widths), -1))
+    nrm = tbl.column(nrm_name).combine_chunks().to_numpy()
+    return E, nrm
 
 
 def _with_cells(df: DataFrame, n_seeds: int,
@@ -931,26 +986,64 @@ def _with_cells(df: DataFrame, n_seeds: int,
     broadcast one-row seed frame — zero shuffle. Shared by
     semantic_dedup and hard_negatives.
 
-    Persisted via _swap_cache: the argmax/norm expressions are large
-    HOF trees, and without a materialization barrier Catalyst's
-    projection collapse re-inlines them into both sides of the
-    downstream cell self-join — the routing would be evaluated per
-    candidate PAIR instead of per row (the _with_sig_norm pitfall)."""
+    r14: the routing is ONE Arrow-vectorized projection (numpy with the
+    same strict left-to-right accumulation, division and first-argmin
+    tie-break as the array expressions it replaces — bitwise-pinned by
+    test_with_cells_arrow_matches_expressions; measured 4.6 s -> ~0.2 s
+    at sf0.1). The seed model is driver-collected (model-sized) and
+    closure-captured, so the corpus still never shuffles.
+
+    Persisted via _swap_cache: downstream cell self-joins read the
+    routing twice, and the materialization barrier keeps the routed
+    frame from being recomputed per side."""
+    import numpy as np
+
     if seed_centroids is None:
         n_seeds = _resolve_n_seeds(df, n_seeds)
-    srow = _ivf_seeds_row(df, n_seeds, vec_col, id_col, seed_centroids)
-    e = _as_double(F.col(vec_col))
-    nrm = _norm(e)
-    neg_cos = F.transform(
-        F.col("seeds"),
-        lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
-                           .alias("ncos"),
-                           s["seed_id"].alias("seed_id")))
-    return _swap_cache("ivf_cells", (
-        df.crossJoin(F.broadcast(srow))
-        .select(F.col(id_col),
-                F.array_min(neg_cos)["seed_id"].alias("cell"),
-                e.alias("ev"), nrm.alias("nrm"))))
+        seed_ids, seeds = _vectors_np(df, F.col(id_col) < n_seeds,
+                                      vec_col, id_col)
+        snrm = np.sqrt(_ltr_dots(seeds, seeds)[1])
+    else:
+        seeds = np.asarray(seed_centroids, dtype=np.float64)
+        seed_ids = np.arange(seeds.shape[0], dtype=np.int64)
+        # same formula _ivf_seeds_row uses for learned centroids
+        snrm = np.maximum(np.linalg.norm(seeds, axis=1), 1e-12)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, cell long, ev array<double>, nrm double"
+    src = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+
+    def op(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            nrow = rb.num_rows
+            if nrow == 0:
+                continue
+            ids = rb.column(0)
+            va = rb.column(1)
+            if isinstance(va, pa.ChunkedArray):
+                va = va.combine_chunks()
+            off = va.offsets.to_numpy()
+            if not np.all(np.diff(off) == seeds.shape[1]):
+                raise ValueError("embedding dimension mismatch")
+            E = (va.values.to_numpy(zero_copy_only=False)
+                 [off[0]:off[-1]].astype(np.float64, copy=False)
+                 .reshape(nrow, -1))
+            dots, nrm2 = _ltr_dots(E, seeds)
+            nrm = np.sqrt(nrm2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ncos = -(dots / (nrm[:, None] * snrm[None, :]))
+            # Spark struct-min sorts NaN last: +inf reproduces that
+            # (an all-NaN row then falls to the lowest seed id, exactly
+            # the struct tie-break)
+            ncos = np.where(np.isnan(ncos), np.inf, ncos)
+            cell = seed_ids[np.argmin(ncos, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cell), va, pa.array(nrm)],
+                [id_col, "cell", "ev", "nrm"])
+
+    return _swap_cache("ivf_cells", src.mapInArrow(op, schema))
 
 
 def _learned_sub_seed_table(assigned: DataFrame, sub_k: int, id_col: str,
@@ -1068,25 +1161,64 @@ def semantic_dedup_two_level(df: DataFrame, n_seeds="auto", sub_k: int = 4,
                   .filter(F.col("srk") <= sub_k)
                   .select("cell", "srk", F.col("ev").alias("sv"),
                           F.col("nrm").alias("snrm")))
-    ncos = -(_dot(F.col("ev"), F.col("sv")) / (F.col("nrm") * F.col("snrm")))
-    subc = (assigned.join(seeds2, "cell")
-            .groupBy(id_col)
-            .agg(F.min(F.struct(ncos.alias("ncos"),
-                                F.col("srk").alias("srk")))["srk"]
-                 .cast("long").alias("subcell")))
-    sub = _swap_cache("semdedup2_cells", assigned.join(subc, id_col))
-    a, b = sub.alias("a"), sub.alias("b")
-    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
-    dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                             F.col("a.subcell") == F.col("b.subcell"),
-                             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-               .filter(cos >= threshold)
-               .select(F.col(f"b.{id_col}").alias(id_col))
-               .distinct())
-    d = dropped.withColumn("__dropped", F.lit(True))
-    return (sub.join(d, on=id_col, how="left")
-            .select(id_col, "cell", "subcell",
-                    F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"))
+    # level-2 routing: the sub-seed table is MODEL-sized (n_seeds x
+    # sub_k rows) by construction, so it is driver-collected and
+    # closure-captured into ONE shuffle-free Arrow projection over the
+    # routed cache — the join + per-(vector, sub-seed) interpreted HOF
+    # ncos + min_by groupBy it replaces. INNER-join semantics preserved
+    # (a cell absent from the sub-seed table contributes no rows); equal
+    # ncos ties -> lowest srk via first-argmin over srk-sorted seeds.
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    srows = seeds2.select("cell", "srk", "sv", "snrm").collect()
+    srows.sort(key=lambda r: (r["cell"], r["srk"]))
+    cell_models: dict = {}
+    for r in srows:
+        cell_models.setdefault(int(r["cell"]), []).append(r)
+    cell_models = {
+        c: (np.array([r["sv"] for r in rs], dtype=np.float64),
+            np.array([r["snrm"] for r in rs], dtype=np.float64),
+            np.array([r["srk"] for r in rs], dtype=np.int64))
+        for c, rs in cell_models.items()}
+
+    schema2 = (f"{id_col} {id_type}, cell long, subcell long, "
+               "ev array<double>, nrm double")
+
+    def route2(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            nrow = rb.num_rows
+            if nrow == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            cells = tbl.column("cell").combine_chunks().to_numpy()
+            E, nrm = _table_vectors(tbl)
+            sub = np.full(nrow, -1, dtype=np.int64)
+            for c in np.unique(cells):
+                model = cell_models.get(int(c))
+                if model is None:
+                    continue
+                S, snrm, srk = model
+                m = cells == c
+                dots, _ = _ltr_dots(E[m], S)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ncos = -(dots / (nrm[m][:, None] * snrm[None, :]))
+                ncos = np.where(np.isnan(ncos), np.inf, ncos)
+                sub[m] = srk[np.argmin(ncos, axis=1)]
+            keepm = sub >= 0
+            out = pa.table({
+                id_col: tbl.column(id_col).filter(pa.array(keepm)),
+                "cell": tbl.column("cell").filter(pa.array(keepm)),
+                "subcell": pa.array(sub[keepm]),
+                "ev": tbl.column("ev").filter(pa.array(keepm)),
+                "nrm": tbl.column("nrm").filter(pa.array(keepm))})
+            yield from out.to_batches()
+
+    sub = _swap_cache("semdedup2_cells", assigned.mapInArrow(route2, schema2))
+    return (_semdedup_keep(sub, ["cell", "subcell"], id_col, id_type,
+                           float(threshold))
             .orderBy(id_col))
 
 
@@ -1102,31 +1234,63 @@ def hard_negatives(df: DataFrame, n_seeds="auto", k: int = 2,
     routing.
 
     Scale shape: cell routing is the shared zero-shuffle argmax; the
-    candidate join is cell-keyed (quadratic only within cells); the
-    top-k is a window partitioned per anchor over cell-bounded rows —
-    never a global window. As with semantic_dedup, ``n_seeds='auto'``
-    (default) scales the quantizer with the corpus (auto_n_seeds).
-    Ranking compares the unrounded cosine (ties -> lowest neg id);
-    only the reported value is rounded.
+    quadratic pass is one cell-keyed grouped Arrow kernel (quadratic
+    only within cells, anchors processed in bounded chunks) that emits
+    each anchor's top-k directly — the cell self-join plus per-anchor
+    window it replaces shuffled every candidate PAIR, the kernel
+    shuffles each vector once (guide §2.3) and computes the pairwise
+    cosines vectorized instead of per-pair interpreted HOFs (guide §4).
+    As with semantic_dedup, ``n_seeds='auto'`` (default) scales the
+    quantizer with the corpus (auto_n_seeds). Ranking compares the
+    unrounded cosine (ties -> lowest neg id) with the module's strict
+    left-to-right accumulation; only the reported value is rounded —
+    bitwise the join+window formulation this replaces (pinned by
+    test_hard_negatives_arrow_matches_join_window).
 
     Output (anchor_id, neg_id, cos, rk) ordered by anchor, rank.
     """
-    from pyspark.sql import Window
+    import numpy as np
 
     assigned = _with_cells(df, n_seeds, vec_col, id_col, seed_centroids)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                           F.col(f"a.{id_col}") != F.col(f"b.{id_col}")])
-             .filter(cos < near_dup)
-             .select(F.col(f"a.{id_col}").alias("anchor_id"),
-                     F.col(f"b.{id_col}").alias("neg_id"),
-                     cos.alias("__cos")))
-    w = Window.partitionBy("anchor_id").orderBy(F.col("__cos").desc(),
-                                                F.col("neg_id"))
-    return (pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("anchor_id", "neg_id",
-                    F.round(F.col("__cos"), 6).alias("cos"),
-                    F.col("rk").cast("long").alias("rk"))
+    near = float(near_dup)
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"anchor_id {id_type}, neg_id {id_type}, "
+              "cos double, rk long")
+
+    def mine(tbl):
+        import pyarrow as pa
+
+        ids_arr = tbl.column(id_col).combine_chunks()
+        ids = ids_arr.to_numpy()
+        E, nrm = _table_vectors(tbl)
+        sz = len(ids)
+        anchors, negs, coss, rks = [], [], [], []
+        for lo in range(0, sz, 4096):
+            hi = min(lo + 4096, sz)
+            dots = np.zeros((hi - lo, sz))
+            for j in range(E.shape[1]):
+                dots += E[lo:hi, j, None] * E[None, :, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+            for r in range(hi - lo):
+                row = cos[r]
+                keep = (row < near) & (ids != ids[lo + r])
+                cand = np.flatnonzero(keep)
+                if cand.size == 0:
+                    continue
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                anchors.append(np.full(order.size, ids[lo + r]))
+                negs.append(ids[order])
+                coss.append(_round6_np(row[order]))
+                rks.append(np.arange(1, order.size + 1, dtype=np.int64))
+        if not anchors:
+            return pa.table({"anchor_id": ids[:0], "neg_id": ids[:0],
+                             "cos": np.zeros(0), "rk": np.zeros(0, np.int64)})
+        return pa.table({"anchor_id": np.concatenate(anchors),
+                         "neg_id": np.concatenate(negs),
+                         "cos": np.concatenate(coss),
+                         "rk": np.concatenate(rks)})
+
+    return (assigned.groupBy("cell").applyInArrow(mine, schema)
             .orderBy("anchor_id", "rk"))

@@ -1709,6 +1709,97 @@ def test_pq_arrow_encode_matches_expressions(emb):
     assert old_cells == new_cells
 
 
+def test_with_cells_arrow_matches_expressions(emb):
+    """The Arrow-vectorized IVF routing (r14) must be BITWISE the old
+    broadcast-seed array-expression argmax — first-n seeds and learned
+    centroids both."""
+    import numpy as np
+
+    from golem_spark.pipeline.similarity import (
+        _as_double, _dot, _ivf_seeds_row, _norm, _with_cells)
+
+    def old_with_cells(df, n_seeds, seed_centroids=None):
+        srow = _ivf_seeds_row(df, n_seeds, "embedding", "vec_id",
+                              seed_centroids)
+        e = _as_double(F.col("embedding"))
+        nrm = _norm(e)
+        neg_cos = F.transform(
+            F.col("seeds"),
+            lambda s: F.struct((-(_dot(e, s["sv"]) / (nrm * s["snrm"])))
+                               .alias("ncos"), s["seed_id"].alias("seed_id")))
+        return (df.crossJoin(F.broadcast(srow))
+                .select(F.col("vec_id"),
+                        F.array_min(neg_cos)["seed_id"].alias("cell"),
+                        e.alias("ev"), nrm.alias("nrm")))
+
+    old = old_with_cells(emb, 16).orderBy("vec_id").collect()
+    new = (_with_cells(emb, 16, "embedding", "vec_id")
+           .orderBy("vec_id").collect())
+    assert old == new
+
+    rng = np.random.default_rng(5)
+    cent = rng.standard_normal((8, 64))
+    old_l = old_with_cells(emb, 8, cent).orderBy("vec_id").collect()
+    new_l = (_with_cells(emb, 8, "embedding", "vec_id", cent)
+             .orderBy("vec_id").collect())
+    assert old_l == new_l
+
+
+def test_semdedup_and_hard_negatives_arrow_match_joins(emb):
+    """The grouped Arrow pair kernels (r14) must reproduce the old
+    self-join formulations EXACTLY: same unrounded-cosine threshold
+    tests, same smaller-id drop rule, same (cos desc, neg_id) top-k."""
+    from golem_spark.pipeline.similarity import (
+        _dot, _with_cells, hard_negatives, semantic_dedup,
+        semantic_dedup_two_level)
+
+    assigned = _with_cells(emb, 16, "embedding", "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+
+    # old semantic_dedup drop rule
+    dropped = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                             F.col("a.vec_id") < F.col("b.vec_id")])
+               .filter(cos >= 0.9)
+               .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    d = dropped.withColumn("__dropped", F.lit(True))
+    old_sd = (assigned.join(d, on="vec_id", how="left")
+              .select("vec_id", "cell",
+                      F.coalesce(~F.col("__dropped"), F.lit(True))
+                      .alias("keep")).orderBy("vec_id").collect())
+    new_sd = semantic_dedup(emb, n_seeds=16).collect()
+    assert old_sd == new_sd
+
+    # old hard_negatives join + window
+    from pyspark.sql import Window
+
+    pairs = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                           F.col("a.vec_id") != F.col("b.vec_id")])
+             .filter(cos < 0.95)
+             .select(F.col("a.vec_id").alias("anchor_id"),
+                     F.col("b.vec_id").alias("neg_id"), cos.alias("__cos")))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("__cos").desc(),
+                                                F.col("neg_id"))
+    old_hn = (pairs.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 2)
+              .select("anchor_id", "neg_id",
+                      F.round(F.col("__cos"), 6).alias("cos"),
+                      F.col("rk").cast("long").alias("rk"))
+              .orderBy("anchor_id", "rk").collect())
+    new_hn = hard_negatives(emb, n_seeds=16).collect()
+    assert old_hn == new_hn
+
+    # two-level: both sub-seed conventions still produce a valid
+    # partition + keep flags (cross-checked end-to-end by p124/p126
+    # oracles; here just pin schema/determinism across two runs)
+    for learned in (False, True):
+        r1 = semantic_dedup_two_level(emb, n_seeds=16,
+                                      learned_sub_seeds=learned).collect()
+        r2 = semantic_dedup_two_level(emb, n_seeds=16,
+                                      learned_sub_seeds=learned).collect()
+        assert r1 == r2 and len(r1) == emb.count()
+
+
 def test_pq_seeds_encode_to_themselves(emb):
     """Every seed vector's nearest codeword in every subspace is itself
     (d2 = 0) — the basic sanity of a codebook drawn from the data."""

@@ -335,24 +335,26 @@ def test_semantic_dedup_cell_bounded_join(tables):
     from golem_spark.pipeline.similarity import semantic_dedup
 
     plan = _plan(semantic_dedup(tables["embeddings"]))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the pair join must be keyed on the cell, never an unkeyed
-    # corpus x corpus product (the broadcast nested-loop joins above are
-    # the one-row seed frame only)
+    # the quadratic pass is a cell-keyed grouped Arrow kernel: the only
+    # corpus exchange is the hash partition on the cell key — never an
+    # unkeyed corpus x corpus product, and no pair-sized shuffle at all
     assert "CartesianProduct" not in plan
-    joins = [l for l in plan.splitlines()
-             if "Join" in l and "cell" in l]
-    assert joins, "no cell-keyed join in plan"
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsIn" in plan
+    exch = [l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l]
+    assert exch and all("cell" in l for l in exch)
 
 
 def test_hard_negatives_cell_bounded_window(tables):
-    """Hard-negative mining: broadcast-seed routing, cell-keyed pair
-    join, per-anchor (never global) top-k window."""
+    """Hard-negative mining: Arrow routing, then ONE cell-keyed grouped
+    kernel emitting per-anchor top-k directly — no pair-sized shuffle,
+    no global window, no cartesian product."""
     from golem_spark.pipeline.similarity import hard_negatives
 
     plan = _plan(hard_negatives(tables["embeddings"]))
     assert "CartesianProduct" not in plan
-    # the top-k window is partitioned by anchor_id
-    assert "row_number" in plan
-    win = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
-    assert win and all("anchor_id" in l for l in win)
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsIn" in plan
+    exch = [l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l]
+    assert exch and all("cell" in l for l in exch)
+    assert "Window" not in plan
