@@ -473,6 +473,7 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                            **fit_kw, **cell_kwargs)
         out = {}
         test = None
+        fuse: list[str] = []
         for m in measures:
             if grouped is not None and m == "mse":
                 # held-out mse closed-form from the fold's own moments
@@ -484,9 +485,22 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                 out[m] = _score(cell_fit, df=test,
                                 sparse_features=sparse_features,
                                 label_col=label_col, measure=m)
-            else:
+            elif m == "auc":
                 out[m] = _score(cell_fit, df=test, feature_cols=feature_cols,
                                 label_col=label_col, measure=m)
+            else:
+                # non-auc dense measures fuse into ONE held-out pass:
+                # every measure's agg columns become siblings of a
+                # single aggregation (identical per-measure expressions
+                # — see _score_spark), k-1 scans saved per cell
+                fuse.append(m)
+        if fuse:
+            from golem_spark.score import _score_spark
+
+            vals = _score_spark(cell_fit, test, feature_cols, label_col,
+                                fuse, None)
+            for mi, m in enumerate(fuse):
+                out[m] = vals[mi]
         return cell, out, cell_fit
 
     if max_workers > 1:

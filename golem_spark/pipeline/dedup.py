@@ -844,9 +844,14 @@ def benchmark_containment(corpus: DataFrame, benchmark: DataFrame,
     membership join is map-side, and per-doc counts reduce with a
     combinable groupBy. Docs with zero matched grams are preserved via
     a left join (containment 0.0)."""
+    # membership only needs gram EQUALITY: both sides carry the 64-bit
+    # gram hash, shrinking the benchmark broadcast and the join keys to
+    # fixed width (guide §2.3)
     grams = _ngrams_concat(tokens_col(text_col), n)
-    corpus_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
+    corpus_grams = (corpus.select("doc_id", F.explode(grams).alias("gram"))
+                    .select("doc_id", F.xxhash64("gram").alias("gram")))
     bench_grams = (benchmark.select(F.explode(grams).alias("gram"))
+                   .select(F.xxhash64("gram").alias("gram"))
                    .distinct())
     matched = (corpus_grams
                .join(F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),

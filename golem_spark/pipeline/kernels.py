@@ -4056,17 +4056,23 @@ def _quality_proxy_query(t):
         toks, F.lit(0).cast("long"),
         lambda acc, tok: acc + F.element_at(F.col("lam_map"),
                                             _md5_int(tok) % 64))
-    train = (docs.crossJoin(F.broadcast(dsir_model(docs)))
-             .select(
-                 "doc_id", "source",
-                 n.alias("f_ntoks"),
-                 (F.size(F.filter(
-                     toks, lambda x: F.exists(stop_arr, lambda s: s == x)))
-                  .cast("double") / n).alias("f_stop"),
-                 (F.aggregate(F.transform(toks, F.length), F.lit(0),
-                              lambda a, x: a + x).cast("double") / n)
-                 .alias("f_wlen"),
-                 F.round(score.cast("double") / 1e6, 6).alias("logw")))
+    from golem_spark.pipeline._cache import _swap_cache
+
+    # the feature frame is read twice (the OLS sufficient-stats pass
+    # via the backend build AND the scoring projection below): persist
+    # it so the per-token HOF feature expressions evaluate ONCE
+    train = _swap_cache("quality_proxy_train", (
+        docs.crossJoin(F.broadcast(dsir_model(docs)))
+        .select(
+            "doc_id", "source",
+            n.alias("f_ntoks"),
+            (F.size(F.filter(
+                toks, lambda x: F.exists(stop_arr, lambda s: s == x)))
+             .cast("double") / n).alias("f_stop"),
+            (F.aggregate(F.transform(toks, F.length), F.lit(0),
+                         lambda a, x: a + x).cast("double") / n)
+            .alias("f_wlen"),
+            F.round(score.cast("double") / 1e6, 6).alias("logw"))))
     feats = ["f_ntoks", "f_stop", "f_wlen"]
     # sigma->0 with tight inner tolerances so the distributed fit agrees
     # with the oracle's exact Cramer OLS to well inside the 6-dp rounding
