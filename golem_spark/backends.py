@@ -216,9 +216,21 @@ class SparkBackend:
         self.n = n
         self.p_total = len(feat_cols) + (1 if intercept else 0)
         self.m = len(y_cols)
-        self._lgamma_sum = lgamma_sum  # constant sum(lgamma(y+1)) for poisson
+        # constant sum(lgamma(y+1)) for poisson; may be a ZERO-ARG THUNK
+        # (lazy: only the SQL expression path ever reads the constant —
+        # the Arrow closures compute lgamma in-batch — so a poisson fit
+        # that never touches _family_exprs never pays the scan)
+        self._lgamma_sum = lgamma_sum
         if persist:
             self.df = self.df.persist()
+
+    @property
+    def _lgs(self) -> float:
+        v = self._lgamma_sum
+        if callable(v):
+            v = float(v())
+            self._lgamma_sum = v
+        return v
 
     # -- expression builders -------------------------------------------------
 
@@ -262,8 +274,8 @@ class SparkBackend:
             grads = [-ys[0] / (F.lit(1.0) + F.exp(F.least(ys[0] * lps[0], F.lit(700.0))))]
         elif fam == "poisson":
             e = F.exp(F.least(lps[0], F.lit(700.0)))
-            primal = -F.sum(ys[0] * lps[0] - e) + F.lit(self._lgamma_sum)
-            dual = -F.sum(e * (lps[0] - 1.0)) + F.lit(self._lgamma_sum)
+            primal = -F.sum(ys[0] * lps[0] - e) + F.lit(self._lgs)
+            dual = -F.sum(e * (lps[0] - 1.0)) + F.lit(self._lgs)
             grads = [e - ys[0]]
         elif fam == "multinomial":
             lp_max = lps[0]
@@ -2086,7 +2098,7 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
     elif cur_parts < target_parts:
         std_df = std_df.repartition(target_parts)
 
-    lgamma_sum = 0.0
+    lgamma_sum: float | object = 0.0
     if family_name == "poisson":
         # Spark SQL has no lgamma; sum(lgamma(y+1)) is a constant offset.
         # One column-pruned Arrow partial per partition (ships a single
@@ -2108,13 +2120,24 @@ def build_spark_backend(df: DataFrame, feature_cols: list[str], label_col: str,
             yield pa.RecordBatch.from_arrays(
                 [pa.array([tot], type=pa.float64())], ["s"])
 
-        parts = (std_df.select(F.col("__y0").cast("double").alias("y"))
-                 .mapInArrow(_lgsum, "s double").collect())
-        lgamma_sum = float(sum(r["s"] for r in parts))
+        # DEFERRED (r14): the constant is first read at null-deviance
+        # time, after the backend's cache exists — running the scan
+        # then rides (or fills) the cache instead of paying a separate
+        # pre-persist source scan per poisson fit
+        lg_src = std_df
+
+        def lgamma_sum():
+            parts = (lg_src.select(F.col("__y0").cast("double").alias("y"))
+                     .mapInArrow(_lgsum, "s double").collect())
+            return float(sum(r["s"] for r in parts))
 
     backend_cls = ArrowSparkBackend if wide else SparkBackend
     backend = backend_cls(std_df, feat_std, y_cols, fam, intercept, n,
                           lgamma_sum, persist=persist)
+    if family_name == "poisson":
+        # read through the persisted frame so the deferred scan is
+        # cache-local (or IS the materializing scan)
+        lg_src = backend.df
     if family_name == "poisson" and not wide:
         # sigma_max gradient from the fused stats pass: X_std'(1-y) =
         # (X'1 - X'y - c*(n - sum_y)) / s, all terms already aggregated

@@ -758,7 +758,7 @@ def _spark_primal_at_zero(backend) -> float:
     if fam == "multinomial":
         return backend.n * math.log(backend.m + 1.0)
     if fam == "poisson":
-        return backend.n + backend._lgamma_sum
+        return backend.n + backend._lgs
     return 0.5 * _yty(backend)  # gaussian wide-p prox-Newton
 
 
