@@ -1300,8 +1300,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     toks = tokens_col(text_col)
     base = df.filter(F.size(toks) >= k)
     n_grams = F.size(toks) - (k - 1)
-    grams = F.transform(F.sequence(F.lit(1), n_grams),
-                        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # elementwise zip_with concat over shifted slices instead of a
+    # slice+array_join per gram position (same 4x-measured rewrite as
+    # dedup._ngrams_concat; position-exact identical output)
+    grams = F.slice(toks, 1, n_grams)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, n_grams),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     h = F.transform(grams, _md5_int)
     n_win = F.greatest(n_grams - (w - 1), F.lit(1))
     mins = F.transform(F.sequence(F.lit(1), n_win),
