@@ -22,15 +22,29 @@ def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
     bounded by order size <= max_lines, so the per-order pair explosion
     is a bounded flatMap, never an unbounded cross product), and the
     in-array pair generation subsumes both the (k, p) DISTINCT and the
-    src != dst filter. Duplicate pairs collapse."""
+    src != dst filter. Duplicate pairs collapse.
+
+    The edge set is symmetric by construction, so only the src < dst
+    half is exploded and DISTINCTed — half the rows through the one
+    corpus-scale shuffle — and the returned frame is the persisted half
+    plus its mirror (a narrow double read of the cached frame). The
+    half-edge cache also hands the triangle ops their undirected
+    distinct edge set for free (they re-derive it with least/greatest +
+    DISTINCT over this result, which now reads a model-sized cache
+    instead of re-running the explode)."""
+    from golem_spark.pipeline._cache import _swap_cache
+
     per_order = (lineitem.groupBy(F.col("l_orderkey").alias("k"))
                  .agg(F.collect_set("l_partkey").alias("ps")))
     pairs = F.flatten(F.transform(
         "ps", lambda x: F.transform(
-            F.filter("ps", lambda y: y != x),
+            F.filter("ps", lambda y: y > x),
             lambda y: F.struct(x.alias("src"), y.alias("dst")))))
-    return (per_order.select(F.explode(pairs).alias("e"))
-            .select("e.src", "e.dst").distinct())
+    und = _swap_cache("copurchase_und",
+                      (per_order.select(F.explode(pairs).alias("e"))
+                       .select("e.src", "e.dst").distinct()))
+    return und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
 
 
 def pagerank(edges: DataFrame, iterations: int = 2,
@@ -43,29 +57,34 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # the edge list feeds the degree table, the node set, and every
-    # iteration's contribution join — persist it (and the derived
-    # model-sized tables) or the upstream build (often a self-join)
-    # re-executes per consumer per iteration
+    from pyspark.sql import Window
+
     from golem_spark.pipeline._cache import _swap_cache
 
-    edges = _swap_cache("pagerank_edges", edges)
+    # ONE edge-sized persisted frame: (src, dst, deg) with the
+    # out-degree attached by a window count — a single shuffle on src
+    # replaces the old edges-persist + groupBy(src) + edges-deg join
+    # (two edge-sized materializations and a join, gone). The input
+    # edge lineage executes exactly once (the window's shuffle read),
+    # and the persisted frame stays HASH-PARTITIONED ON src, so every
+    # iteration's contribution join reuses that partitioning and only
+    # the node-sized ranks side shuffles — at 100 TB the per-iteration
+    # shuffle is O(nodes), not O(edges)
+    outlinks = _swap_cache(
+        "pagerank_outlinks",
+        edges.select("src", "dst",
+                     F.count(F.lit(1)).over(Window.partitionBy("src"))
+                     .alias("deg")))
     nodes = _swap_cache(
         "pagerank_nodes",
-        (edges.select(F.col("src").alias("node"))
-         .union(edges.select(F.col("dst").alias("node")))
+        (outlinks.select(F.col("src").alias("node"))
+         .union(outlinks.select(F.col("dst").alias("node")))
          .distinct()))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # iteration-invariant tables, built ONCE: the (src, dst, deg)
-    # outlink frame (the old shape re-ran the edges-deg join every
-    # iteration) and the dangling node set (nodes with no out-edges —
-    # membership never changes, only the mass on it does)
-    outlinks = _swap_cache("pagerank_outlinks",
-                           edges.join(deg, "src")
-                           .select("src", "dst", "deg"))
+    # dangling nodes (no out-edges — membership never changes, only the
+    # mass on it does): node set minus the distinct src set
     dang_nodes = _swap_cache(
         "pagerank_dangling",
-        nodes.join(deg.withColumnRenamed("src", "node"),
+        nodes.join(outlinks.select(F.col("src").alias("node")).distinct(),
                    "node", "left_anti"))
     # n_nodes and the per-iteration dangling mass are single scalars:
     # evaluating them eagerly and embedding them as plan LITERALS costs
