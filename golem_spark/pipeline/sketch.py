@@ -298,12 +298,20 @@ def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
         return (df.select(F.explode(_ngrams_concat(tokens_col(text_col), n))
                           .alias("gram")).distinct())
 
-    # cg is consumed twice HERE only because of the exact-join
-    # self-audit; in production the corpus grams feed the bit set once
-    # and the audit join is dropped, so no persist is warranted (an A/B
-    # showed the persist barrier costs more than the re-derivation at
-    # bench scale, and at 100 TB the audit join wouldn't exist)
-    cg = grams(corpus)
+    # the corpus gram stream is consumed twice (bit-set build +
+    # exact-join self-audit), but NEITHER consumer needs the
+    # corpus-gram DISTINCT the old shape paid for twice — the only
+    # corpus-scale shuffles in the query:
+    #   * the bit set dedupes at POSITION level (<= m_bits values, so
+    #     the per-partition partial-distinct partials are bounded by
+    #     m_bits regardless of corpus size);
+    #   * the audit counts DISTINCT matched grams after an inner
+    #     broadcast join with the probe set (partials bounded by the
+    #     probe gram count per partition).
+    # Both passes are corpus scan + explode + map-side work + bounded
+    # shuffle; in production the audit pass is dropped entirely.
+    cg_raw = (corpus.select(
+        F.explode(_ngrams_concat(tokens_col(text_col), n)).alias("gram")))
     pg = grams(probe)
 
     def positions(gram_col):
@@ -311,7 +319,7 @@ def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
             _md5_int(F.concat(F.lit(f"b{i}_"), gram_col)) % m_bits
             for i in range(depth)])
 
-    bits = (cg.select(F.explode(positions(F.col("gram"))).alias("pos"))
+    bits = (cg_raw.select(F.explode(positions(F.col("gram"))).alias("pos"))
             .distinct())
     n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
     probe_pos = pg.select("gram", F.explode(positions(F.col("gram")))
@@ -321,10 +329,10 @@ def bloom_probe(corpus: DataFrame, probe: DataFrame, n: int = 5,
               .groupBy("gram").agg(F.count(F.lit(1)).alias("n_set"))
               .filter(F.col("n_set") == depth)
               .select("gram"))
-    truth = pg.join(cg, "gram", "left_semi")
+    truth_cnt = (cg_raw.join(F.broadcast(pg), "gram")
+                 .agg(F.countDistinct("gram").alias("n_true")))
     summary = (pg.agg(F.count(F.lit(1)).alias("n_probe"))
-               .crossJoin(F.broadcast(truth.agg(
-                   F.count(F.lit(1)).alias("n_true"))))
+               .crossJoin(F.broadcast(truth_cnt))
                .crossJoin(F.broadcast(passes.agg(
                    F.count(F.lit(1)).alias("n_pass"))))
                .crossJoin(F.broadcast(n_bits)))
