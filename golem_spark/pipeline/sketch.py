@@ -425,10 +425,21 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
     if k < 2:
         raise ValueError("k must be >= 2")
 
-    ka = kmv_key_sketch(dfa, col_a, k, seed).persist()
-    kb = kmv_key_sketch(dfb, col_b, k, seed).persist()
-    ku = ka.union(kb).distinct().orderBy("h").limit(k)
-    both = ka.join(kb, "h")  # hashes in BOTH sketches
+    # the two sketches are k = O(100) integer hashes each: collect them
+    # and do the SET algebra (kth/max, counts, sketch union, membership
+    # overlap) on the driver — the old shape ran it as five broadcast
+    # subquery jobs over persisted k-row frames. All driver math is
+    # exact integer work; every FLOAT estimate (and its rounding) stays
+    # a Spark expression below with these integers embedded as
+    # literals, so emitted numbers are bit-identical.
+    ha = sorted(r["h"] for r in kmv_key_sketch(dfa, col_a, k, seed).collect())
+    hb = sorted(r["h"] for r in kmv_key_sketch(dfb, col_b, k, seed).collect())
+    hu = sorted(set(ha) | set(hb))[:k]
+    inboth = set(ha) & set(hb)
+    comp = {"kth_a": ha[-1] if ha else None, "na_k": len(ha),
+            "kth_b": hb[-1] if hb else None, "nb_k": len(hb),
+            "kth_u": hu[-1] if hu else None, "nu_k": len(hu),
+            "p": sum(1 for h in hu if h in inboth)}
 
     def est_expr(cnt_col, kth_col):
         return F.round(
@@ -436,24 +447,18 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
             .otherwise((F.lit(float(k - 1)) * F.lit(_TWO60))
                        / F.col(kth_col).cast("double")), 6)
 
-    stats = (ka.agg(F.max("h").alias("kth_a"), F.count("*").alias("na_k"))
-             .crossJoin(F.broadcast(
-                 kb.agg(F.max("h").alias("kth_b"),
-                        F.count("*").alias("nb_k"))))
-             .crossJoin(F.broadcast(
-                 ku.agg(F.max("h").alias("kth_u"),
-                        F.count("*").alias("nu_k"))))
-             .crossJoin(F.broadcast(
-                 ku.join(both.select("h"), "h")
-                 .agg(F.count("*").alias("p"))))
-             .crossJoin(F.broadcast(
-                 dfa.agg(F.count("*").alias("rows_a"))))
+    # one Spark action for the remaining corpus-scale pieces: the two
+    # row counts and the exact-join self-audit (at production scale you
+    # never pay the audit)
+    stats = (dfa.agg(F.count("*").alias("rows_a"))
              .crossJoin(F.broadcast(
                  dfb.agg(F.count("*").alias("rows_b"))))
              .crossJoin(F.broadcast(
                  dfa.select(F.col(col_a).alias("jk")).join(
                      dfb.select(F.col(col_b).alias("jk")), "jk")
                  .agg(F.count("*").alias("exact_join_rows")))))
+    for name, val in comp.items():
+        stats = stats.withColumn(name, F.lit(val).cast("long"))
     est = stats.select(
         F.lit(k).cast("long").alias("k"),
         est_expr("na_k", "kth_a").alias("est_keys_a"),
@@ -475,14 +480,9 @@ def kmv_join_estimate(dfa: DataFrame, col_a: str, dfb: DataFrame,
                F.round((est_join - F.col("exact_join_rows"))
                        / F.col("exact_join_rows"), 6))
         .otherwise(F.lit(0.0)).alias("rel_err"))
-    # The result is one scalar row: evaluate it eagerly so the persisted
-    # sketches can be released before returning (repeated calls would
-    # otherwise accumulate cached frames for the session lifetime).
-    try:
-        rows = out.collect()
-    finally:
-        ka.unpersist()
-        kb.unpersist()
+    # The result is one scalar row: evaluate it eagerly (nothing stays
+    # persisted — the sketches were collected above).
+    rows = out.collect()
     return dfa.sparkSession.createDataFrame(rows, out.schema)
 
 

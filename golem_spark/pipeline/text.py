@@ -197,8 +197,15 @@ def tfidf_vectors(df: DataFrame, text_col: str = "text",
     recompute-invariant. Per-doc arrays are built with collect_list +
     array_sort, never a driver collect.
     """
+    from golem_spark.pipeline._cache import _swap_cache
+
     toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency/vocab build and the cells
+    # join below — persist so the corpus explode + (doc, tok) shuffle
+    # run once, not once per consumer
+    tf = _swap_cache(
+        "tfidf_tf",
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.count()
     vocab = _rank_vocab(dfreq.filter(F.col("df") >= min_df))
@@ -479,14 +486,24 @@ def sparse_cosine_pairs(df: DataFrame, threshold: float = 0.5,
     cos >= threshold (threshold applied to the unrounded cosine,
     emitted rounded to 6).
     """
+    from golem_spark.pipeline._cache import _swap_cache
+
     toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is read by the df aggregate AND the cells build; cells is read
+    # by norms and both sides of the term-keyed self-join — persist
+    # both slim frames so the corpus explode + (doc, tok) shuffle run
+    # once instead of once per downstream consumer (4x before)
+    tf = _swap_cache(
+        "cospairs_tf",
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.count()
     kept = dfreq.filter(F.col("df") <= float(max_df_frac) * n_docs)
     idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
-    cells = (tf.join(F.broadcast(kept), "tok")
-             .select("doc_id", "tok", (F.col("tf") * idf).alias("w")))
+    cells = _swap_cache(
+        "cospairs_cells",
+        tf.join(F.broadcast(kept), "tok")
+        .select("doc_id", "tok", (F.col("tf") * idf).alias("w")))
     norms = (cells.groupBy("doc_id")
              .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
     a = cells.select(F.col("doc_id").alias("doc_a"), "tok",
