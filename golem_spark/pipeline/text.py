@@ -1080,13 +1080,16 @@ def bpe_merges(df: DataFrame, n_merges: int = 4,
                                                      "$1 "),
                                     " ", -1).alias("syms"))
         .select("cnt", F.slice("syms", 1, F.size("syms") - 1).alias("syms")))
-    # driver-side symbol vocabulary (initial chars + every merged
-    # token ever committed): an over-approximate membership test for
-    # "would this merged token collide with an existing symbol" that
-    # replaces a per-round Spark job. At most 62 + n_merges strings.
-    vocab_syms = {r["s"] for r in
-                  seqs.select(F.explode("syms").alias("s"))
-                  .distinct().collect()}
+    # driver-side symbol vocabulary: every merged token ever committed
+    # — an over-approximate membership test for "would this merged
+    # token collide with an existing symbol" that replaces a per-round
+    # Spark job. The INITIAL symbols need no Spark collect at all: they
+    # are single characters (the char-split above), and a merged token
+    # is always >= 2 chars (s1+s2, each a non-empty symbol), so
+    # membership against the initial alphabet can never fire — only
+    # tokens added by the loop below can collide. At most n_merges
+    # strings.
+    vocab_syms: set = set()
     rules: list = []
     rounds = 0
     sep = "|"  # symbols are alnum, so '|' never occurs inside one
@@ -1252,9 +1255,13 @@ def bpe_encode(df: DataFrame, n_merges: int = 4,
                  bpe_merges(df, n_merges, text_col).collect()]
     else:
         rules = [(str(a), str(b)) for a, b in rules]
-    docw = df.select("doc_id",
-                     F.explode(tokens_col(text_col)).alias("w")) \
-             .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+    # docw feeds the vocab distinct AND the final join-back aggregate —
+    # persist the slim (doc_id, w) frame so the corpus explode runs
+    # once, not twice
+    docw = _swap_cache(
+        "bpe_docw",
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$")))
     vocab = docw.select("w").distinct()
     if len(rules) <= 16:
         # whole-stage-codegen fold chain (one F.aggregate per rule)
