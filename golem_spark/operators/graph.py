@@ -15,23 +15,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
-    """Part co-purchase edges: (src, dst) for every ordered pair of
-    DISTINCT parts in the same order. One map-side-combined
-    ``collect_set`` per order replaces the keyed self-join (the set is
-    bounded by order size <= max_lines, so the per-order pair explosion
-    is a bounded flatMap, never an unbounded cross product), and the
-    in-array pair generation subsumes both the (k, p) DISTINCT and the
-    src != dst filter. Duplicate pairs collapse.
+def copurchase_half_edges(lineitem: DataFrame,
+                          max_lines: int = 16) -> DataFrame:
+    """The src < dst HALF of the co-purchase edge set, DISTINCT and
+    persisted: one map-side-combined ``collect_set`` per order replaces
+    the keyed self-join (the set is bounded by order size <= max_lines,
+    so the per-order pair explosion is a bounded flatMap, never an
+    unbounded cross product), and the in-array pair generation subsumes
+    both the (k, p) DISTINCT and the src != dst filter. Duplicate pairs
+    collapse in the one corpus-scale shuffle, which carries only half
+    the rows because the edge set is symmetric by construction.
 
-    The edge set is symmetric by construction, so only the src < dst
-    half is exploded and DISTINCTed — half the rows through the one
-    corpus-scale shuffle — and the returned frame is the persisted half
-    plus its mirror (a narrow double read of the cached frame). The
-    half-edge cache also hands the triangle ops their undirected
-    distinct edge set for free (they re-derive it with least/greatest +
-    DISTINCT over this result, which now reads a model-sized cache
-    instead of re-running the explode)."""
+    This IS the undirected distinct edge set the triangle ops need
+    (every row has src < dst strictly, deduplicated) — pass it to them
+    as ``half=`` so they skip re-deriving it with least/greatest +
+    DISTINCT (an edge-sized shuffle deleted at any scale)."""
     from golem_spark.pipeline._cache import _swap_cache
 
     per_order = (lineitem.groupBy(F.col("l_orderkey").alias("k"))
@@ -40,9 +38,17 @@ def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
         "ps", lambda x: F.transform(
             F.filter("ps", lambda y: y > x),
             lambda y: F.struct(x.alias("src"), y.alias("dst")))))
-    und = _swap_cache("copurchase_und",
-                      (per_order.select(F.explode(pairs).alias("e"))
-                       .select("e.src", "e.dst").distinct()))
+    return _swap_cache("copurchase_und",
+                       (per_order.select(F.explode(pairs).alias("e"))
+                        .select("e.src", "e.dst").distinct()))
+
+
+def copurchase_edges(lineitem: DataFrame, max_lines: int = 16) -> DataFrame:
+    """Part co-purchase edges: (src, dst) for every ordered pair of
+    DISTINCT parts in the same order — the symmetric frame: the
+    persisted half (:func:`copurchase_half_edges`) plus its mirror
+    (a narrow double read of the cached frame)."""
+    und = copurchase_half_edges(lineitem, max_lines=max_lines)
     return und.union(und.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
 
@@ -133,9 +139,19 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     return ranks
 
 
-def _oriented_closed_wedges(edges: DataFrame):
+def _oriented_closed_wedges(edges: DataFrame | None,
+                            half: DataFrame | None = None):
     """(persisted DEGREE-oriented edge frame, wedge (x,y,z) frame,
     n_edges) shared by the triangle analytics.
+
+    ``half``: a frame that already IS the undirected distinct edge set
+    (every row a < b strictly, deduplicated — what
+    :func:`copurchase_half_edges` returns). Supplying it skips the
+    least/greatest + DISTINCT re-derivation below — at any scale that
+    deletes one edge-sized shuffle per triangle query, since the
+    re-derived set is provably row-identical to the half frame (the
+    symmetric frame is half ∪ mirror(half); least/greatest maps both
+    back onto the a < b rows, and DISTINCT collapses the two copies).
 
     Edges are oriented low-rank -> high-rank with rank = (degree, node
     id) — the degree-ordering trick that makes distributed triangle
@@ -152,11 +168,17 @@ def _oriented_closed_wedges(edges: DataFrame):
     # degree pass + both sides of the degree-attach join), and its
     # lineage is the expensive part (source self-join + DISTINCT) —
     # persist it for the build, release once `oriented` is materialized
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b"))
-           .distinct()
-           .persist())
+    # (when the caller hands us an already-persisted half frame, use it
+    # as-is and leave its lifecycle to its owner)
+    own_und = half is None
+    if own_und:
+        und = (edges.select(F.least("src", "dst").alias("a"),
+                            F.greatest("src", "dst").alias("b"))
+               .filter(F.col("a") != F.col("b"))
+               .distinct()
+               .persist())
+    else:
+        und = half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     deg = (und.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     lower = (F.col("da") < F.col("db")) | \
@@ -172,20 +194,27 @@ def _oriented_closed_wedges(edges: DataFrame):
                         .alias("b")))
     oriented = oriented.persist()
     n_edges = oriented.count()
-    und.unpersist()
+    if own_und:
+        und.unpersist()
     wedges = (oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
               .join(oriented.select(F.col("a").alias("y"),
                                     F.col("b").alias("z")), "y"))
     return oriented, wedges, n_edges
 
 
-def node_triangle_counts(edges: DataFrame, top_k: int = 20) -> DataFrame:
+def node_triangle_counts(edges: DataFrame | None = None, top_k: int = 20,
+                         half: DataFrame | None = None) -> DataFrame:
     """Per-node triangle participation (embeddedness): each closed
     oriented wedge (x < y < z) contributes one triangle to ALL three
     corners. Same edge-keyed join shape as :func:`triangle_count`, then
     a corner explode + combinable groupBy + TakeOrdered partial top-k
-    (ties broken by node id). Returns (node, n_triangles)."""
-    und, wedges, _ = _oriented_closed_wedges(edges)
+    (ties broken by node id). Returns (node, n_triangles).
+
+    ``half``: pre-deduplicated src < dst edge set (see
+    :func:`_oriented_closed_wedges`) — skips the DISTINCT shuffle."""
+    if edges is None and half is None:
+        raise ValueError("need edges or half")
+    und, wedges, _ = _oriented_closed_wedges(edges, half=half)
     closed = wedges.join(
         und.select(F.col("a").alias("x"), F.col("b").alias("z")),
         ["x", "z"], "left_semi")
@@ -196,11 +225,12 @@ def node_triangle_counts(edges: DataFrame, top_k: int = 20) -> DataFrame:
            .limit(top_k))
     rows = out.collect()
     und.unpersist()
-    spark = edges.sparkSession
+    spark = (edges if edges is not None else half).sparkSession
     return spark.createDataFrame(rows or [], "node long, n_triangles long")
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame | None = None,
+                   half: DataFrame | None = None) -> DataFrame:
     """Exact global triangle count over an undirected edge list via the
     ORIENTED edge join: orient every edge by rank = (degree, node id),
     join wedges on the middle vertex, then semi-check the closing edge
@@ -211,8 +241,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedge fan-out at O(sqrt(2m)) even on hub-heavy graphs.
 
     Returns one row: (n_edges, n_wedges, n_triangles).
+
+    ``half``: pre-deduplicated src < dst edge set (see
+    :func:`_oriented_closed_wedges`) — skips the DISTINCT shuffle.
     """
-    und, wedges, n_edges = _oriented_closed_wedges(edges)
+    if edges is None and half is None:
+        raise ValueError("need edges or half")
+    und, wedges, n_edges = _oriented_closed_wedges(edges, half=half)
     # closing-edge membership as a left-join indicator so wedge count
     # and triangle count come from ONE pass over the wedge join
     closed = wedges.join(
@@ -224,7 +259,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                      .alias("t")).collect()[0]
     n_wedges, n_tri = int(row["w"]), int(row["t"] or 0)
     und.unpersist()
-    spark = edges.sparkSession
+    spark = (edges if edges is not None else half).sparkSession
     return spark.createDataFrame(
         [(int(n_edges), int(n_wedges), int(n_tri))],
         "n_edges long, n_wedges long, n_triangles long")

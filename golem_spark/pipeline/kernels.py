@@ -3073,7 +3073,10 @@ _add(
     # closing-edge semi-join (Suri & Vassilvitskii WWW'11) — each
     # triangle counted once, hub wedge fan-out bounded by O(sqrt(2m))
     "p102_triangle_count",
-    lambda t: graph.triangle_count(graph.copurchase_edges(
+    # the persisted half-edge frame IS the undirected distinct edge set
+    # (src < dst, deduplicated) — handing it over as half= skips the
+    # least/greatest + DISTINCT re-derivation (one edge-sized shuffle)
+    lambda t: graph.triangle_count(half=graph.copurchase_half_edges(
         t["lineitem"].filter(F.col("l_orderkey") % 20 == 0))),
     f"""
     WITH {_TRI_ORIENT_CTES},
@@ -3096,7 +3099,7 @@ _add(
     # combinable groupBy + partial top-k, deterministic (count desc,
     # node) tie-break
     "p103_node_triangles",
-    lambda t: graph.node_triangle_counts(graph.copurchase_edges(
+    lambda t: graph.node_triangle_counts(half=graph.copurchase_half_edges(
         t["lineitem"].filter(F.col("l_orderkey") % 20 == 0)), top_k=20),
     f"""
     WITH {_TRI_ORIENT_CTES},

@@ -121,6 +121,36 @@ def test_triangle_count_known_graphs(spark):
     assert (r2["n_edges"], r2["n_triangles"]) == (4, 0)
 
 
+def test_triangle_half_fast_path_identical(spark):
+    """triangle_count/node_triangle_counts(half=...) must reproduce the
+    symmetric-edges path exactly: the half frame is the src < dst
+    distinct edge set, which the edges path re-derives internally with
+    least/greatest + DISTINCT. Random graph + duplicate/mirrored rows
+    on the edges side to exercise the dedup the half path skips."""
+    import random
+
+    import pandas as pd
+
+    from golem_spark.operators.graph import (node_triangle_counts,
+                                             triangle_count)
+
+    rng = random.Random(7)
+    half_pairs = sorted({(a, b) for a, b in
+                         ((rng.randrange(30), rng.randrange(30))
+                          for _ in range(150)) if a < b})
+    sym = half_pairs + [(b, a) for a, b in half_pairs] + half_pairs[:20]
+    edges = spark.createDataFrame(pd.DataFrame(sym, columns=["src", "dst"]))
+    half = spark.createDataFrame(
+        pd.DataFrame(half_pairs, columns=["src", "dst"]))
+    r_e = triangle_count(edges).collect()[0]
+    r_h = triangle_count(half=half).collect()[0]
+    assert tuple(r_e) == tuple(r_h)
+    n_e = [tuple(r) for r in node_triangle_counts(edges, top_k=10).collect()]
+    n_h = [tuple(r) for r in
+           node_triangle_counts(half=half, top_k=10).collect()]
+    assert n_e == n_h
+
+
 def test_triangle_wedges_bounded_at_hub(spark):
     """Degree-rank edge orientation must neutralize a hub: a 200-spoke
     star whose hub id sits MID-RANGE (the worst case for plain
