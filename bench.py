@@ -149,6 +149,18 @@ def _load_baseline(here: str):
     return None
 
 
+def _session_cpus(spark) -> int | None:
+    """Core count from the session's actual master URL (local[N]), or
+    defaultParallelism for non-local masters; None if undeterminable."""
+    try:
+        m = re.match(r"local\[(\d+|\*)\]", spark.sparkContext.master or "")
+        if m and m.group(1) != "*":
+            return int(m.group(1))
+        return int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        return None
+
+
 def main() -> None:
     # benchmark the serving computation, not the self-verification
     # pass on top of it: the glm_* KKT certificate aggregation
@@ -302,6 +314,14 @@ def main() -> None:
         "window_total_sec": [round(sum(w.values()), 4) for w in windows],
         "cold_total_sec": round(sum(cold.values()), 4),
         "sf": sf,
+        # self-describing scaling evidence (VERDICT r14 item 2): echo
+        # the core count the session ACTUALLY ran with (parsed back out
+        # of the live master URL, not the env var) and the data dir, so
+        # a driver comparing runs at two core counts can see the env
+        # was honored rather than inferring it from per-query ratios
+        # that are overhead-bound at bench scale
+        "cpus": _session_cpus(spark),
+        "sf_dir": sf_dir,
     }
     if steals[0] is not None:
         summary["steal_pct"] = steals

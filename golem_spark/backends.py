@@ -970,6 +970,11 @@ class ArrowSparkBackend(SparkBackend):
             (p_total, m), order="F")
 
     def lambda_max_gradient(self) -> np.ndarray:
+        pre = getattr(self, "_lam_max_grad", None)
+        if pre is not None:
+            # derived from the builder's fused stats pass (same
+            # short-circuit the expression parent takes) — zero scans
+            return pre
         fam = self.family.name
         m = self.m
         p = len(self.feat_cols)

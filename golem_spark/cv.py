@@ -331,6 +331,588 @@ def _mse_from_moments(mom: dict, fit) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fused non-gaussian CV route (VERDICT r14 item 1 / guide §2.2): the
+# per-cell route pays, per fold cell, a stats pass + a persisted-frame
+# materialization + the fused warm-point pass + a held-out scoring
+# pass — k x 4 corpus scans per repeat. Everything a warm-started
+# narrow dense binomial/poisson/multinomial CV needs is either
+# additive over (fold, label) groups (standardization stats, class
+# sums, lambda_max gradients, poisson lgamma/X'y ride-alongs) or a
+# per-fold-masked evaluation over the SAME rows — so ONE grouped stats
+# pass + ONE fused masked warm-point pass + ONE grouped scoring pass
+# serve every cell. Each cell still runs the unchanged owl()/
+# prox_newton solver to its own stopping criteria (through a backend
+# whose passes mask its own held-out fold), so the fixed points — and
+# the warm-start contract that a golden already satisfying the duality
+# gap is returned UNCHANGED — are preserved.
+# ---------------------------------------------------------------------------
+
+
+def _fold_complement_stats(rows: list[dict], fold, feature_cols,
+                           label_col) -> dict:
+    """Assemble one training complement's statistics from the grouped
+    (fold, label) stats rows: plain sums over the groups outside
+    ``fold`` (complement = the union of the other folds' groups), the
+    same partial-sum structure a per-cell aggregation combines."""
+    sel = [r for r in rows if r["__fold"] != fold]
+    n = int(sum(r["__n"] for r in sel))
+    out = {"n": n}
+    bad = [c for c in feature_cols
+           if sum(r[f"__null_{c}"] for r in sel) > 0]
+    if any(r["__lab"] is None for r in sel):
+        bad.append(label_col)
+    if bad:
+        raise ValueError(f"missing values in columns: {bad}")
+    out["sums"] = np.array([float(sum(r[f"__sum_{c}"] for r in sel))
+                            for c in feature_cols])
+    out["ss"] = np.array([float(sum(r[f"__ss_{c}"] for r in sel))
+                          for c in feature_cols])
+    out["class_stats"] = {}
+    for r in sel:
+        lab = r["__lab"]
+        cn, cs = out["class_stats"].get(
+            lab, (0, np.zeros(len(feature_cols))))
+        out["class_stats"][lab] = (
+            cn + int(r["__n"]),
+            cs + np.array([float(r[f"__sum_{c}"]) for c in feature_cols]))
+    return out
+
+
+def _make_fold_backend(src, fold_col, fold, feat_cols, y_cols, family_name,
+                       intercept, n, lgamma_sum, x_center, x_scale):
+    from golem_spark.backends import ArrowSparkBackend
+    from golem_spark.families import get_family
+
+    class _Backend(ArrowSparkBackend):
+        def __init__(self):
+            super().__init__(src, feat_cols, y_cols, get_family(family_name),
+                             intercept, n, lgamma_sum, persist=False)
+            self._fold_col = fold_col
+            self._fold = fold
+            self._x_center = np.ascontiguousarray(x_center, dtype=np.float64)
+            self._x_scale = np.ascontiguousarray(x_scale, dtype=np.float64)
+            self._hess_stash = None  # (betas, finished results)
+
+        def _map_partials(self, frame, build_batch_fn):
+            import pandas as pd
+
+            fcols = list(self.feat_cols)
+            ycols = list(self.y_cols)
+            fcol, f = self._fold_col, self._fold
+            c, s = self._x_center, self._x_scale
+
+            def op(batches):
+                for pdf in batches:
+                    keep = pdf[fcol].to_numpy() != f
+                    X = pdf[fcols].to_numpy(dtype=np.float64)[keep]
+                    Y = pdf[ycols].to_numpy(dtype=np.float64)[keep]
+                    yield pd.DataFrame({"part": [build_batch_fn((X - c) / s,
+                                                                Y)]})
+
+            # explicit projection: mapInPandas is opaque to column
+            # pruning (guide §4.1), and the shared frame carries other
+            # repeats' fold columns this pass must not ship
+            return (frame.select(fcol, *fcols, *ycols)
+                    .mapInPandas(op, "part array<double>"))
+
+        def eval_hess_multi(self, betas):
+            st = self._hess_stash
+            if (st is not None and len(st[0]) == len(betas)
+                    and all(np.array_equal(a, b)
+                            for a, b in zip(st[0], betas))):
+                self._hess_stash = None
+                return st[1]
+            return super().eval_hess_multi(betas)
+
+        def subset(self, cols):
+            cols = np.asarray(cols)
+            if cols.size == self.p_total:
+                return self
+            off = 1 if self.intercept else 0
+            if self.intercept:
+                assert cols[0] == 0, "active set must contain the intercept"
+            idx = cols[off:] - off
+            return _make_fold_backend(
+                src, fold_col, fold, [feat_cols[j] for j in idx], y_cols,
+                family_name, intercept, n, lgamma_sum,
+                self._x_center[idx], self._x_scale[idx])
+
+        def unpersist(self):
+            # the shared source frame's lifecycle belongs to the CV
+            # driver (train_owl_spark releases it after scoring)
+            pass
+
+    return _Backend()
+
+
+# fused scoring derives its response terms from the ENCODED y columns
+# (values exactly the per-cell label expressions': binomial y01 =
+# (__y0+1)/2 over {-1,1}, multinomial indicators are the __yk columns
+# with the reference class = 1 - sum, poisson y = __y0) so the shared
+# frame never persists or ships the label string; misclass (multinomial
+# needs the label value itself) keeps the per-cell route
+_FUSED_CV_SCORE_MEASURES = ("mse", "mae", "deviance")
+
+
+def _fused_cv_setup(df, feature_cols, label_col, key_col, number: int,
+                    repeats: int, family: str, owl_kwargs: dict):
+    """Build the shared frame + per-(fold, rep) complement backends for
+    the fused non-gaussian CV route, or return None when any guard
+    fails (caller falls back to the per-cell route, which handles every
+    case). ONE grouped stats pass per repeat replaces k per-cell stats
+    passes; class discovery, standardization, sigma_max gradients,
+    null-model means and the poisson lgamma/X'y constants all come from
+    the grouped rows with zero extra scans (the per-cell
+    build_spark_backend closed forms, complement-summed)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    scale = owl_kwargs.get("scale", "l2")
+    center = owl_kwargs.get("center") in (None, True)
+    intercept = bool(owl_kwargs.get("intercept", True))
+    p = len(feature_cols)
+    label_numeric = isinstance(df.schema[label_col].dataType, T.NumericType)
+    if family in ("gaussian", "poisson") and not label_numeric:
+        return None  # per-cell route raises the canonical error
+
+    # ---- ONE grouped stats pass per repeat --------------------------------
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in feature_cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__null_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__sum_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double"))
+                    .alias(f"__ss_{c}"))
+    cap = 8192  # (fold x label) groups; a high-cardinality label bails out
+    stats_rows: dict[int, list[dict]] = {}
+    for rep in range(repeats):
+        rows = (df.groupBy(fold_expr(key_col, number, rep).alias("__fold"),
+                           F.col(label_col).alias("__lab"))
+                .agg(*aggs).limit(cap + 1).collect())
+        if len(rows) > cap:
+            return None
+        stats_rows[rep] = [r.asDict() for r in rows]
+
+    # global class set; every complement must see the same classes or
+    # the per-cell route's per-complement discovery is not reproduced
+    classes = sorted({r["__lab"] for r in stats_rows[0]
+                      if r["__lab"] is not None})
+    if family == "binomial" and len(classes) != 2:
+        return None
+    if family == "multinomial" and len(classes) < 3:
+        return None
+    m = 1 if family != "multinomial" else len(classes) - 1
+
+    # ---- shared frame: fold ids + double features + encoded response ------
+    sel = [fold_expr(key_col, number, rep).alias(f"__fold_{rep}")
+           for rep in range(repeats)]
+    fcols = [f"__f{j}" for j in range(p)]
+    sel += [F.col(c).cast("double").alias(fc)
+            for c, fc in zip(feature_cols, fcols)]
+    sel.append(F.col(label_col).alias("__lab"))
+    src = df.select(*sel)
+    if family == "binomial":
+        enc = src.withColumn("__y0", F.when(F.col("__lab") == classes[0],
+                                            -1.0).otherwise(1.0))
+        y_cols = ["__y0"]
+    elif family == "poisson":
+        enc = src.withColumn("__y0", F.col("__lab").cast("double"))
+        y_cols = ["__y0"]
+    else:
+        enc = src
+        for k in range(m):
+            enc = enc.withColumn(
+                f"__y{k}", F.when(F.col("__lab") == classes[k], 1.0)
+                .otherwise(0.0))
+        y_cols = [f"__y{k}" for k in range(m)]
+    # the label string's job ends at the encoding: everything downstream
+    # (masked passes, fused scoring) reads the encoded y columns, so the
+    # persisted frame stays all-numeric — nothing ships a string through
+    # the Arrow boundary (guide §4.1/§2.3)
+    enc = enc.drop("__lab")
+    # same partition sizing as build_spark_backend's cached frame: the
+    # fused passes are Arrow partial reductions whose parallelism IS the
+    # partition count — a raw parquet split count (often < cores here)
+    # would leave most of the machine idle on every pass
+    n_total = int(sum(r["__n"] for r in stats_rows[0]))
+    target_parts = max(1, min(df.sparkSession.sparkContext
+                              .defaultParallelism, n_total // 20_000 + 1))
+    cur_parts = enc.rdd.getNumPartitions()
+    if cur_parts > target_parts:
+        enc = enc.coalesce(target_parts)
+    elif cur_parts < target_parts:
+        enc = enc.repartition(target_parts)
+    enc = enc.persist()
+
+    class_names = (None if family == "poisson"
+                   else [str(c) for c in classes])
+    backends: dict[tuple, tuple] = {}
+    try:
+        for rep in range(repeats):
+            rows = stats_rows[rep]
+            for fold in range(number):
+                st = _fold_complement_stats(rows, fold, feature_cols,
+                                            label_col)
+                n, sums, ss = st["n"], st["sums"], st["ss"]
+                cstats = st["class_stats"]
+                if sorted(cstats) != classes:
+                    raise LookupError  # complement missing a class
+                mu = sums / max(n, 1)
+                x_center = mu.copy() if center else np.zeros(p)
+                if scale == "l2":
+                    x_scale = np.sqrt(np.maximum(ss - n * x_center ** 2,
+                                                 0.0))
+                elif scale == "sd":
+                    x_scale = np.sqrt(np.maximum(ss - n * mu ** 2, 0.0)
+                                      / max(n - 1, 1))
+                else:  # "none" (caller gates the scale set)
+                    x_scale = np.ones(p)
+                if scale != "none":
+                    x_scale = x_scale.copy()
+                    x_scale[x_scale == 0.0] = 1.0
+
+                lgamma_sum = 0.0
+                if family == "poisson":
+                    ymin = min(float(c_) for c_ in cstats)
+                    if ymin < 0:
+                        raise ValueError("cannot have negative responses "
+                                         "in poisson model")
+                    ysum = sum(float(c_) * cn for c_, (cn, _) in
+                               cstats.items())
+                    ymean = ysum / max(n, 1)
+                    lgamma_sum = float(sum(
+                        cn * math.lgamma(float(c_) + 1.0)
+                        for c_, (cn, _) in cstats.items()))
+                    xy = np.zeros(p)
+                    for c_, (cn, cs) in cstats.items():
+                        xy += float(c_) * cs
+                bk = _make_fold_backend(
+                    enc, f"__fold_{rep}", fold, fcols, y_cols, family,
+                    intercept, n, lgamma_sum, x_center, x_scale)
+                # sigma_max gradient + null-model means: the same
+                # closed forms build_spark_backend derives from its
+                # fused stats pass, over the complement sums
+                if family == "poisson":
+                    g = (n * mu - xy - x_center * (n - n * ymean)) / x_scale
+                    bk._lam_max_grad = np.abs(g)
+                    bk._null_mu = np.array([ymean])
+                else:
+                    gcls = classes[1:2] if family == "binomial" \
+                        else classes[:m]
+                    G = np.stack(
+                        [(cstats[c_][1] - (cstats[c_][0] / n) * sums)
+                         / x_scale for c_ in gcls], axis=1)
+                    bk._lam_max_grad = np.abs(G.ravel(order="F"))
+                    bk._stash_null_mu(
+                        family,
+                        np.array([cstats[c_][0] / n for c_ in gcls]))
+                meta = {"x_center": x_center, "x_scale": x_scale,
+                        "y_center": np.zeros(m), "y_scale": np.ones(m),
+                        "class_names": class_names, "n_targets": m,
+                        "feature_names": list(feature_cols)}
+                backends[(fold, rep)] = (bk, meta)
+    except LookupError:
+        enc.unpersist()
+        return None
+    return {"src": enc, "backends": backends, "classes": classes,
+            "y_cols": y_cols, "fcols": fcols, "m": m,
+            "intercept": intercept, "family": family, "number": number,
+            "repeats": repeats}
+
+
+def _spec_score_closure(family: str, meas: str, raw_betas: np.ndarray,
+                        intercept: bool, n_classes: int):
+    """(fn(Xraw_heldout, Yenc_heldout) -> per-point term sums, K) for
+    the speculative held-out scoring that rides the prefetch pass:
+    per-row terms mirror _score_spark's expressions over the encoded
+    responses (binomial y01 = (y+1)/2, multinomial indicators = the
+    encoded one-hots + 1-sum reference), evaluated at the ROUND-TRIPPED
+    raw warm coefficients — exactly the coefficients a zero-pass warm
+    cell returns."""
+    K = raw_betas.shape[2]
+    off = 1 if intercept else 0
+    clamp = 1e-15
+
+    def fn(Xh: np.ndarray, Yh: np.ndarray) -> np.ndarray:
+        out = np.zeros(K)
+        if Xh.shape[0] == 0:
+            return out
+        with np.errstate(over="ignore", divide="ignore"):
+            for k in range(K):
+                co = raw_betas[:, :, k]
+                lp = Xh @ co[off:, :]
+                if intercept:
+                    lp = lp + co[0, :][None, :]
+                if family == "poisson":
+                    d = np.exp(lp[:, 0]) - Yh[:, 0]
+                    out[k] = float(np.sum(d * d) if meas == "mse"
+                                   else np.sum(np.abs(d)))
+                elif family == "binomial":
+                    prob = 1.0 / (1.0 + np.exp(-lp[:, 0]))
+                    y01 = (Yh[:, 0] + 1.0) / 2.0
+                    if meas in ("mse", "mae"):
+                        d = prob - y01
+                        out[k] = float(np.sum(d * d) if meas == "mse"
+                                       else np.sum(np.abs(d)))
+                    else:  # deviance
+                        pc = np.clip(prob, clamp, 1 - clamp)
+                        out[k] = float(np.sum(
+                            y01 * np.log(pc) + (1 - y01) * np.log(1 - pc)))
+                else:  # multinomial
+                    mx = np.maximum(lp.max(axis=1), 0.0)
+                    e = np.exp(lp - mx[:, None])
+                    denom = np.exp(-mx) + e.sum(axis=1)
+                    probs = np.column_stack(
+                        [e / denom[:, None], np.exp(-mx) / denom])
+                    inds = np.column_stack(
+                        [Yh, 1.0 - Yh.sum(axis=1)])
+                    if meas in ("mse", "mae"):
+                        d = probs - inds
+                        out[k] = float(np.sum(d * d) if meas == "mse"
+                                       else np.sum(np.abs(d)))
+                    else:  # deviance
+                        pc = np.clip(probs, clamp, 1 - clamp)
+                        out[k] = float(np.sum(inds * np.log(pc)))
+        return out
+
+    return fn
+
+
+def _spec_score_finish(family: str, meas: str, sums: np.ndarray,
+                       n_held: float, n_classes: int) -> np.ndarray:
+    """Driver-side finish for the speculative score partials: the mean
+    (and the per-measure constant factors _score_spark applies)."""
+    vals = sums / max(n_held, 1.0)
+    if meas == "deviance":
+        return -2.0 * vals
+    if family == "multinomial" and meas in ("mse", "mae"):
+        return vals / float(n_classes)
+    return vals
+
+
+def _fused_warm_prefetch(fused: dict, warm_by_cell: dict,
+                         measures: list) -> None:
+    """ONE masked pass per repeat evaluating EVERY fold cell's warm
+    path points (primal/dual/grad/Hessian — what owl's per-cell fused
+    warm-point prefetch would compute in k separate scans) AND, riding
+    the same batches, the speculative held-out scores at the
+    round-tripped warm coefficients. Per batch, each fold's closures
+    run over the complement rows standardized with that complement's
+    center/scale; per-fold partials concatenate so each cell's segments
+    accumulate exactly as its own pass would. Eval results are stashed
+    on each backend; owl's eval_hess_multi call consumes the stash when
+    its betas match bitwise (they are built by the same _unrescale on
+    the same cubes), else falls through to a live pass — the stash can
+    redirect WHERE the numbers come from, never WHAT they are.
+    Speculative scores land in fused["spec_scores"][(fold, rep)] with
+    their coefficient basis; the caller uses them ONLY for cells whose
+    fit returned that exact basis (zero-pass warm cells) and recomputes
+    the rest through the grouped scoring aggregation."""
+    import pandas as pd
+
+    from golem_spark.backends import _collect_partials
+    from golem_spark.path import _rescale, _unrescale
+
+    fam = fused["family"]
+    n_classes = fused["m"] + 1  # multinomial class count (unused else)
+    by_rep: dict[int, list] = {}
+    for (fold, rep), (bk, meta) in fused["backends"].items():
+        cube = warm_by_cell.get((fold, rep))
+        if cube is None:
+            continue
+        bi = np.asarray(cube, dtype=np.float64)
+        if bi.ndim != 3:
+            continue
+        warm = np.stack(
+            [_unrescale(bi[:, :, k], meta["x_center"], meta["x_scale"],
+                        meta["y_center"], meta["y_scale"], bk.intercept)
+             for k in range(bi.shape[2])], axis=2)
+        betas = [np.ascontiguousarray(warm[:, :, k])
+                 for k in range(warm.shape[2])]
+        built = [bk._eval_hess_closure(b) for b in betas]
+        # the raw coefficients a zero-pass warm cell will return: the
+        # standardized warm points rescaled back (owl's exact pipeline)
+        base = _rescale(warm, meta["x_center"], meta["x_scale"],
+                        meta["y_center"], meta["y_scale"], bk.intercept)
+        score_fns = [(meas, _spec_score_closure(fam, meas, base,
+                                                bk.intercept, n_classes))
+                     for meas in measures]
+        K = base.shape[2]
+        built += [(lambda X, Y, fn=fn: fn(X, Y), K)
+                  for _, fn in score_fns]
+        by_rep.setdefault(rep, []).append((bk, betas, built, base,
+                                           [m_ for m_, _ in score_fns]))
+
+    for rep, plan in by_rep.items():
+        fcol = f"__fold_{rep}"
+        fcols = list(plan[0][0].feat_cols)
+        ycols = list(plan[0][0].y_cols)
+        # eval closures consume the complement (standardized); score
+        # closures consume the HELD-OUT slice (raw) — split per fold
+        info = [(bk._fold, bk._x_center, bk._x_scale,
+                 [fn for fn, _ in built[:len(betas)]],
+                 [fn for fn, _ in built[len(betas):]])
+                for bk, betas, built, _, _ in plan]
+        lens = [[ln for _, ln in built] for _, _, built, _, _ in plan]
+        out_len = sum(sum(ls) for ls in lens) + len(plan)  # + held counts
+
+        def op(batches, info=info, fcol=fcol, fcols=fcols, ycols=ycols):
+            for pdf in batches:
+                folds = pdf[fcol].to_numpy()
+                Xr = pdf[fcols].to_numpy(dtype=np.float64)
+                Yr = pdf[ycols].to_numpy(dtype=np.float64)
+                parts = []
+                for f, c, s, eval_fns, score_fns_ in info:
+                    keep = folds != f
+                    X = (Xr[keep] - c) / s
+                    Y = Yr[keep]
+                    for fn in eval_fns:
+                        parts.append(fn(X, Y))
+                    held = ~keep
+                    Xh, Yh = Xr[held], Yr[held]
+                    for fn in score_fns_:
+                        parts.append(fn(Xh, Yh))
+                    parts.append(np.array([float(Xh.shape[0])]))
+                yield pd.DataFrame({"part": [np.concatenate(parts)]})
+
+        total = _collect_partials(
+            fused["src"].select(fcol, *fcols, *ycols)
+            .mapInPandas(op, "part array<double>"), out_len)
+        pos = 0
+        spec = fused.setdefault("spec_scores", {})
+        for (bk, betas, built, base, meas_list), ls in zip(plan, lens):
+            n_eval = len(betas)
+            finished = []
+            for ln in ls[:n_eval]:
+                finished.append(bk._eval_hess_finish(total[pos:pos + ln]))
+                pos += ln
+            bk._hess_stash = (betas, finished)
+            sums_by_meas = {}
+            for meas, ln in zip(meas_list, ls[n_eval:]):
+                sums_by_meas[meas] = total[pos:pos + ln].copy()
+                pos += ln
+            n_held = float(total[pos])
+            pos += 1
+            spec[(bk._fold, rep)] = {
+                "base": base,
+                "scores": {meas: _spec_score_finish(fam, meas, s, n_held,
+                                                    n_classes)
+                           for meas, s in sums_by_meas.items()}}
+
+
+def _fused_cv_scores(fused: dict, cells: list, fits: dict,
+                     measures: list) -> dict:
+    """Held-out scores for EVERY (cell, measure, path point) from ONE
+    flat aggregation: each per-cell _score_spark aggregate column
+    becomes avg(when(fold == f, <same row expression>)) — the same
+    row values, restricted to the cell's held-out fold by the
+    null-skipping aggregate instead of a per-cell filtered scan. The
+    response terms come from the ENCODED y columns: over their exact
+    0/1 (+-1) values the derivations below reproduce _score_spark's
+    label expressions bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from golem_spark.score import _CLAMP
+
+    fam = fused["family"]
+    classes = fused["classes"]
+    m = fused["m"]
+    intercept = fused["intercept"]
+    off = 1 if intercept else 0
+    fcols = fused["fcols"]
+    if fam == "binomial":
+        # classes[0] encodes to -1, the other to +1: (y+1)/2 is exactly
+        # the 0/1 indicator _score_spark builds from the label
+        y01 = (F.col(fused["y_cols"][0]) + F.lit(1.0)) / F.lit(2.0)
+    names = None if fam == "poisson" else [str(c) for c in classes]
+
+    def lp_expr(beta, t):
+        expr = F.lit(float(beta[0, t])) if intercept else F.lit(0.0)
+        for j, c in enumerate(fcols):
+            b = float(beta[j + off, t])
+            if b != 0.0:
+                expr = expr + F.lit(b) * F.col(c)
+        return expr
+
+    aggs = []
+    index = []
+    for cell in cells:
+        qv, fold, rep = cell
+        fit = fits[cell]
+        cond = F.col(f"__fold_{rep}") == fold
+        K = fit.coefficients.shape[2]
+        for mi, meas in enumerate(measures):
+            for k in range(K):
+                beta = fit.coefficients[:, :, k]
+                a = f"s_{len(aggs)}"
+                index.append((cell, mi, k, a))
+                if fam == "poisson":
+                    pred = F.exp(lp_expr(beta, 0))
+                    d = pred - F.col(fused["y_cols"][0])
+                    term = d * d if meas == "mse" else F.abs(d)
+                    aggs.append(F.avg(F.when(cond, term)).alias(a))
+                elif fam == "binomial":
+                    prob = (F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-lp_expr(beta, 0))))
+                    if meas in ("mse", "mae"):
+                        d = prob - y01
+                        term = d * d if meas == "mse" else F.abs(d)
+                        aggs.append(F.avg(F.when(cond, term)).alias(a))
+                    else:  # deviance (misclass keeps the per-cell route)
+                        pc = F.least(F.greatest(prob, F.lit(_CLAMP)),
+                                     F.lit(1 - _CLAMP))
+                        ll = (y01 * F.log(pc)
+                              + (F.lit(1.0) - y01) * F.log(F.lit(1.0) - pc))
+                        aggs.append((F.lit(-2.0)
+                                     * F.avg(F.when(cond, ll))).alias(a))
+                else:  # multinomial
+                    lps = [lp_expr(beta, t) for t in range(m)]
+                    mx = (F.greatest(*lps, F.lit(0.0)) if m > 1
+                          else F.greatest(lps[0], F.lit(0.0)))
+                    denom = F.exp(F.lit(0.0) - mx)
+                    for t in range(m):
+                        denom = denom + F.exp(lps[t] - mx)
+                    probs = ([F.exp(lps[t] - mx) / denom for t in range(m)]
+                             + [F.exp(F.lit(0.0) - mx) / denom])
+                    # modeled-class indicators ARE the encoded columns;
+                    # the reference class is exactly 1 - their sum over
+                    # one-hot 0/1 values
+                    inds = [F.col(c) for c in fused["y_cols"]]
+                    ref = F.lit(1.0)
+                    for c in fused["y_cols"]:
+                        ref = ref - F.col(c)
+                    inds = inds + [ref]
+                    if meas in ("mse", "mae"):
+                        terms = None
+                        for pr, ind in zip(probs, inds):
+                            d = pr - ind
+                            t_ = d * d if meas == "mse" else F.abs(d)
+                            terms = t_ if terms is None else terms + t_
+                        aggs.append((F.avg(F.when(cond, terms))
+                                     / F.lit(float(len(names)))).alias(a))
+                    else:  # deviance (misclass keeps the per-cell route)
+                        ll = None
+                        for pr, ind in zip(probs, inds):
+                            pc = F.least(F.greatest(pr, F.lit(_CLAMP)),
+                                         F.lit(1 - _CLAMP))
+                            t_ = ind * F.log(pc)
+                            ll = t_ if ll is None else ll + t_
+                        aggs.append((F.lit(-2.0)
+                                     * F.avg(F.when(cond, ll))).alias(a))
+    row = fused["src"].agg(*aggs).collect()[0]
+    out: dict = {}
+    for (cell, mi, k, a) in index:
+        meas = measures[mi]
+        fitK = fits[cell].coefficients.shape[2]
+        arr = out.setdefault(cell, {}).setdefault(
+            meas, np.empty(fitK))
+        arr[k] = float(row[a])
+    return out
+
+
 def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                     number: int = 5, repeats: int = 1,
                     measure: str | list[str] | None = None,
@@ -426,6 +1008,31 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
     g_totals = ({k: sum(f[k] for f in grouped[0])
                  for k in ("n", "sy", "yy", "sx", "xy", "G")}
                 if grouped else None)
+
+    # fused non-gaussian route (see the block comment above
+    # _fold_complement_stats): gated to the warm pinned-sigma narrow
+    # dense bench/gate shape; anything else keeps the per-cell route
+    fused: dict | None = None
+    if (grouped is None and _grouped is not False
+            and family in ("binomial", "poisson", "multinomial")
+            and sparse_features is None and feature_cols is not None
+            and hasattr(df, "sparkSession") and pinned_sigma
+            and beta_init_by_cell is not None and len(qs) == 1
+            and len(feature_cols) <= 16
+            and owl_kwargs.get("screening") is None
+            and owl_kwargs.get("scale", "l2") in ("l2", "sd", "none")
+            and all(mm in _FUSED_CV_SCORE_MEASURES for mm in measures)):
+        fused = _fused_cv_setup(df, feature_cols, label_col, key_col,
+                                number, repeats, family, owl_kwargs)
+    if fused is not None:
+        from golem_spark.solvers import pn_local_hessian
+
+        p_tot = len(feature_cols) + (1 if fused["intercept"] else 0)
+        if pn_local_hessian(family, p_tot * fused["m"]):
+            warm_by_cell = {
+                (fold, rep): beta_init_by_cell(qs[0], fold, rep)
+                for rep in range(repeats) for fold in range(number)}
+            _fused_warm_prefetch(fused, warm_by_cell, measures)
     def full_fit(qv):
         if grouped is not None:
             # center/scale/intercept are baked into the prebuilt stats;
@@ -465,6 +1072,17 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
                                                scale=g_scale)
             cell_fit = owl(_prebuilt=(bk, bmeta), family=family, q=qv,
                            sigma=sig, beta_init=bi, **cell_kwargs)
+        elif fused is not None:
+            bk, bmeta = fused["backends"][(fold, rep)]
+            # owl's df mode resolves screening=None to (p_feat > 16) =
+            # False under the fused gate (p <= 16); _prebuilt mode
+            # would resolve it to True (df is None), so state it
+            ckw = dict(cell_kwargs)
+            ckw["screening"] = False
+            cell_fit = owl(_prebuilt=(bk, bmeta), family=family, q=qv,
+                           sigma=sig, beta_init=bi, **ckw)
+            # held-out scores come from ONE grouped pass after the pool
+            return cell, {}, cell_fit
         else:
             fc = fold_expr(key_col, number, rep)
             train = df.filter(fc != fold)
@@ -508,6 +1126,30 @@ def train_owl_spark(df, feature_cols, label_col, key_col, *, q=(0.2,),
             raw = list(pool.map(run_cell, cells))
     else:
         raw = [run_cell(c) for c in cells]
+    if fused is not None:
+        # speculative scores (computed in the prefetch pass at the
+        # round-tripped warm coefficients) apply exactly to the cells
+        # whose fit RETURNED that basis — i.e. warm starts the solver
+        # verified optimal at entry. Any cell that moved (extra passes,
+        # or no warm start) gets its scores from the grouped
+        # aggregation over its actual coefficients.
+        fits_by_cell = {cell: fit for cell, _, fit in raw}
+        spec = fused.get("spec_scores", {})
+        scores: dict = {}
+        recompute = []
+        for cell, _, fit in raw:
+            qv, fold, rep = cell
+            sp_ = spec.get((fold, rep))
+            if sp_ is not None and np.array_equal(fit.coefficients,
+                                                  sp_["base"]):
+                scores[cell] = sp_["scores"]
+            else:
+                recompute.append(cell)
+        if recompute:
+            scores.update(_fused_cv_scores(fused, recompute,
+                                           fits_by_cell, measures))
+        raw = [(cell, scores[cell], fit) for cell, _, fit in raw]
+        fused["src"].unpersist()
     results = [(cell, out) for cell, out, _ in raw]
 
     if pinned_sigma:

@@ -63,24 +63,28 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    from pyspark.sql import Window
-
     from golem_spark.pipeline._cache import _swap_cache
 
-    # ONE edge-sized persisted frame: (src, dst, deg) with the
-    # out-degree attached by a window count — a single shuffle on src
-    # replaces the old edges-persist + groupBy(src) + edges-deg join
-    # (two edge-sized materializations and a join, gone). The input
-    # edge lineage executes exactly once (the window's shuffle read),
-    # and the persisted frame stays HASH-PARTITIONED ON src, so every
-    # iteration's contribution join reuses that partitioning and only
-    # the node-sized ranks side shuffles — at 100 TB the per-iteration
-    # shuffle is O(nodes), not O(edges)
+    # ONE edge-sized persisted frame: (src, dst, deg), built as a
+    # map-side-combined groupBy(src) degree + a join onto the edges
+    # hash-partitioned on src (VERDICT r14 item 3). The r14 window
+    # count had no partial aggregation — a hub src's entire out-edge
+    # list landed in one task's buffer, a straggler on any power-law
+    # graph at scale (guide §2.5); the groupBy reduces per partition
+    # before its node-sized shuffle. Both join inputs arrive
+    # hash-partitioned on src with the same partition count, so the
+    # join adds NO exchange (AQE is free to broadcast the node-sized
+    # degree side at runtime instead), and the persisted frame stays
+    # HASH-PARTITIONED ON src, so every iteration's contribution join
+    # reuses that partitioning and only the node-sized ranks side
+    # shuffles — at 100 TB the per-iteration shuffle is O(nodes), not
+    # O(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     outlinks = _swap_cache(
         "pagerank_outlinks",
-        edges.select("src", "dst",
-                     F.count(F.lit(1)).over(Window.partitionBy("src"))
-                     .alias("deg")))
+        edges.repartition(n_shuffle, "src")
+        .join(F.broadcast(deg), "src").select("src", "dst", "deg"))
     nodes = _swap_cache(
         "pagerank_nodes",
         (outlinks.select(F.col("src").alias("node"))
@@ -178,6 +182,21 @@ def _oriented_closed_wedges(edges: DataFrame | None,
                .distinct()
                .persist())
     else:
+        # contract: half must be strictly src < dst, deduplicated, no
+        # self-loops (what copurchase_half_edges returns) AND persisted
+        # by its owner — it is read three times below, so an unpersisted
+        # lineage would recompute 3x. GOLEM_SPARK_DEBUG_CHECKS=1 buys a
+        # verification pass (a full scan — debug only, never the hot
+        # path) that fails fast on a raw/symmetric frame instead of
+        # silently double-counting wedges.
+        import os
+
+        if os.environ.get("GOLEM_SPARK_DEBUG_CHECKS", "") == "1":
+            n_bad = half.filter(F.col("src") >= F.col("dst")).count()
+            if n_bad:
+                raise ValueError(
+                    f"half= contract violated: {n_bad} rows with "
+                    "src >= dst (need strictly src < dst, deduplicated)")
         und = half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     deg = (und.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -210,10 +229,15 @@ def node_triangle_counts(edges: DataFrame | None = None, top_k: int = 20,
     a corner explode + combinable groupBy + TakeOrdered partial top-k
     (ties broken by node id). Returns (node, n_triangles).
 
-    ``half``: pre-deduplicated src < dst edge set (see
-    :func:`_oriented_closed_wedges`) — skips the DISTINCT shuffle."""
+    ``half``: pre-deduplicated strictly-src<dst edge set, PERSISTED by
+    the caller (it is read three times — an unpersisted lineage
+    recomputes 3x; see :func:`_oriented_closed_wedges`) — skips the
+    DISTINCT shuffle. Mutually exclusive with ``edges``."""
     if edges is None and half is None:
         raise ValueError("need edges or half")
+    if edges is not None and half is not None:
+        raise ValueError("pass edges OR half, not both (half would "
+                         "silently win)")
     und, wedges, _ = _oriented_closed_wedges(edges, half=half)
     closed = wedges.join(
         und.select(F.col("a").alias("x"), F.col("b").alias("z")),
@@ -242,11 +266,16 @@ def triangle_count(edges: DataFrame | None = None,
 
     Returns one row: (n_edges, n_wedges, n_triangles).
 
-    ``half``: pre-deduplicated src < dst edge set (see
-    :func:`_oriented_closed_wedges`) — skips the DISTINCT shuffle.
+    ``half``: pre-deduplicated strictly-src<dst edge set, PERSISTED by
+    the caller (it is read three times — an unpersisted lineage
+    recomputes 3x; see :func:`_oriented_closed_wedges`) — skips the
+    DISTINCT shuffle. Mutually exclusive with ``edges``.
     """
     if edges is None and half is None:
         raise ValueError("need edges or half")
+    if edges is not None and half is not None:
+        raise ValueError("pass edges OR half, not both (half would "
+                         "silently win)")
     und, wedges, n_edges = _oriented_closed_wedges(edges, half=half)
     # closing-edge membership as a left-join indicator so wedge count
     # and triangle count come from ONE pass over the wedge join

@@ -624,7 +624,13 @@ def contamination_check(corpus: DataFrame, probe: DataFrame,
     def grams_frame(d: DataFrame, id_alias: str):
         # the overlap join only tests gram EQUALITY, so both sides carry
         # the 64-bit gram hash instead of the n-gram string — a smaller
-        # probe-side broadcast and fixed-width join keys (guide §2.3)
+        # probe-side broadcast and fixed-width join keys (guide §2.3).
+        # Collision bound: equality-by-xxhash64 merges distinct grams
+        # with birthday probability ~G^2/2^65 (G distinct grams) — ~1
+        # spurious overlap hit per ~6e9 probe grams; exact at test SFs,
+        # a documented approximation at 10^12-gram scale. The DuckDB
+        # oracle stays STRING-keyed (tests/test_gram_hash_contract.py)
+        # so any collision-visible drift fails the gate.
         grams = _ngrams_concat(tokens_col(text_col), n)
         return (d.select(F.col("doc_id").alias(id_alias),
                          F.explode(grams).alias("gram"))
@@ -687,7 +693,13 @@ def dup_ngram_fraction(df: DataFrame, n: int = 5,
     # the membership aggregates below only test gram EQUALITY, so the
     # key can be fixed-width (guide §2.3, shuffle fewer bytes — ~8 B vs
     # the ~6*n-char n-gram string per row, and cheaper groupBy/join
-    # comparisons; measured 6.6 -> 5.3 s at sf0.1)
+    # comparisons; measured 6.6 -> 5.3 s at sf0.1). Collision bound:
+    # xxhash64 merges distinct grams with birthday probability
+    # ~G^2/2^65 — at 10^12 corpus grams that is ~10^4 merged keys, each
+    # inflating one doc's n_shared by at most its duplicate count;
+    # exact at test SFs. The DuckDB oracle stays STRING-keyed
+    # (tests/test_gram_hash_contract.py) so collision-visible drift at
+    # any gated SF fails the gate instead of passing silently.
     grams = (df.select(
         "doc_id",
         F.explode(_ngrams_concat(tokens_col(text_col), n)).alias("gram"))
@@ -853,7 +865,12 @@ def benchmark_containment(corpus: DataFrame, benchmark: DataFrame,
     a left join (containment 0.0)."""
     # membership only needs gram EQUALITY: both sides carry the 64-bit
     # gram hash, shrinking the benchmark broadcast and the join keys to
-    # fixed width (guide §2.3)
+    # fixed width (guide §2.3). Collision bound: a corpus gram can
+    # spuriously match a benchmark gram with probability
+    # |bench grams|/2^64 — ~5e-14 per gram for a 10^6-gram suite, so
+    # containment inflates by <1e-13 in expectation; exact at test SFs.
+    # The DuckDB oracle stays STRING-keyed
+    # (tests/test_gram_hash_contract.py).
     grams = _ngrams_concat(tokens_col(text_col), n)
     corpus_grams = (corpus.select("doc_id", F.explode(grams).alias("gram"))
                     .select("doc_id", F.xxhash64("gram").alias("gram")))
